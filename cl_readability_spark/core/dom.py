@@ -1,0 +1,509 @@
+"""Minimal mutable HTML DOM for the extraction core.
+
+Fresh design on stdlib ``html.parser`` (the runtime image has no lxml/bs4).
+The node model covers the reference's backend protocol surface
+(readability.lisp:6-114 generics; Plump bindings readability-plump.lisp:6-111)
+with exactly the query subset the algorithm uses (SURVEY.md §2.10): tag-name
+(lists), ``div > br``, ``li p``, and universal pre-order traversal.
+
+Non-element noise (comments, CDATA, doctype, processing instructions) is
+dropped at parse time — the reference purges it in ``remove-non-elements``
+(readability-plump.lisp:263-278); doing it in the tokenizer is equivalent and
+cheaper.
+
+Design notes for the Spark hot path: slotted nodes, no per-node dicts beyond
+attrs, one parser instance per document, ``convert_charrefs=True`` so text
+nodes carry browser-decoded text.
+"""
+
+from __future__ import annotations
+
+from html import escape
+from html.parser import HTMLParser
+
+
+class TooManyElementsError(Exception):
+    """conditions.lisp:6-21 — raised when element count exceeds max_elements."""
+
+
+# HTML5 void elements (never pushed on the open-element stack).
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Start tags that implicitly close an open <p> (HTML5 spec §13.2.6.4.7).
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details div dl fieldset figcaption figure "
+    "footer form h1 h2 h3 h4 h5 h6 header hgroup hr main menu nav ol p pre "
+    "section table ul".split()
+)
+
+# tag on stack -> start tags that implicitly close it
+_AUTO_CLOSE = {
+    "li": frozenset(["li"]),
+    "dd": frozenset(["dd", "dt"]),
+    "dt": frozenset(["dd", "dt"]),
+    "td": frozenset(["td", "th", "tr"]),
+    "th": frozenset(["td", "th", "tr"]),
+    "tr": frozenset(["tr"]),
+    "thead": frozenset(["tbody", "tfoot"]),
+    "tbody": frozenset(["tbody", "tfoot"]),
+    "option": frozenset(["option", "optgroup"]),
+}
+
+_HEAD_TAGS = frozenset(["title", "meta", "base", "link", "style"])
+
+
+class Text:
+    """Text node (readability-plump.lisp:107-111)."""
+
+    __slots__ = ("parent", "data")
+
+    def __init__(self, data: str, parent: "Element | None" = None):
+        self.data = data
+        self.parent = parent
+
+    @property
+    def is_whitespace(self) -> bool:
+        return not self.data.strip()
+
+    def detach(self) -> None:
+        p = self.parent
+        if p is not None:
+            p.children.remove(self)
+            self.parent = None
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Text({self.data[:30]!r})"
+
+
+class Element:
+    """Element node: lowercase tag, insertion-ordered attrs, child list.
+
+    ``score`` carries the grab-article content score (the reference memoizes
+    scores in an identity-keyed hash, readability-plump.lisp:158-159; a slot
+    is the idiomatic equivalent).  ``data_table`` marks Readability.js
+    ``_readabilityDataTable``.
+    """
+
+    __slots__ = ("parent", "tag", "attrs", "children", "score", "data_table")
+
+    def __init__(self, tag: str, attrs: dict | None = None,
+                 parent: "Element | None" = None):
+        self.tag = tag
+        self.attrs = attrs if attrs is not None else {}
+        self.children: list = []
+        self.parent = parent
+        self.score: float | None = None
+        self.data_table = False
+
+    # --- attribute protocol (readability.lisp:42-57) ---
+    def get(self, name: str, default=None):
+        return self.attrs.get(name, default)
+
+    def set(self, name: str, value) -> None:
+        if value is None:
+            self.attrs.pop(name, None)
+        else:
+            self.attrs[name] = value if isinstance(value, str) else str(value)
+
+    def remove_attr(self, name: str) -> None:
+        self.attrs.pop(name, None)
+
+    @property
+    def class_name(self) -> str:
+        return self.attrs.get("class", "")
+
+    @property
+    def id(self) -> str:
+        return self.attrs.get("id", "")
+
+    # --- tree navigation (readability.lisp:73-96) ---
+    @property
+    def element_children(self) -> list["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    @property
+    def first_element_child(self) -> "Element | None":
+        for c in self.children:
+            if isinstance(c, Element):
+                return c
+        return None
+
+    @property
+    def last_child(self):
+        return self.children[-1] if self.children else None
+
+    @property
+    def first_child(self):
+        return self.children[0] if self.children else None
+
+    @property
+    def next_sibling(self):
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.children
+        i = sibs.index(self)
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    @property
+    def previous_element_sibling(self) -> "Element | None":
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.children
+        i = sibs.index(self)
+        for j in range(i - 1, -1, -1):
+            if isinstance(sibs[j], Element):
+                return sibs[j]
+        return None
+
+    # --- mutation (readability.lisp:97-112) ---
+    def append_child(self, node) -> None:
+        old = node.parent
+        if old is not None:
+            old.children.remove(node)
+        node.parent = self
+        self.children.append(node)
+
+    def insert_before(self, node, ref) -> None:
+        old = node.parent
+        if old is not None:
+            old.children.remove(node)
+        node.parent = self
+        self.children.insert(self.children.index(ref), node)
+
+    def replace_child(self, new, old) -> None:
+        i = self.children.index(old)
+        if new.parent is not None:
+            new.parent.children.remove(new)
+        new.parent = self
+        self.children[i] = new
+        old.parent = None
+
+    def detach(self) -> None:
+        p = self.parent
+        if p is not None:
+            p.children.remove(self)
+            self.parent = None
+
+    # --- text protocol (readability.lisp:58-70 / plump `text`) ---
+    def text_content(self) -> str:
+        """Concatenation of all descendant text nodes, pre-order
+        (readability-plump.lisp:48-54)."""
+        out: list[str] = []
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Text):
+                out.append(n.data)
+            else:
+                stack.extend(reversed(n.children))
+        return "".join(out)
+
+    # --- serialization (readability-plump.lisp:55-61) ---
+    def serialize(self) -> str:
+        out: list[str] = []
+        _serialize_into(self, out)
+        return "".join(out)
+
+    def inner_html(self) -> str:
+        out: list[str] = []
+        for c in self.children:
+            _serialize_into(c, out)
+        return "".join(out)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<{self.tag} {self.attrs!r} children={len(self.children)}>"
+
+
+def _serialize_into(node, out: list[str]) -> None:
+    if isinstance(node, Text):
+        out.append(escape(node.data, quote=False))
+        return
+    tag = node.tag
+    if tag == "#document":
+        for c in node.children:
+            _serialize_into(c, out)
+        return
+    out.append("<")
+    out.append(tag)
+    for k, v in node.attrs.items():
+        out.append(" ")
+        out.append(k)
+        out.append('="')
+        out.append(escape(v, quote=True))
+        out.append('"')
+    if tag in VOID_ELEMENTS and not node.children:
+        out.append("/>")
+        return
+    out.append(">")
+    for c in node.children:
+        _serialize_into(c, out)
+    out.append("</")
+    out.append(tag)
+    out.append(">")
+
+
+class Document(Element):
+    """Root node (plump:root, readability-plump.lisp:287-290)."""
+
+    __slots__ = ("element_count",)
+
+    def __init__(self):
+        super().__init__("#document")
+        self.element_count = 0
+
+    @property
+    def html(self) -> Element | None:
+        for c in self.children:
+            if isinstance(c, Element) and c.tag == "html":
+                return c
+        return None
+
+    @property
+    def body(self) -> Element | None:
+        h = self.html
+        if h is None:
+            return None
+        for c in h.children:
+            if isinstance(c, Element) and c.tag == "body":
+                return c
+        return None
+
+    def create_element(self, tag: str) -> Element:
+        return Element(tag)
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self, max_elements: int | None):
+        super().__init__(convert_charrefs=True)
+        self.root = Document()
+        self.stack: list[Element] = [self.root]
+        self.max_elements = max_elements
+
+    def _top(self) -> Element:
+        return self.stack[-1]
+
+    def _make_attrs(self, attrs) -> dict:
+        d: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in d:  # first occurrence wins (HTML5)
+                d[k] = v if v is not None else ""
+        return d
+
+    def _open(self, tag: str, attrs, push: bool) -> None:
+        self.root.element_count += 1
+        if self.max_elements is not None and self.root.element_count > self.max_elements:
+            raise TooManyElementsError(
+                f"document has more than {self.max_elements} elements"
+            )
+        # implicit closes
+        if tag in _P_CLOSERS:
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "p":
+                    del self.stack[i:]
+                    break
+                if t not in ("span", "a", "b", "i", "em", "strong", "u", "s",
+                             "small", "font", "code", "label"):
+                    break
+        while len(self.stack) > 1 and tag in _AUTO_CLOSE.get(self._top().tag, ()):
+            self.stack.pop()
+        el = Element(tag, self._make_attrs(attrs))
+        self._top().append_child(el)
+        if push and tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_starttag(self, tag, attrs):
+        self._open(tag, attrs, push=True)
+
+    def handle_startendtag(self, tag, attrs):
+        self._open(tag, attrs, push=False)
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignore (browser-ish recovery)
+
+    def handle_data(self, data):
+        if not data:
+            return
+        top = self._top()
+        last = top.children[-1] if top.children else None
+        if isinstance(last, Text):
+            last.data += data
+        else:
+            top.append_child(Text(data))
+
+    # comments / doctype / PI / CDATA: dropped (remove-non-elements equivalent,
+    # readability-plump.lisp:263-278)
+    def handle_comment(self, data):
+        pass
+
+    def handle_decl(self, decl):
+        pass
+
+    def handle_pi(self, data):
+        pass
+
+
+def parse_html(html: str, max_elements: int | None = None) -> Document:
+    """Parse an HTML string into a Document, normalizing to html>body shape.
+
+    Raises TooManyElementsError when the element count exceeds
+    ``max_elements`` (conditions.lisp:6-21 / readability-plump.lisp:325-328).
+    """
+    builder = _TreeBuilder(max_elements)
+    builder.feed(html)
+    builder.close()
+    doc = builder.root
+    _ensure_structure(doc)
+    return doc
+
+
+def _ensure_structure(doc: Document) -> None:
+    html = doc.html
+    if html is None:
+        html = Element("html")
+        head = Element("head")
+        body = Element("body")
+        for node in list(doc.children):
+            if isinstance(node, Element) and node.tag in _HEAD_TAGS:
+                head.append_child(node)
+            else:
+                body.append_child(node)
+        html.append_child(head)
+        html.append_child(body)
+        doc.children = []
+        doc.append_child(html)
+        return
+    if doc.body is None:
+        body = Element("body")
+        for node in list(html.children):
+            if isinstance(node, Element) and node.tag in ("head", "body"):
+                continue
+            body.append_child(node)
+        html.append_child(body)
+    # hoist any stray top-level siblings of <html> into body
+    body = doc.body
+    for node in list(doc.children):
+        if node is html:
+            continue
+        body.append_child(node)
+
+
+# ---------------------------------------------------------------------------
+# Query subset (SURVEY.md §2.10 — exactly what the algorithm needs)
+# ---------------------------------------------------------------------------
+
+def iter_elements(root: Element):
+    """Pre-order DFS over descendant elements (clss ordered-select '*',
+    readability-plump.lisp:10,17). Excludes ``root`` itself."""
+    stack = list(reversed(root.element_children))
+    while stack:
+        el = stack.pop()
+        yield el
+        stack.extend(reversed(el.element_children))
+
+
+def get_elements_by_tag(root: Element, *tags: str) -> list[Element]:
+    """All descendant elements with tag in ``tags``, document order
+    (qsa, readability.lisp:28-32)."""
+    want = frozenset(tags)
+    return [el for el in iter_elements(root) if el.tag in want]
+
+
+def has_ancestor_tag(node: Element, tag: str, max_depth: int = 3,
+                     filter_fn=None) -> bool:
+    """Readability._hasAncestorTag (readability.lisp:394-406).
+    max_depth <= 0 means unlimited (JS -1)."""
+    depth = 0
+    cur = node.parent
+    while cur is not None and cur.tag != "#document":
+        if max_depth > 0 and depth > max_depth:
+            return False
+        if cur.tag == tag and (filter_fn is None or filter_fn(cur)):
+            return True
+        cur = cur.parent
+        depth += 1
+    return False
+
+
+def next_node_skip_ws(node):
+    """Readability._nextNode (readability.lisp:84-93): skip whitespace-only
+    text siblings starting at ``node`` itself."""
+    while node is not None and isinstance(node, Text) and node.is_whitespace:
+        node = _text_next(node)
+    return node
+
+
+def _text_next(t: Text):
+    p = t.parent
+    if p is None:
+        return None
+    sibs = p.children
+    i = sibs.index(t)
+    return sibs[i + 1] if i + 1 < len(sibs) else None
+
+
+def node_next_sibling(node):
+    """next sibling for Element or Text (readability.lisp:81-83)."""
+    if isinstance(node, Element):
+        return node.next_sibling
+    return _text_next(node)
+
+
+def remove_and_get_next(node: Element):
+    """Readability._removeAndGetNext: next node in pre-order that is not a
+    descendant of ``node``, then remove ``node``."""
+    nxt = get_next_node(node, ignore_self_and_kids=True)
+    node.detach()
+    return nxt
+
+
+def get_next_node(node: Element, ignore_self_and_kids: bool = False):
+    """Readability._getNextNode: pre-order successor over elements."""
+    if not ignore_self_and_kids:
+        fec = node.first_element_child
+        if fec is not None:
+            return fec
+    sib = _next_element_sibling(node)
+    if sib is not None:
+        return sib
+    cur = node.parent
+    while cur is not None and cur.tag != "#document":
+        sib = _next_element_sibling(cur)
+        if sib is not None:
+            return sib
+        cur = cur.parent
+    return None
+
+
+def _next_element_sibling(node: Element):
+    p = node.parent
+    if p is None:
+        return None
+    sibs = p.children
+    i = sibs.index(node)
+    for j in range(i + 1, len(sibs)):
+        if isinstance(sibs[j], Element):
+            return sibs[j]
+    return None
+
+
+def set_node_tag(node: Element, tag: str) -> Element:
+    """Readability._setNodeTag (readability.lisp:105-112).  Our DOM owns the
+    struct, so we mutate in place and keep identity (score survives, matching
+    JS which copies ``readability`` over)."""
+    node.tag = tag
+    return node

@@ -374,17 +374,30 @@ def parse_html(html: str, max_elements: int | None = None) -> Document:
 def _ensure_structure(doc: Document) -> None:
     html = doc.html
     if html is None:
-        html = Element("html")
-        head = Element("head")
-        body = Element("body")
+        head = next(
+            (n for n in doc.children if isinstance(n, Element) and n.tag == "head"),
+            None,
+        )
+        body = next(
+            (n for n in doc.children if isinstance(n, Element) and n.tag == "body"),
+            None,
+        )
+        if head is None:
+            head = Element("head")
+        if body is None:
+            body = Element("body")
         for node in list(doc.children):
+            if node is head or node is body:
+                continue
             if isinstance(node, Element) and node.tag in _HEAD_TAGS:
                 head.append_child(node)
             else:
                 body.append_child(node)
+        html = Element("html")
         html.append_child(head)
         html.append_child(body)
         doc.children = []
+        head.parent = body.parent = html
         doc.append_child(html)
         return
     if doc.body is None:

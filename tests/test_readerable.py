@@ -1,0 +1,62 @@
+"""isProbablyReaderable tests (readability.lisp:634-668): √(len−140) scoring,
+cumulative threshold 20."""
+
+from cl_readability_spark.core.config import ExtractorConfig
+from cl_readability_spark.core.readerable import is_readerable
+
+# 140 + 441 chars → sqrt(441) = 21 > 20 from a single node
+LONG_TEXT = "x" * (140 + 441)
+# 140 + 100 → sqrt(100) = 10 ≤ 20 per node; two needed
+MID_TEXT = "y" * (140 + 100)
+
+
+def test_single_long_paragraph_is_readerable():
+    assert is_readerable(f"<html><body><p>{LONG_TEXT}</p></body></html>")
+
+
+def test_score_accumulates_across_nodes():
+    one = f"<html><body><p>{MID_TEXT}</p></body></html>"
+    three = f"<html><body><p>{MID_TEXT}</p><p>{MID_TEXT}</p><p>{MID_TEXT}</p></body></html>"
+    assert not is_readerable(one)  # 10 ≤ 20
+    assert is_readerable(three)  # 30 > 20
+
+
+def test_short_nodes_do_not_count():
+    html = "<html><body>" + "<p>short</p>" * 50 + "</body></html>"
+    assert not is_readerable(html)
+
+
+def test_unlikely_class_gate():
+    html = f"<html><body><p class='comment'>{LONG_TEXT}</p></body></html>"
+    assert not is_readerable(html)
+    # maybe-candidate rescues
+    html2 = f"<html><body><p class='comment article'>{LONG_TEXT}</p></body></html>"
+    assert is_readerable(html2)
+
+
+def test_li_p_skipped():
+    html = f"<html><body><ul><li><p>{LONG_TEXT}</p></li></ul></body></html>"
+    assert not is_readerable(html)
+
+
+def test_invisible_nodes_skipped():
+    html = f"<html><body><p style='display: none'>{LONG_TEXT}</p></body></html>"
+    assert not is_readerable(html)
+    html2 = f"<html><body><p hidden>{LONG_TEXT}</p></body></html>"
+    assert not is_readerable(html2)
+
+
+def test_div_br_counts_parent_div():
+    assert is_readerable(f"<html><body><div>{LONG_TEXT}<br>more</div></body></html>")
+    # a div without br does not qualify
+    assert not is_readerable(f"<html><body><div>{LONG_TEXT}</div></body></html>")
+
+
+def test_pre_and_article_count():
+    assert is_readerable(f"<html><body><pre>{LONG_TEXT}</pre></body></html>")
+    assert is_readerable(f"<html><body><article>{LONG_TEXT}</article></body></html>")
+
+
+def test_custom_thresholds():
+    cfg = ExtractorConfig(min_content_length=10, min_score=1.0)
+    assert is_readerable("<html><body><p>just a couple dozen chars</p></body></html>", cfg)

@@ -1,0 +1,96 @@
+"""The extraction job — the Spark lifecycle of SURVEY §3.1.
+
+scan → (resume anti-join) → conv_id-salted repartition → vectorized extract
+→ stable (conv_id, turn_idx) ordering → output + metrics sidecar.
+
+Scale notes (the design targets a 1000-executor cluster):
+- The salted repartition spreads giant-document / long-conversation skew
+  across the whole cluster; the salt is pmod(hash(turn_idx), K), derived only
+  from data (deterministic, no RNG).  Extraction is per-row pure, so any
+  partitioning is semantically safe.
+- Only (conv_id, turn_idx, text) are read for extraction — column pruning
+  reaches the parquet scan (verify via .explain: ReadSchema).
+- The UDF stage is a narrow map after the repartition; AQE handles the
+  shuffle's partition sizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cl_readability_spark.core.config import DEFAULT_CONFIG, ExtractorConfig
+from cl_readability_spark.pipeline.udfs import make_extract_udf, make_readerable_udf
+
+OUTPUT_COLUMNS = ["conv_id", "turn_idx", "extracted_text", "content_spans"]
+
+
+def salted_repartition(
+    df: DataFrame, num_partitions: int | None = None, salt_buckets: int = 16
+) -> DataFrame:
+    """conv_id-salted repartition (SURVEY §4.2): same conv_id spreads over up
+    to ``salt_buckets`` partitions so a 50-turn conversation of 10 MB docs
+    doesn't pin one task; deterministic (hash of turn_idx, no RNG)."""
+    salt = F.pmod(F.hash(F.col("turn_idx")), F.lit(salt_buckets))
+    if num_partitions:
+        return df.repartition(num_partitions, F.col("conv_id"), salt)
+    return df.repartition(F.col("conv_id"), salt)
+
+
+def extract_transcripts(
+    df: DataFrame,
+    config: ExtractorConfig = DEFAULT_CONFIG,
+    salt_buckets: int = 16,
+    num_partitions: int | None = None,
+    prefilter_readerable: bool = False,
+    with_metrics: bool = True,
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) →
+    extracted(conv_id, turn_idx, extracted_text, content_spans [, metrics…]).
+
+    ``prefilter_readerable`` inserts the cheap is_readerable triage stage
+    (readability.lisp:634-668) before full extraction — a selectivity win
+    when much of the corpus is non-article noise."""
+    cols = ["conv_id", "turn_idx", "text"]
+    src = df.select(*cols)
+    if prefilter_readerable:
+        src = src.filter(make_readerable_udf(config)(F.col("text")))
+    src = salted_repartition(src, num_partitions, salt_buckets)
+    extract_udf = make_extract_udf(config)
+    res = src.withColumn("r", extract_udf(F.col("text"))).select(
+        "conv_id", "turn_idx", "r.*"
+    )
+    if not with_metrics:
+        res = res.select(*OUTPUT_COLUMNS)
+    return res.sortWithinPartitions("conv_id", "turn_idx")
+
+
+def metrics_sidecar(result_df: DataFrame) -> DataFrame:
+    """Per-row lineage sidecar (FIXTURES.md §B metrics_sidecar shape):
+    partition id + extraction metrics, written alongside the output."""
+    return result_df.select(
+        F.spark_partition_id().alias("partition_id"),
+        "conv_id",
+        "turn_idx",
+        "status",
+        "candidates_scored",
+        "retries",
+        "chars_in",
+        "chars_kept",
+    )
+
+
+def metrics_rollup(result_df: DataFrame) -> DataFrame:
+    """Aggregate metrics per status (plain DataFrame agg — no UDAF needed,
+    SURVEY §2.8): row counts, total/avg chars in and kept, retries."""
+    return (
+        result_df.groupBy("status")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("chars_in").alias("total_chars_in"),
+            F.sum("chars_kept").alias("total_chars_kept"),
+            F.avg("chars_kept").alias("avg_chars_kept"),
+            F.sum("retries").alias("total_retries"),
+            F.sum("candidates_scored").alias("total_candidates"),
+        )
+        .orderBy("status")
+    )

@@ -1,0 +1,188 @@
+"""Spark-shell tests: UDF↔core equivalence, salting, ordering, resume
+idempotence, metrics (SURVEY §5 layer 3)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cl_readability_spark.core.extract import extract
+from cl_readability_spark.pipeline.job import (
+    extract_transcripts,
+    metrics_rollup,
+    metrics_sidecar,
+)
+from cl_readability_spark.pipeline.resume import CheckpointedSink
+from cl_readability_spark.pipeline.transcripts import (
+    documents_as_transcripts,
+    synthetic_transcripts,
+)
+
+pytestmark = pytest.mark.spark
+
+N_CONV = 6  # small but multi-partition
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = synthetic_transcripts(spark, N_CONV, seed=42).cache()
+    df.count()
+    return df
+
+
+def test_transcripts_schema(transcripts):
+    assert [f.name for f in transcripts.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    assert dict(transcripts.dtypes)["turn_idx"] == "int"
+    assert dict(transcripts.dtypes)["ts"] == "timestamp"
+
+
+def test_spark_matches_core_exactly(spark, transcripts):
+    """Row-for-row equality between the vectorized UDF path and direct
+    Python calls — the Arrow plumbing must add nothing."""
+    result = extract_transcripts(transcripts).collect()
+    via_spark = {
+        (r.conv_id, r.turn_idx): (
+            r.extracted_text,
+            tuple((s.start, s.end) for s in r.content_spans),
+            r.status,
+        )
+        for r in result
+    }
+    rows = transcripts.select("conv_id", "turn_idx", "text").collect()
+    assert len(rows) == len(via_spark)
+    for row in rows:
+        r = extract(row.text)
+        assert via_spark[(row.conv_id, row.turn_idx)] == (
+            r.extracted_text,
+            tuple(r.content_spans),
+            r.status,
+        ), f"mismatch at {row.conv_id}/{row.turn_idx}"
+
+
+def test_statuses_present(spark, transcripts):
+    statuses = {
+        r.status
+        for r in extract_transcripts(transcripts).select("status").distinct().collect()
+    }
+    assert "ok" in statuses
+    # corpus has malformed/plain rows but they still parse (html.parser is
+    # forgiving) — so only assert no hard errors slipped through as nulls
+    assert None not in statuses
+
+
+def test_ordering_within_partitions(spark, transcripts):
+    result = extract_transcripts(transcripts, salt_buckets=4)
+    parts = result.select(
+        F.spark_partition_id().alias("pid"), "conv_id", "turn_idx"
+    ).collect()
+    by_pid = {}
+    for r in parts:
+        by_pid.setdefault(r.pid, []).append((r.conv_id, r.turn_idx))
+    for pid, keys in by_pid.items():
+        assert keys == sorted(keys), f"partition {pid} not ordered"
+
+
+def test_salting_spreads_conversations(spark):
+    """One giant conversation must land on >1 partition."""
+    df = synthetic_transcripts(spark, 1, seed=7)
+    n_turns = df.count()
+    if n_turns < 4:
+        pytest.skip("conversation too short to observe spread")
+    from cl_readability_spark.pipeline.job import salted_repartition
+
+    pids = (
+        salted_repartition(df.select("conv_id", "turn_idx", "text"), 4, salt_buckets=4)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert pids > 1
+
+
+def test_metrics_sidecar_and_rollup(spark, transcripts):
+    result = extract_transcripts(transcripts).cache()
+    side = metrics_sidecar(result)
+    assert side.count() == result.count()
+    assert set(side.columns) == {
+        "partition_id", "conv_id", "turn_idx", "status",
+        "candidates_scored", "retries", "chars_in", "chars_kept",
+    }
+    roll = metrics_rollup(result).collect()
+    assert sum(r.rows for r in roll) == result.count()
+    ok_row = [r for r in roll if r.status == "ok"][0]
+    assert ok_row.total_chars_kept > 0
+    result.unpersist()
+
+
+def test_readerable_prefilter(spark, transcripts):
+    full = extract_transcripts(transcripts).count()
+    filtered = extract_transcripts(transcripts, prefilter_readerable=True).count()
+    assert 0 < filtered <= full
+
+
+def test_resume_idempotent(spark, transcripts, tmp_path):
+    """Kill-and-rerun contract: run on half the data, then run on all —
+    final table == one-shot run, no dupes, no drops."""
+    root = str(tmp_path / "out")
+    sink = CheckpointedSink(root)
+
+    half = transcripts.filter(F.col("turn_idx") % 2 == 0)
+    n1 = sink.run(half)
+    assert n1 == half.count()
+
+    # second run sees the full source; must only process the complement
+    n2 = sink.run(transcripts)
+    assert n2 == transcripts.count() - n1
+
+    final = sink.read(spark)
+    assert final.count() == transcripts.count()
+    assert final.select("conv_id", "turn_idx").distinct().count() == transcripts.count()
+
+    # third run: nothing left
+    n3 = sink.run(transcripts)
+    assert n3 == 0
+
+
+def test_resume_ignores_uncommitted_batch(spark, transcripts, tmp_path):
+    import os
+
+    root = str(tmp_path / "out2")
+    sink = CheckpointedSink(root)
+    sink.run(transcripts.limit(5))
+    # simulate a mid-job kill: a batch dir without _SUCCESS
+    bad = os.path.join(root, "batch=99")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-zzz.parquet"), "w") as f:
+        f.write("garbage")
+    n = sink.run(transcripts)
+    assert n == transcripts.count() - 5
+    assert not os.path.exists(bad)  # cleaned up
+    assert sink.read(spark).count() == transcripts.count()
+
+
+def test_documents_as_transcripts(spark):
+    df = documents_as_transcripts(spark, "/root/testdata/sf0.001")
+    assert [f.name for f in df.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    assert df.count() == 500
+    sample = df.select("text").first().text
+    assert sample.startswith("<html")
+    r = extract(sample)
+    assert r.status == "ok"
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    """The extraction plan must read only (conv_id, turn_idx, text) from
+    parquet — ReadSchema pruning (SURVEY §4.2)."""
+    path = str(tmp_path / "transcripts.parquet")
+    synthetic_transcripts(spark, 2).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = extract_transcripts(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"conv_id", "turn_idx", "text"}, read_cols

@@ -1,38 +1,81 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry``: flagship extraction on sf0.001 — documents wrapped into HTML
+  transcripts (JVM expressions), run through the vectorized Readability
+  pipeline (SURVEY §3.1).
+- ``queries``/``oracle_sql``: the SQL-expressible sub-operator twins
+  (cl_readability_spark/functions/sqltwins.py) each with a DuckDB oracle,
+  plus the full-DOM extraction queries, which are not SQL-expressible →
+  registered without an oracle (rows-only check per the contract).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cl_readability_spark.functions.sqltwins import SQL_TWINS
+from cl_readability_spark.pipeline.job import extract_transcripts, metrics_rollup
+from cl_readability_spark.pipeline.transcripts import documents_as_transcripts
+from cl_readability_spark.pipeline.udfs import make_readerable_udf
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: extract every turn of the sf0.001 transcript table."""
+    transcripts = documents_as_transcripts(spark, "/root/testdata/sf0.001")
+    result = extract_transcripts(transcripts, salt_buckets=8)
+    return result.select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        "content_spans",
+        "status",
+        "title",
+        "text_length",
+    )
+
+
+def _q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DOM extraction (not SQL-expressible → rows-only check)."""
+    transcripts = documents_as_transcripts(spark, sf_dir)
+    return extract_transcripts(transcripts, salt_buckets=8).select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        F.size("content_spans").alias("n_spans"),
+        "status",
+        "text_length",
+    )
+
+
+def _q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    transcripts = documents_as_transcripts(spark, sf_dir)
+    return metrics_rollup(extract_transcripts(transcripts, salt_buckets=8))
+
+
+def _q_readerable_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    transcripts = documents_as_transcripts(spark, sf_dir)
+    flag = make_readerable_udf()(F.col("text"))
+    return (
+        transcripts.select("conv_id", flag.alias("readerable"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum(F.col("readerable").cast("long")).alias("n_readerable"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: builder for name, (builder, _sql) in SQL_TWINS.items()
+    }
+    out["extract_documents"] = _q_extract_documents
+    out["extract_metrics_rollup"] = _q_extract_rollup
+    out["readerable_triage"] = _q_readerable_triage
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_builder, sql) in SQL_TWINS.items()}

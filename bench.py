@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline workloads:
+- extract_documents   — full Readability extraction of the sf documents
+                        wrapped as HTML transcripts (the flagship path)
+- extract_corpus      — extraction of the deterministic synthetic transcript
+                        corpus (realistic boilerplate + length skew; size
+                        scales with sf)
+- readerable_triage   — cheap is_readerable pre-filter over the corpus
+- sql twins           — the relational sub-operator suite (JVM-only plans)
+
+Reported value = total wall-clock seconds; per-query seconds under
+"queries"; extracted-turns/sec for the two extraction workloads under
+"throughput".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from cl_readability_spark.functions.sqltwins import SQL_TWINS
+    from cl_readability_spark.pipeline.job import extract_transcripts
+    from cl_readability_spark.pipeline.session import build_spark
+    from cl_readability_spark.pipeline.transcripts import (
+        documents_as_transcripts,
+        synthetic_transcripts,
+    )
+    from cl_readability_spark.pipeline.udfs import make_readerable_udf
+
+    from pyspark.sql import functions as F
+
+    spark = build_spark(app_name="cl-readability-bench", cores=cpus,
+                        shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # corpus size scales with sf: sf0.1 → ~1500 conversations (~38k turns)
+    n_conversations = max(20, int(15000 * sf))
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # 1. flagship: documents → HTML transcripts → extraction
+    run(
+        "extract_documents",
+        lambda: extract_transcripts(
+            documents_as_transcripts(spark, sf_dir), salt_buckets=8
+        )
+        .filter(F.col("status") == "ok")
+        .count(),
+    )
+
+    # 2. synthetic corpus extraction (boilerplate + skew)
+    corpus = synthetic_transcripts(spark, n_conversations, seed=42).cache()
+    n_turns = corpus.count()
+    run(
+        "extract_corpus",
+        lambda: extract_transcripts(corpus, salt_buckets=16)
+        .select("status")
+        .groupBy("status")
+        .count()
+        .count(),
+    )
+
+    # 3. readerable triage
+    run(
+        "readerable_triage",
+        lambda: corpus.filter(make_readerable_udf()(F.col("text"))).count(),
+    )
+
+    # 4. SQL twins
+    for name, (builder, _sql) in sorted(SQL_TWINS.items()):
+        run(f"sql_{name}", lambda b=builder: builder_count(b, spark, sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    throughput = {
+        "extract_documents_turns_per_sec": round(
+            counts["extract_documents"] / timings["extract_documents"], 1
+        ),
+        "extract_corpus_turns_per_sec": round(n_turns / timings["extract_corpus"], 1),
+        "corpus_turns": n_turns,
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+relational bench wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "throughput": throughput,
+            }
+        )
+    )
+    spark.stop()
+
+
+def builder_count(builder, spark, sf_dir) -> int:
+    df = builder(spark, sf_dir)
+    return df.count()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,347 @@
+"""Oracle-checkable query twins.
+
+Each entry exists twice, by construction in lock-step:
+- a DataFrame builder ``(spark, sf_dir) -> DataFrame`` (JVM-side expressions
+  only — no Python UDFs in any of these), and
+- an ANSI-SQL string for DuckDB over the same parquet views.
+
+They cover the SQL-expressible sub-operators of the extraction engine
+(normalize-spaces readability.lisp:60-67, word-count utils.lisp:13-16,
+class-weight readability.lisp:425-440, readerable scoring readability.lisp:
+634-668, ordering/resume/rollup SURVEY §2.11) plus training-data-pipeline
+ops (exact dedup, fingerprinting, token counting, quality scoring, ANN).
+
+Determinism rules used throughout so the driver's order-insensitive
+value-hash matches: integer arithmetic where an order-dependent float sum
+would be ambiguous; ROUND(…, 4) on single-division floats; explicit BIGINT
+casts to align Spark/DuckDB integer widths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+# case-insensitive inline-flag variants of the scoring regexes
+# (regex.lisp:15-19), usable verbatim by both Java regex and DuckDB RE2
+POSITIVE_RE = (
+    "(?i)article|body|content|entry|hentry|h-entry|main|page|pagination|post"
+    "|text|blog|story"
+)
+NEGATIVE_RE = (
+    "(?i)-ad-|hidden|^hid$| hid$| hid |^hid |banner|combx|comment|com-|contact"
+    "|foot|footer|footnote|gdpr|masthead|media|meta|outbrain|promo|related"
+    "|scroll|share|shoutbox|sidebar|skyscraper|sponsor|shopping|tags|tool|widget"
+)
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"]
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- 1. normalize_ws (get-inner-text's \s{2,} collapse, SURVEY #10) ---
+def q_normalize_ws(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.col("text")), r"\s{2,}", " ").alias("norm_text"),
+    )
+
+
+SQL_NORMALIZE_WS = r"""
+SELECT doc_id, regexp_replace(trim(text), '\s{2,}', ' ', 'g') AS norm_text
+FROM documents
+"""
+
+
+# --- 2. word_count (SURVEY #37) ---
+def q_word_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
+    )
+
+
+SQL_WORD_COUNT = r"""
+SELECT doc_id,
+       CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words
+FROM documents
+"""
+
+
+# --- 3. text_len (SURVEY #11) ---
+def q_text_len(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(F.trim(F.col("text"))).cast("long").alias("n_chars_trim"),
+    )
+
+
+SQL_TEXT_LEN = """
+SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n_chars_trim
+FROM documents
+"""
+
+
+# --- 4. class_weight (±25 regex scoring applied to the text column,
+#     SURVEY #29) ---
+def q_class_weight(spark, sf_dir):
+    pos = F.when(F.col("text").rlike(POSITIVE_RE), 25).otherwise(0)
+    neg = F.when(F.col("text").rlike(NEGATIVE_RE), -25).otherwise(0)
+    return _docs(spark, sf_dir).select(
+        "doc_id", (pos + neg).cast("long").alias("weight")
+    )
+
+
+SQL_CLASS_WEIGHT = f"""
+SELECT doc_id,
+       CAST((CASE WHEN regexp_matches(text, '{POSITIVE_RE}') THEN 25 ELSE 0 END)
+          + (CASE WHEN regexp_matches(text, '{NEGATIVE_RE}') THEN -25 ELSE 0 END)
+         AS BIGINT) AS weight
+FROM documents
+"""
+
+
+# --- 5. readerable_score (√(len−140) accumulation per lang, integerized so
+#     the cross-engine sum is order-independent; SURVEY #57) ---
+def q_readerable_score(spark, sf_dir):
+    contrib = F.when(
+        F.col("n_chars") >= 140,
+        F.floor(F.sqrt(F.col("n_chars") - 140)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.sum(contrib).alias("sum_sqrt_score"),
+            F.sum(F.when(F.col("n_chars") >= 140, 1).otherwise(0))
+            .cast("long")
+            .alias("n_scored_docs"),
+        )
+        .withColumn("readerable", F.col("sum_sqrt_score") > 20)
+        .orderBy("lang")
+    )
+
+
+SQL_READERABLE_SCORE = """
+SELECT lang,
+       CAST(SUM(CASE WHEN n_chars >= 140
+                     THEN CAST(FLOOR(SQRT(n_chars - 140)) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS sum_sqrt_score,
+       CAST(SUM(CASE WHEN n_chars >= 140 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored_docs,
+       SUM(CASE WHEN n_chars >= 140
+                THEN CAST(FLOOR(SQRT(n_chars - 140)) AS BIGINT)
+                ELSE 0 END) > 20 AS readerable
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --- 6. turn_order (stable ordering window, SURVEY §2.11) ---
+def q_turn_order(spark, sf_dir):
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("turn_rank")
+    )
+
+
+SQL_TURN_ORDER = """
+SELECT doc_id, lang,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS turn_rank
+FROM documents
+"""
+
+
+# --- 7. resume_antijoin (checkpoint-resume key complement, SURVEY §2.11) ---
+def q_resume_antijoin(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    committed = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    return docs.join(committed, on="doc_id", how="left_anti").select("doc_id", "lang")
+
+
+SQL_RESUME_ANTIJOIN = """
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+# --- 8. metrics_rollup (sidecar-style aggregation, SURVEY §2.11) ---
+def q_metrics_rollup(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("rows_cnt"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_METRICS_ROLLUP = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS rows_cnt,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --- 9. dedup_exact (hash-groupBy exact dedup over documents) ---
+def q_dedup_exact(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS dup_count,
+       MIN(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# --- 10. doc_fingerprint (normalized-content fingerprint) ---
+def q_doc_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# --- 11. token_count (BPE-ish regex tokenizer) ---
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(r"CAST(size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) AS BIGINT)").alias(
+            "n_tokens"
+        ),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+# --- 12. quality_score (length/punct/stopword ratios) ---
+def q_quality_score(spark, sf_dir):
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: x.isin(STOPWORDS)))
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[.,!?;:]", "")
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars_meta"),
+        F.round(n_punct / F.length(F.col("text")), 4).alias("punct_ratio"),
+        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        ((F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000)).alias("length_ok"),
+    )
+
+
+SQL_QUALITY_SCORE = rf"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars_meta,
+       ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+       ROUND(length(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> list_contains({_STOP_SQL}, x)))
+             / CAST(length(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE),
+             4) AS stopword_ratio,
+       n_chars >= 100 AND n_chars <= 20000 AS length_ok
+FROM documents
+"""
+
+
+# --- 13. ann_topk (brute-force cosine top-k vs vec_id=0's embedding) ---
+def q_ann_topk(spark, sf_dir, k: int = 10):
+    embs = _embs(spark, sf_dir)
+    query_vec = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), q, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_e = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    norm_q = F.sqrt(
+        F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = F.round(dot / (norm_e * norm_q), 4)
+    return (
+        embs.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+SQL_ANN_TOPK = """
+SELECT e.vec_id, e.label,
+       ROUND(list_dot_product(e.embedding, q.embedding)
+             / (SQRT(list_dot_product(e.embedding, e.embedding))
+                * SQRT(list_dot_product(q.embedding, q.embedding))), 4) AS cosine_sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+SQL_TWINS: dict[str, tuple] = {
+    "normalize_ws": (q_normalize_ws, SQL_NORMALIZE_WS),
+    "word_count": (q_word_count, SQL_WORD_COUNT),
+    "text_len": (q_text_len, SQL_TEXT_LEN),
+    "class_weight": (q_class_weight, SQL_CLASS_WEIGHT),
+    "readerable_score": (q_readerable_score, SQL_READERABLE_SCORE),
+    "turn_order": (q_turn_order, SQL_TURN_ORDER),
+    "resume_antijoin": (q_resume_antijoin, SQL_RESUME_ANTIJOIN),
+    "metrics_rollup": (q_metrics_rollup, SQL_METRICS_ROLLUP),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+}

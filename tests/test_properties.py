@@ -76,12 +76,21 @@ def test_readerable_never_crashes(html):
 
 @settings(max_examples=40, deadline=None)
 @given(html_ish())
-def test_extracted_words_come_from_input(html):
-    """Every alphanumeric word of the output text appears in the input
-    (extraction only removes/normalizes, never invents content)."""
+def test_extracted_chars_come_from_input(html):
+    """Extraction only removes/normalizes, never invents content: the
+    non-whitespace character multiset of the output is a subset of the
+    parsed input document's own text content."""
+    from collections import Counter
+
+    from cl_readability_spark.core.dom import parse_html
+
     r = extract(html)
     if r.status == "ok" and r.extracted_text:
-        for word in r.extracted_text.split():
-            w = word.strip(".,")
-            if w and w.isalnum():
-                assert w in html
+        try:
+            available = Counter(
+                c for c in parse_html(html).text_content() if not c.isspace()
+            )
+        except Exception:
+            return
+        produced = Counter(c for c in r.extracted_text if not c.isspace())
+        assert not (produced - available), (produced - available)

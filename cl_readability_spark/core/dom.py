@@ -422,18 +422,46 @@ def _ensure_structure(doc: Document) -> None:
 def iter_elements(root: Element):
     """Pre-order DFS over descendant elements (clss ordered-select '*',
     readability-plump.lisp:10,17). Excludes ``root`` itself."""
-    stack = list(reversed(root.element_children))
+    stack = [c for c in reversed(root.children) if isinstance(c, Element)]
     while stack:
         el = stack.pop()
         yield el
-        stack.extend(reversed(el.element_children))
+        kids = el.children
+        if kids:
+            stack.extend(
+                c for c in reversed(kids) if isinstance(c, Element)
+            )
 
 
 def get_elements_by_tag(root: Element, *tags: str) -> list[Element]:
     """All descendant elements with tag in ``tags``, document order
-    (qsa, readability.lisp:28-32)."""
-    want = frozenset(tags)
-    return [el for el in iter_elements(root) if el.tag in want]
+    (qsa, readability.lisp:28-32).  Hot path: explicit stack, no
+    intermediate child-list allocations."""
+    if len(tags) == 1:
+        want = tags[0]
+        out: list[Element] = []
+        stack = list(reversed(root.children))
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Element):
+                if n.tag == want:
+                    out.append(n)
+                kids = n.children
+                if kids:
+                    stack.extend(reversed(kids))
+        return out
+    want_set = frozenset(tags)
+    out = []
+    stack = list(reversed(root.children))
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Element):
+            if n.tag in want_set:
+                out.append(n)
+            kids = n.children
+            if kids:
+                stack.extend(reversed(kids))
+    return out
 
 
 def has_ancestor_tag(node: Element, tag: str, max_depth: int = 3,

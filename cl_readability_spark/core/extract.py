@@ -887,11 +887,8 @@ def prep_article(
     _replace_node_tags(get_elements_by_tag(article_content, "h1"), "h2")
 
     def empty_paragraph(p: Element) -> bool:
-        content_el_count = (
-            len(get_elements_by_tag(p, "img"))
-            + len(get_elements_by_tag(p, "embed"))
-            + len(get_elements_by_tag(p, "object"))
-            + len(get_elements_by_tag(p, "iframe"))
+        content_el_count = len(
+            get_elements_by_tag(p, "img", "embed", "object", "iframe")
         )
         return content_el_count == 0 and not get_inner_text(p, False)
 
@@ -1071,6 +1068,7 @@ def extract(
     html: str,
     url: str | None = None,
     config: ExtractorConfig = DEFAULT_CONFIG,
+    include_html: bool = True,
 ) -> ExtractResult:
     """The flagship path (nparse, readability-plump.lisp:324-359): parse →
     unwrap noscript images → remove scripts → prep document → title/lang →
@@ -1121,7 +1119,8 @@ def extract(
         text, spans = _build_text_and_spans(article)
         result.extracted_text = text
         result.content_spans = spans
-        result.extracted_html = article.serialize()
+        if include_html:
+            result.extracted_html = article.serialize()
         result.text_length = len(text)
         result.chars_kept = len(text)
         return result

@@ -58,7 +58,11 @@ def make_extract_udf(config: ExtractorConfig = DEFAULT_CONFIG):
     def extract_turns(text: pd.Series) -> pd.DataFrame:
         out = {name: [] for name in EXTRACT_RESULT_TYPE.fieldNames()}
         for html in text:
-            r = extract(html if isinstance(html, str) else "", config=config)
+            r = extract(
+                html if isinstance(html, str) else "",
+                config=config,
+                include_html=False,
+            )
             out["extracted_text"].append(r.extracted_text)
             out["content_spans"].append(
                 [{"start": s, "end": e} for s, e in r.content_spans]

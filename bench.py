@@ -48,6 +48,11 @@ def main() -> None:
     # corpus size scales with sf: sf0.1 → ~1500 conversations (~38k turns)
     n_conversations = max(20, int(15000 * sf))
 
+    # warm up JVM, python workers, module imports so timings are steady-state
+    extract_transcripts(
+        documents_as_transcripts(spark, sf_dir).limit(64), salt_buckets=4
+    ).count()
+
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 

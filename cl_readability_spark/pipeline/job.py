@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from cl_readability_spark.core.config import DEFAULT_CONFIG, ExtractorConfig
-from cl_readability_spark.pipeline.udfs import make_extract_udf, make_readerable_udf
+from cl_readability_spark.pipeline.udfs import (
+    EXTRACT_OUTPUT_SCHEMA,
+    make_arrow_extractor,
+    make_readerable_udf,
+)
 
 OUTPUT_COLUMNS = ["conv_id", "turn_idx", "extracted_text", "content_spans"]
 
@@ -29,11 +33,22 @@ def salted_repartition(
 ) -> DataFrame:
     """conv_id-salted repartition (SURVEY §4.2): same conv_id spreads over up
     to ``salt_buckets`` partitions so a 50-turn conversation of 10 MB docs
-    doesn't pin one task; deterministic (hash of turn_idx, no RNG)."""
+    doesn't pin one task; deterministic (hash of turn_idx, no RNG).
+
+    The partition count is ALWAYS pinned explicitly: a bare
+    ``repartition(cols)`` is AQE-coalescible, and AQE sizes partitions by
+    shuffle *bytes* — blind to the Python-CPU cost of the extraction stage
+    that follows.  A few MB of HTML can hold seconds of per-row DOM work, so
+    byte-coalescing would serialize the stage onto one task (measured: 11×
+    slowdown on small inputs).  Downstream of this exchange the work is
+    CPU-proportional to rows, and the salt already bounds per-partition
+    skew."""
     salt = F.pmod(F.hash(F.col("turn_idx")), F.lit(salt_buckets))
-    if num_partitions:
-        return df.repartition(num_partitions, F.col("conv_id"), salt)
-    return df.repartition(F.col("conv_id"), salt)
+    if not num_partitions:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    return df.repartition(num_partitions, F.col("conv_id"), salt)
 
 
 def extract_transcripts(
@@ -55,10 +70,7 @@ def extract_transcripts(
     if prefilter_readerable:
         src = src.filter(make_readerable_udf(config)(F.col("text")))
     src = salted_repartition(src, num_partitions, salt_buckets)
-    extract_udf = make_extract_udf(config)
-    res = src.withColumn("r", extract_udf(F.col("text"))).select(
-        "conv_id", "turn_idx", "r.*"
-    )
+    res = src.mapInArrow(make_arrow_extractor(config), EXTRACT_OUTPUT_SCHEMA)
     if not with_metrics:
         res = res.select(*OUTPUT_COLUMNS)
     return res.sortWithinPartitions("conv_id", "turn_idx")

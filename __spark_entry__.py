@@ -15,6 +15,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cl_readability_spark.functions.dedup import (
+    minhash_near_dups,
+    simhash_signature,
+)
 from cl_readability_spark.functions.sqltwins import SQL_TWINS
 from cl_readability_spark.pipeline.job import extract_transcripts, metrics_rollup
 from cl_readability_spark.pipeline.transcripts import documents_as_transcripts
@@ -74,6 +78,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_documents"] = _q_extract_documents
     out["extract_metrics_rollup"] = _q_extract_rollup
     out["readerable_triage"] = _q_readerable_triage
+    out["dedup_minhash"] = lambda spark, sf_dir: minhash_near_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), jaccard_threshold=0.5
+    )
+    out["simhash_signatures"] = lambda spark, sf_dir: simhash_signature(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     return out
 
 

@@ -330,6 +330,66 @@ LIMIT 10
 """
 
 
+# --- 14. langid (marker-stopword n-gram heuristic; deterministic CASE
+#     tie-break so Spark and DuckDB agree exactly) ---
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "los", "las", "que", "y", "una"],
+    "fr": ["le", "les", "et", "est", "une", "dans"],
+}
+
+
+def q_langid(spark, sf_dir):
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    def _marker_counter(markers):
+        return lambda x: x.isin(markers)  # unary on purpose (see dedup.py note)
+
+    scores = {
+        lang: F.size(F.filter(words, _marker_counter(m))).cast("long")
+        for lang, m in LANG_MARKERS.items()
+    }
+    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en"
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", *[scores[k].alias(f"s_{k}") for k in LANG_MARKERS])
+        .withColumn("langid_pred", pred)
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
+    return (
+        "CAST(length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"x -> list_contains({lst}, x))) AS BIGINT)"
+    )
+
+
+SQL_LANGID = f"""
+SELECT doc_id, s_en, s_de, s_es, s_fr,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS langid_pred
+FROM (
+  SELECT doc_id,
+         {_lang_score_sql(LANG_MARKERS['en'])} AS s_en,
+         {_lang_score_sql(LANG_MARKERS['de'])} AS s_de,
+         {_lang_score_sql(LANG_MARKERS['es'])} AS s_es,
+         {_lang_score_sql(LANG_MARKERS['fr'])} AS s_fr
+  FROM documents
+)
+"""
+
+
 SQL_TWINS: dict[str, tuple] = {
     "normalize_ws": (q_normalize_ws, SQL_NORMALIZE_WS),
     "word_count": (q_word_count, SQL_WORD_COUNT),
@@ -344,4 +404,5 @@ SQL_TWINS: dict[str, tuple] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "langid": (q_langid, SQL_LANGID),
 }

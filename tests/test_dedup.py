@@ -1,0 +1,122 @@
+"""MinHash+LSH / SimHash near-duplicate detection tests: known duplicate
+pairs found, distinct docs not flagged, exact-Jaccard verification agrees
+with a pure-Python oracle."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cl_readability_spark.functions.dedup import (
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    minhash_signature,
+    simhash_signature,
+    word_shingles,
+)
+
+pytestmark = pytest.mark.spark
+
+
+def make_corpus():
+    rng = random.Random(7)
+    vocab = [f"word{i}" for i in range(200)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    base = [doc(80) for _ in range(10)]
+    # near-dups: perturb a few words of base docs 0 and 1
+    dup0 = base[0].split()
+    dup0[10] = "CHANGED"
+    dup1 = base[1].split()
+    dup1[3] = "ALTERED"
+    dup1[40] = "MUTATED"
+    rows = [(i, t) for i, t in enumerate(base)]
+    rows.append((100, " ".join(dup0)))
+    rows.append((101, " ".join(dup1)))
+    rows.append((102, base[2]))  # exact dup of 2
+    return rows
+
+
+def py_jaccard(a: str, b: str, k: int = 5) -> float:
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)} or {" ".join(w)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = make_corpus()
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_minhash_finds_known_near_dups(spark, corpus_df):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dups(corpus_df, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 100) in pairs
+    assert (1, 101) in pairs
+    assert (2, 102) in pairs
+    assert pairs[(2, 102)] == 1.0
+
+
+def test_minhash_jaccard_matches_python_oracle(spark, corpus_df):
+    rows = {r.doc_id: r.text for r in corpus_df.collect()}
+    for r in minhash_near_dups(corpus_df, jaccard_threshold=0.3).collect():
+        expected = py_jaccard(rows[r.id_a], rows[r.id_b])
+        assert abs(r.jaccard - expected) < 1e-3, (r.id_a, r.id_b)
+
+
+def test_minhash_no_false_positives_above_threshold(spark, corpus_df):
+    rows = {r.doc_id: r.text for r in corpus_df.collect()}
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(corpus_df, jaccard_threshold=0.5).collect()
+    }
+    # every reported pair truly has Jaccard >= 0.5
+    for a, b in found:
+        assert py_jaccard(rows[a], rows[b]) >= 0.5
+    # and no unrelated base pair sneaks in
+    for a, b in itertools.combinations(range(10), 2):
+        assert (a, b) not in found
+
+
+def test_lsh_recall_vs_bruteforce(spark, corpus_df):
+    """Every truly-similar pair (J≥0.6) must appear among LSH candidates —
+    recall check of the banding scheme."""
+    rows = {r.doc_id: r.text for r in corpus_df.collect()}
+    truth = {
+        tuple(sorted(p))
+        for p in itertools.combinations(rows, 2)
+        if py_jaccard(rows[p[0]], rows[p[1]]) >= 0.6
+    }
+    sig = minhash_signature(word_shingles(corpus_df))
+    cand = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig).collect()}
+    assert truth <= cand
+
+
+def test_signature_deterministic(spark, corpus_df):
+    a = minhash_signature(word_shingles(corpus_df)).select("doc_id", "signature").collect()
+    b = minhash_signature(word_shingles(corpus_df)).select("doc_id", "signature").collect()
+    assert sorted(map(tuple, ((r.doc_id, tuple(r.signature)) for r in a))) == sorted(
+        map(tuple, ((r.doc_id, tuple(r.signature)) for r in b))
+    )
+
+
+def hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_simhash_near_dups_close_in_hamming(spark, corpus_df):
+    sims = {r.doc_id: r.simhash for r in simhash_signature(corpus_df).collect()}
+    assert hamming(sims[0], sims[100]) <= 8
+    assert hamming(sims[2], sims[102]) == 0
+    # unrelated docs far apart
+    unrelated = [hamming(sims[a], sims[b]) for a, b in itertools.combinations(range(10), 2)]
+    assert min(unrelated) > 10

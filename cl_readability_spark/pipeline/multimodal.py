@@ -1,0 +1,158 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schema, batching, partitioning, UDF signatures) is
+real and tested; the actual codec step is STUBBED because the runtime image
+has no image/audio libraries — each decoder raises NotImplementedError
+unless ``fake=True`` selects the deterministic fake (hash-derived features),
+which keeps the pipeline end-to-end testable and exercises the exact batch
+shapes a real decoder would see.
+
+Schema (FIXTURES-style):
+    media(doc_id:long, kind:string, payload:binary,
+          meta:struct<mime:string,width:int,height:int,
+                      sample_rate:int,duration_ms:int>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_TYPE = StructType(
+    [
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("meta", MEDIA_META_TYPE, True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("features", ArrayType(FloatType()), True),  # 16-dim
+        StructField("status", StringType(), False),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_offsets_ms", ArrayType(IntegerType()), False),
+        StructField("n_frames", IntegerType(), False),
+    ]
+)
+
+
+def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic opaque payloads (hash-chained bytes) with typed meta."""
+    rows = []
+    kinds = ("image", "audio", "video")
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        meta = {
+            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+            "width": 640 if kind != "audio" else None,
+            "height": 480 if kind != "audio" else None,
+            "sample_rate": 16000 if kind != "image" else None,
+            "duration_ms": 5000 + i * 100 if kind != "image" else None,
+        }
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_image_features(payload: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in featureizer: sha256-chained floats in [0,1)."""
+    out: list[float] = []
+    h = hashlib.sha256(payload).digest()
+    while len(out) < dim:
+        for k in range(0, len(h), 4):
+            out.append(int.from_bytes(h[k : k + 4], "big") / 2**32)
+            if len(out) == dim:
+                break
+        h = hashlib.sha256(h).digest()
+    return out
+
+
+def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """payload → 16-dim feature vector via mapInPandas (Arrow-batched; the
+    real decoder would drop in here — PIL/torchvision absent in this image,
+    so non-fake mode raises per contract)."""
+
+    def mapper(batches):
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires PIL/torchvision — not in runtime image; "
+                    "use fake=True for the deterministic stand-in"
+                )
+            feats = [
+                _fake_image_features(bytes(p)) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "features": feats,
+                    "status": ["ok" if p is not None else "null_payload" for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("doc_id", "kind", "payload").mapInPandas(
+        mapper, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(
+    df: DataFrame, every_ms: int = 1000, fake: bool = True
+) -> DataFrame:
+    """video rows → deterministic frame-offset plan (the real frame decoder
+    would consume these offsets; ffmpeg absent → offsets only)."""
+
+    def mapper(batches):
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("frame decode requires ffmpeg")
+            offsets = [
+                list(range(0, int(d), every_ms)) if pd.notna(d) else []
+                for d in pdf["duration_ms"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_offsets_ms": offsets,
+                    "n_frames": [len(o) for o in offsets],
+                }
+            )
+
+    src = df.filter(F.col("kind") == "video").select(
+        "doc_id", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return src.mapInPandas(mapper, FRAME_SAMPLE_SCHEMA)

@@ -1,0 +1,122 @@
+"""Structured-streaming extraction (incremental, exactly-once) and
+multimodal column plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cl_readability_spark.pipeline.multimodal import (
+    decode_image_features,
+    sample_video_frames,
+    synthetic_media,
+)
+from cl_readability_spark.pipeline.streaming import streaming_extract
+from cl_readability_spark.pipeline.transcripts import synthetic_transcripts
+
+pytestmark = pytest.mark.spark
+
+
+def test_streaming_extract_incremental(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    df = synthetic_transcripts(spark, 4, seed=11)
+    n1 = df.count()
+    df.write.parquet(inp + "/batch1")
+
+    # streaming source over the directory tree
+    q = streaming_extract(spark, inp + "/*", out, cp)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == n1
+    assert "extracted_text" in got1.columns
+
+    # new files arrive → only the increment is processed, no duplicates
+    df2 = synthetic_transcripts(spark, 2, seed=99).withColumn(
+        "conv_id", F.concat(F.lit("b2-"), F.col("conv_id"))
+    )
+    n2 = df2.count()
+    df2.write.parquet(inp + "/batch2")
+    q2 = streaming_extract(spark, inp + "/*", out, cp)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == n1 + n2
+    assert final.select("conv_id", "turn_idx").distinct().count() == final.count()
+
+    # rerun with nothing new → no growth (exactly-once)
+    q3 = streaming_extract(spark, inp + "/*", out, cp)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1 + n2
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    from cl_readability_spark.pipeline.job import extract_transcripts
+
+    inp = str(tmp_path / "in2")
+    out = str(tmp_path / "out2")
+    cp = str(tmp_path / "cp2")
+    df = synthetic_transcripts(spark, 3, seed=5)
+    df.write.parquet(inp)
+    q = streaming_extract(spark, inp, out, cp)
+    q.awaitTermination(120)
+
+    stream_rows = {
+        (r.conv_id, r.turn_idx): (r.extracted_text, r.status)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_rows = {
+        (r.conv_id, r.turn_idx): (r.extracted_text, r.status)
+        for r in extract_transcripts(df).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_media_schema_and_fake_features(spark):
+    media = synthetic_media(spark, n=30)
+    assert media.count() == 30
+    feats = decode_image_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.status == "ok"
+        assert len(r.features) == 16
+        assert all(0.0 <= f < 1.0 for f in r.features)
+    # determinism
+    again = {r.doc_id: tuple(r.features) for r in decode_image_features(media).collect()}
+    first = {r.doc_id: tuple(r.features) for r in rows}
+    assert again == first
+
+
+def test_media_real_decode_is_explicit_stub(spark):
+    media = synthetic_media(spark, n=3)
+    with pytest.raises(Exception) as exc_info:
+        decode_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "PIL" in str(exc_info.value)
+
+
+def test_video_frame_sampling(spark):
+    media = synthetic_media(spark, n=30)
+    frames = sample_video_frames(media, every_ms=1000)
+    rows = frames.collect()
+    assert rows  # every 3rd row is a video
+    for r in rows:
+        assert r.n_frames == len(r.frame_offsets_ms)
+        assert r.frame_offsets_ms[0] == 0
+        diffs = {
+            b - a for a, b in zip(r.frame_offsets_ms, r.frame_offsets_ms[1:])
+        }
+        assert diffs <= {1000}
+
+
+def test_media_feature_join_with_embeddings_shape(spark):
+    """Features are joinable/usable downstream like any embedding column."""
+    media = synthetic_media(spark, n=12)
+    feats = decode_image_features(media)
+    sim = feats.select(
+        "doc_id",
+        F.aggregate(
+            F.col("features"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        ).alias("sq_norm"),
+    )
+    rows = sim.collect()
+    assert all(r.sq_norm > 0 for r in rows)

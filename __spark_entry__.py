@@ -19,6 +19,7 @@ from cl_readability_spark.functions.dedup import (
     minhash_near_dups,
     simhash_signature,
 )
+from cl_readability_spark.functions.similarity import lsh_bucketed_topk
 from cl_readability_spark.functions.sqltwins import SQL_TWINS
 from cl_readability_spark.pipeline.job import extract_transcripts, metrics_rollup
 from cl_readability_spark.pipeline.transcripts import documents_as_transcripts
@@ -84,6 +85,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash_signatures"] = lambda spark, sf_dir: simhash_signature(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
+
+    def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = list(embs.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+        return lsh_bucketed_topk(embs.filter(F.col("vec_id") != 0), q, k=10)
+
+    out["ann_lsh_topk"] = _q_ann_lsh
     return out
 
 

@@ -92,6 +92,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_bucketed_topk(embs.filter(F.col("vec_id") != 0), q, k=10)
 
     out["ann_lsh_topk"] = _q_ann_lsh
+
+    def _q_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cl_readability_spark.pipeline.diff import explode_spans
+
+        transcripts = documents_as_transcripts(spark, sf_dir)
+        return explode_spans(extract_transcripts(transcripts, salt_buckets=8))
+
+    out["span_explode"] = _q_span_explode
     return out
 
 

@@ -1,0 +1,52 @@
+"""Driver-contract rehearsal: entry() smoke, every queries() entry runs at
+sf0.01 and returns a stable schema with rows; oracle_sql() keys ⊆ queries()."""
+
+import importlib.util
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__spark_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_smoke(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    rows = df.limit(50).collect()
+    assert len(rows) > 0
+    assert {"conv_id", "turn_idx", "extracted_text", "content_spans"} <= set(df.columns)
+
+
+def test_oracle_keys_subset_of_queries(entry_mod):
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 15
+
+
+def test_every_query_runs(spark, entry_mod):
+    failures = {}
+    for name, fn in entry_mod.queries().items():
+        try:
+            df = fn(spark, SF)
+            n = df.count()
+            assert n >= 0
+            schema1 = df.schema
+            # re-invocation → same schema (stability the driver relies on)
+            schema2 = fn(spark, SF).schema
+            assert schema1 == schema2, name
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"
+    assert not failures, failures

@@ -1,0 +1,155 @@
+"""The named golden fixture corpus (FIXTURES.md §A layout).
+
+Each case is (name, html, url) — deterministic literals / generator calls.
+``make_goldens.py`` materializes tests/fixtures/<name>/{source.html,
+expected.txt, expected-metadata.json, expected-spans.json}; the snapshot
+test re-extracts source.html and compares. Regenerate ONLY after an
+intentional semantic change (python tests/make_goldens.py) and review the
+diff — these files are the per-turn text-equality regression gate."""
+
+from cl_readability_spark.pipeline.corpus import make_article_html
+
+LONG_P = (
+    "<p>"
+    + "Body content sentences with commas, clauses, and length enough to score "
+    "well in candidate selection, which keeps this paragraph firmly in the "
+    "article. " * 4
+    + "</p>"
+)
+
+CASES: dict[str, tuple[str, str | None]] = {
+    "basic-article": (
+        "<html lang='en'><head><title>The Basic Article Fixture Title | Site</title></head>"
+        f"<body><article id='a'>{LONG_P * 4}</article></body></html>",
+        None,
+    ),
+    "div-soup": (
+        "<html><body><div id='outer'><div id='inner'>"
+        + "<div>"
+        + "Loose phrasing text with commas, and enough length to be scored as a paragraph, truly. " * 3
+        + "</div>" * 1
+        + LONG_P * 3
+        + "</div></div></body></html>",
+        None,
+    ),
+    "br-runs": (
+        "<html><body><div id='m'>"
+        + ("Segment text with commas, structure, and heft enough to be real content. " * 3)
+        + "<br><br>"
+        + ("Second segment with commas, and plenty of words to matter here, still. " * 3)
+        + "</div></body></html>",
+        None,
+    ),
+    "unlikely-classes": (
+        "<html><body><div id='page'>"
+        "<div class='sidebar'><p>SIDEBAR-JUNK links and noise</p></div>"
+        + LONG_P * 3
+        + "<div class='social-share'><p>SHARE-JUNK buttons</p></div>"
+        "</div></body></html>",
+        None,
+    ),
+    "class-weight": (
+        "<html><body>"
+        "<div id='one' class='article-text'>"
+        + ("<p>"
+           + "Identical paragraph content with commas, weight, and length to make "
+             "both containers score the same way, exactly. " * 3
+           + "</p>") * 3
+        + "<p>WINNER marker paragraph, long enough to contribute to the final text output.</p></div>"
+        "<div id='two' class='widget-box'>"
+        + ("<p>"
+           + "Identical paragraph content with commas, weight, and length to make "
+             "both containers score the same way, exactly. " * 3
+           + "</p>") * 3
+        + "<p>LOSER marker paragraph, long enough to contribute to the final text output.</p></div>"
+        "</body></html>",
+        None,
+    ),
+    "link-density": (
+        "<html><body><div id='page'><div id='nav2'><p>"
+        + "".join(f"<a href='/l/{i}'>navigation link number {i} with text</a> " for i in range(30))
+        + "</p></div>"
+        + LONG_P * 3
+        + "</div></body></html>",
+        None,
+    ),
+    "clean-conditional": (
+        "<html><body><div id='page'>"
+        + LONG_P * 3
+        + "<ul class='tags'>"
+        + "".join(f"<li><a href='/t/{i}'>tag {i}</a></li>" for i in range(25))
+        + "</ul></div></body></html>",
+        None,
+    ),
+    "video-embed-kept": (
+        "<html><body><div id='page'>"
+        + LONG_P * 3
+        + "<iframe src='https://www.youtube.com/embed/abc123'></iframe>"
+        "<iframe src='https://tracker.example.net/pixel'></iframe>"
+        "</div></body></html>",
+        None,
+    ),
+    "noscript-img": (
+        "<html><body><div id='page'>"
+        "<img src='spinner.gif' class='lazyload'>"
+        "<noscript><img src='hero-image.jpg'></noscript>"
+        + LONG_P * 3
+        + "</div></body></html>",
+        None,
+    ),
+    "relative-urls": (
+        "<html><body><div id='page'>"
+        + LONG_P * 3
+        + "<p>See <a href='/other/page'>the other page</a> and "
+        "<img src='pics/photo.jpg'> inline for more of the story, truly.</p>"
+        "</div></body></html>",
+        "https://news.example.com/articles/today.html",
+    ),
+    "title-pipe": (
+        "<html><head><title>Five Word Article Title Here | Long Site Name</title></head>"
+        f"<body><div>{LONG_P * 3}</div></body></html>",
+        None,
+    ),
+    "title-colon": (
+        "<html><head><title>Site Name: Seven Word Article Title Goes Right Here</title></head>"
+        f"<body><div>{LONG_P * 3}</div></body></html>",
+        None,
+    ),
+    "title-h1": (
+        "<html><head><title>Shorty</title></head>"
+        "<body><div><h1>A Completely Different Long Heading For This</h1>"
+        + LONG_P * 3
+        + "</div></body></html>",
+        None,
+    ),
+    "byline-rel-author": (
+        "<html><body><div id='page'><span rel='author'>Alice B. Charles</span>"
+        + LONG_P * 3
+        + "</div></body></html>",
+        None,
+    ),
+    "short-article-retry": (
+        "<html><body><div class='comment'>"
+        "<p>Short real content, under the five hundred character threshold, sadly.</p>"
+        "</div></body></html>",
+        None,
+    ),
+    "hidden-content": (
+        "<html><body><div id='page'>"
+        "<div style='display: none'><p>HIDDEN-STYLE text</p></div>"
+        "<div hidden><p>HIDDEN-ATTR text</p></div>"
+        "<div aria-hidden='true'><p>HIDDEN-ARIA text</p></div>"
+        + LONG_P * 3
+        + "</div></body></html>",
+        None,
+    ),
+    "single-cell-table": (
+        "<html><body><div id='page'>"
+        f"<table><tr><td>{LONG_P}</td></tr></table>{LONG_P * 2}"
+        "</div></body></html>",
+        None,
+    ),
+    "corpus-article-small": (make_article_html(123, n_paragraphs=8), None),
+    "corpus-article-big": (make_article_html(777, n_paragraphs=60), None),
+    "corpus-article-plain": (make_article_html(55, n_paragraphs=4, boilerplate=False), None),
+}

@@ -20,10 +20,13 @@ Swapping in Iceberg is a sink-level change only (writeTo(...).append() and
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 import shutil
+import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cl_readability_spark.core.config import DEFAULT_CONFIG, ExtractorConfig
 from cl_readability_spark.pipeline.job import (
@@ -107,8 +110,47 @@ class CheckpointedSink:
             num_partitions=num_partitions,
         )
         batch_path = self._next_batch_path()
+        t0 = time.time()
         result.write.mode("errorifexists").parquet(batch_path)
         written = spark.read.parquet(batch_path)
         if metrics_root is not None:
             metrics_sidecar(written).write.mode("append").parquet(metrics_root)
-        return written.count()
+        n = written.count()
+        self._write_manifest(written, batch_path, n, time.time() - t0, config,
+                             salt_buckets)
+        return n
+
+    def _write_manifest(self, written: DataFrame, batch_path: str, n_rows: int,
+                        seconds: float, config: ExtractorConfig,
+                        salt_buckets: int) -> None:
+        """Snapshot-manifest equivalent: per-batch lineage (row/status/char
+        counts, config, timing) next to the data — the operational metadata
+        an Iceberg snapshot summary would carry."""
+        by_status = {
+            r["status"]: {
+                "rows": r["rows"],
+                "chars_in": r["ci"] or 0,
+                "chars_kept": r["ck"] or 0,
+                "retries": r["rt"] or 0,
+            }
+            for r in written.groupBy("status")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("chars_in").alias("ci"),
+                F.sum("chars_kept").alias("ck"),
+                F.sum("retries").alias("rt"),
+            )
+            .collect()
+        }
+        cfg = dataclasses.asdict(config)
+        cfg["preserved_classes"] = sorted(cfg["preserved_classes"])
+        manifest = {
+            "batch": os.path.basename(batch_path),
+            "rows": n_rows,
+            "seconds": round(seconds, 3),
+            "by_status": by_status,
+            "salt_buckets": salt_buckets,
+            "config": cfg,
+        }
+        with open(os.path.join(batch_path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1)

@@ -345,6 +345,11 @@ class _TreeBuilder(HTMLParser):
         else:
             top.append_child(Text(data))
 
+    # line/column tracking is unused by the DOM — neutering updatepos saves
+    # ~5% of total parse time on large documents
+    def updatepos(self, i, j):
+        return j
+
     # comments / doctype / PI / CDATA: dropped (remove-non-elements equivalent,
     # readability-plump.lisp:263-278)
     def handle_comment(self, data):

@@ -43,7 +43,6 @@ from cl_readability_spark.core.dom import (
     set_node_tag,
 )
 from cl_readability_spark.core.text import (
-    char_count,
     get_class_weight,
     get_inner_text,
     get_link_density,
@@ -782,12 +781,15 @@ def clean_conditionally(
     weight_classes = flags["weight_classes"]
 
     def pred(node: Element) -> bool:
+        # one inner-text computation per node (it is re-used 3×: list ratio,
+        # comma gate, content length)
+        node_text = get_inner_text(node)
         is_list = tag in ("ul", "ol")
         if not is_list:
             list_length = 0
             for lst in get_elements_by_tag(node, "ul", "ol"):
                 list_length += len(get_inner_text(lst))
-            total = len(get_inner_text(node))
+            total = len(node_text)
             is_list = total > 0 and list_length / total > 0.9
 
         if tag == "table" and node.data_table:
@@ -801,7 +803,7 @@ def clean_conditionally(
         if weight < 0:
             return True
 
-        if char_count(node, ",") < 10:
+        if node_text.count(",") < 10:
             p = len(get_elements_by_tag(node, "p"))
             img = len(get_elements_by_tag(node, "img"))
             li = len(get_elements_by_tag(node, "li")) - 100
@@ -818,7 +820,7 @@ def clean_conditionally(
                     return False
                 embed_count += 1
             link_density = get_link_density(node)
-            content_length = len(get_inner_text(node))
+            content_length = len(node_text)
             have_to_remove = (
                 (img > 1 and p / img < 0.5 and not has_ancestor_tag(node, "figure"))
                 or (not is_list and li > p)

@@ -76,6 +76,9 @@ class ExtractResult:
     content_spans: list[tuple[int, int]] = field(default_factory=list)
     title: str | None = None
     byline: str | None = None
+    excerpt: str | None = None
+    site_name: str | None = None
+    published_time: str | None = None
     lang: str | None = None
     text_length: int = 0
     candidates_scored: int = 0
@@ -1093,22 +1096,31 @@ def extract(
         return result
 
     try:
+        from cl_readability_spark.core.metadata import (
+            get_article_metadata,
+            get_json_ld,
+        )
+
         state: dict = {"cfg": config, "retries": 0, "candidates_scored": 0}
         unwrap_noscript_images(doc)
+        jsonld = get_json_ld(doc)  # before remove_scripts (JS order)
         remove_scripts(doc)
         prepare_document(doc)
 
         html_el = doc.html
         if html_el is not None and html_el.get("lang"):
             result.lang = html_el.get("lang")
-        title = get_article_title(doc)
-        result.title = title or None
-        state["title"] = title
+        metadata = get_article_metadata(doc, jsonld, get_article_title(doc))
+        result.title = metadata["title"]
+        result.excerpt = metadata["excerpt"]
+        result.site_name = metadata["site_name"]
+        result.published_time = metadata["published_time"]
+        state["title"] = metadata["title"] or ""
 
         article = grab_article(doc, config, state)
         result.retries = state.get("retries", 0)
         result.candidates_scored = state.get("candidates_scored", 0)
-        result.byline = state.get("byline")
+        result.byline = metadata["byline"] or state.get("byline")
         if result.lang is None:
             result.lang = state.get("lang")
 
@@ -1117,6 +1129,12 @@ def extract(
             return result
 
         post_process_content(article, config)
+
+        if not result.excerpt:
+            # JS: first paragraph of the article content stands in
+            paragraphs = get_elements_by_tag(article, "p")
+            if paragraphs:
+                result.excerpt = paragraphs[0].text_content().strip() or None
 
         text, spans = _build_text_and_spans(article)
         result.extracted_text = text

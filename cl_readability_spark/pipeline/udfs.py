@@ -45,6 +45,9 @@ EXTRACT_RESULT_TYPE = StructType(
         StructField("status", StringType(), False),
         StructField("title", StringType(), True),
         StructField("byline", StringType(), True),
+        StructField("excerpt", StringType(), True),
+        StructField("site_name", StringType(), True),
+        StructField("published_time", StringType(), True),
         StructField("lang", StringType(), True),
         StructField("text_length", IntegerType(), False),
         StructField("candidates_scored", IntegerType(), False),
@@ -98,6 +101,13 @@ def make_arrow_extractor(config: ExtractorConfig = DEFAULT_CONFIG):
                     "status": pa.array([r.status for r in res], type=pa.string()),
                     "title": pa.array([r.title for r in res], type=pa.string()),
                     "byline": pa.array([r.byline for r in res], type=pa.string()),
+                    "excerpt": pa.array([r.excerpt for r in res], type=pa.string()),
+                    "site_name": pa.array(
+                        [r.site_name for r in res], type=pa.string()
+                    ),
+                    "published_time": pa.array(
+                        [r.published_time for r in res], type=pa.string()
+                    ),
                     "lang": pa.array([r.lang for r in res], type=pa.string()),
                     "text_length": pa.array(
                         [r.text_length for r in res], type=pa.int32()
@@ -139,6 +149,9 @@ def make_extract_udf(config: ExtractorConfig = DEFAULT_CONFIG):
             out["status"].append(r.status)
             out["title"].append(r.title)
             out["byline"].append(r.byline)
+            out["excerpt"].append(r.excerpt)
+            out["site_name"].append(r.site_name)
+            out["published_time"].append(r.published_time)
             out["lang"].append(r.lang)
             out["text_length"].append(r.text_length)
             out["candidates_scored"].append(r.candidates_scored)

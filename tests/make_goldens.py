@@ -36,6 +36,9 @@ def main() -> None:
                     "status": r.status,
                     "title": r.title,
                     "byline": r.byline,
+                    "excerpt": r.excerpt,
+                    "site_name": r.site_name,
+                    "published_time": r.published_time,
                     "lang": r.lang,
                     "readerable": is_readerable(html),
                     "text_length": r.text_length,

@@ -40,6 +40,9 @@ def test_golden_snapshot(case):
     assert r.status == meta["status"]
     assert r.title == meta["title"]
     assert r.byline == meta["byline"]
+    assert r.excerpt == meta.get("excerpt")
+    assert r.site_name == meta.get("site_name")
+    assert r.published_time == meta.get("published_time")
     assert r.lang == meta["lang"]
     assert r.text_length == meta["text_length"]
     assert r.retries == meta["retries"]

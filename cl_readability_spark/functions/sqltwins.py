@@ -330,6 +330,109 @@ LIMIT 10
 """
 
 
+# --- TPC-H-style relational twins over the driver tables: the classic scan
+#     → broadcast-join → partial-agg shapes the metrics/lineage rollups use
+#     at scale.  Money math is integerized (×100, bigint) so cross-engine
+#     sums are order-independent and hash-equal. ---
+
+def _tbl(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (map-side partial agg → final agg)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(disc_cents).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_disc_cents,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """orders ⋈ broadcast(customer) → top-10 by revenue (TakeOrdered)."""
+    orders = _tbl(spark, sf_dir, "orders")
+    customer = _tbl(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("revenue_cents"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue_cents DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_regional_customers(spark, sf_dir):
+    """customer ⋈ broadcast(nation) ⋈ broadcast(region) rollup — the
+    dim-chain broadcast shape."""
+    customer = _tbl(spark, sf_dir, "customer")
+    nation = _tbl(spark, sf_dir, "nation")
+    region = _tbl(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias("acctbal_cents"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_REGIONAL_CUSTOMERS = """
+SELECT r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
 # --- 14. langid (marker-stopword n-gram heuristic; deterministic CASE
 #     tie-break so Spark and DuckDB agree exactly) ---
 LANG_MARKERS = {
@@ -405,4 +508,7 @@ SQL_TWINS: dict[str, tuple] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "langid": (q_langid, SQL_LANGID),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),
 }

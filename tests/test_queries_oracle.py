@@ -17,7 +17,8 @@ pytestmark = pytest.mark.spark
 
 def duck_con():
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "lineitem", "orders"):
+    for t in ("documents", "embeddings", "lineitem", "orders", "customer",
+              "supplier", "part", "nation", "region", "events"):
         path = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")

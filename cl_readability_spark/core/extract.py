@@ -79,6 +79,7 @@ class ExtractResult:
     excerpt: str | None = None
     site_name: str | None = None
     published_time: str | None = None
+    dir: str | None = None  # article text direction (JS _articleDir)
     lang: str | None = None
     text_length: int = 0
     candidates_scored: int = 0
@@ -612,6 +613,21 @@ def _grab_article_once(
                 sibling = set_node_tag(sibling, "div")
             article_content.append_child(sibling)
 
+    # article direction: first dir attr on parentOfTopCandidate, topCandidate,
+    # or the parent's ancestors (JS captures the parent BEFORE the sibling
+    # merge reparents topCandidate into articleContent)
+    dir_nodes = [parent_of_top, top_candidate]
+    if parent_of_top is not None:
+        dir_nodes += _get_node_ancestors(parent_of_top)
+    for anc in dir_nodes:
+        if (
+            isinstance(anc, Element)
+            and anc.tag != "#document"
+            and anc.get("dir")
+        ):
+            state["dir"] = anc.get("dir")
+            break
+
     # --- post-grab cleanup battery runs before the length check (JS) ---
     prep_article(article_content, top_candidate, flags, state)
 
@@ -1121,6 +1137,7 @@ def extract(
         result.retries = state.get("retries", 0)
         result.candidates_scored = state.get("candidates_scored", 0)
         result.byline = metadata["byline"] or state.get("byline")
+        result.dir = state.get("dir")
         if result.lang is None:
             result.lang = state.get("lang")
 

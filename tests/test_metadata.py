@@ -145,3 +145,11 @@ def test_dc_dot_variant_normalized():
         f"</head><body>{BODY}</body></html>"
     )
     assert extract(html).title == "Dotted Dublin Core Title Here"
+
+
+def test_article_dir_from_ancestors():
+    html = f"<html dir='ltr'><body><div id='m'>{BODY}</div></body></html>"
+    assert extract(html).dir == "ltr"
+    html2 = f"<html><body><div id='m' dir='rtl'>{BODY}</div></body></html>"
+    assert extract(html2).dir == "rtl"
+    assert extract(f"<html><body>{BODY}</body></html>").dir is None

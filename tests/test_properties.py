@@ -94,3 +94,17 @@ def test_extracted_chars_come_from_input(html):
             return
         produced = Counter(c for c in r.extracted_text if not c.isspace())
         assert not (produced - available), (produced - available)
+
+
+def test_extraction_idempotent_on_corpus():
+    """Re-extracting the extracted article HTML reproduces the same text
+    (stability of the cleanup fixpoint on already-clean content)."""
+    from cl_readability_spark.pipeline.corpus import make_article_html
+
+    for seed in (1, 22, 333):
+        first = extract(make_article_html(seed, n_paragraphs=6))
+        assert first.status == "ok"
+        second = extract(first.extracted_html)
+        assert second.status == "ok"
+        assert second.extracted_text == first.extracted_text
+        assert second.content_spans == first.content_spans

@@ -26,9 +26,11 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # big HTML cells: bound the Arrow batch by rows (maxBytesPerBatch
-        # additionally caps bytes on Spark 4)
+        # big HTML cells: bound the Arrow batch by rows AND bytes — a batch of
+        # whale documents must not blow Python-worker memory (512 rows × 10 MB
+        # would be 5 GB; the byte cap splits it)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "32m")
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -108,3 +108,27 @@ def test_extraction_idempotent_on_corpus():
         assert second.status == "ok"
         assert second.extracted_text == first.extracted_text
         assert second.content_spans == first.content_spans
+
+
+def test_whale_document_extracts():
+    """A multi-MB document goes through without pathological blowup."""
+    import time
+
+    from cl_readability_spark.pipeline.corpus import make_article_html
+
+    html = make_article_html(9999, n_paragraphs=2500, sentences_per_paragraph=5)
+    assert len(html) > 1_000_000
+    t0 = time.time()
+    r = extract(html, include_html=False)
+    dt = time.time() - t0
+    assert r.status == "ok"
+    assert r.text_length > 900_000
+    assert dt < 60, f"whale doc took {dt:.1f}s"
+
+
+def test_pathological_nesting_never_kills():
+    """5000-deep nesting must come back as a status row, never an uncaught
+    error (RecursionError is caught per the poison-row contract)."""
+    html = "<div>" * 5000 + "text" + "</div>" * 5000
+    r = extract(html)
+    assert r.status in ("ok", "no_content", "error")

@@ -758,14 +758,20 @@ def fix_lazy_images(root: Element) -> None:
 def clean(e: Element, tag: str) -> None:
     """Readability._clean (readability.lisp:382-391): drop all ``tag``
     elements, keeping allowed video embeds."""
-    is_embed = tag in ("object", "embed", "iframe")
+    clean_many(e, (tag,))
+
+
+def clean_many(e: Element, tags: tuple[str, ...]) -> None:
+    """Fused form of adjacent _clean calls: one tree scan instead of one per
+    tag.  Identical semantics — removals of distinct tags don't interact
+    (JS _removeNodes skips already-detached nodes the same way)."""
 
     def pred(node: Element) -> bool:
-        if is_embed and is_video_embed(node):
+        if node.tag in ("object", "embed", "iframe") and is_video_embed(node):
             return False
         return True
 
-    _remove_nodes(get_elements_by_tag(e, tag), pred)
+    _remove_nodes(get_elements_by_tag(e, *tags), pred)
 
 
 def clean_matched_nodes(e: Element, filter_fn) -> None:
@@ -880,11 +886,7 @@ def prep_article(
 
     clean_conditionally(article_content, "form", flags)
     clean_conditionally(article_content, "fieldset", flags)
-    clean(article_content, "object")
-    clean(article_content, "embed")
-    clean(article_content, "footer")
-    clean(article_content, "link")
-    clean(article_content, "aside")
+    clean_many(article_content, ("object", "embed", "footer", "link", "aside"))
 
     share_threshold = state["cfg"].char_threshold
     for child in article_content.element_children:
@@ -894,11 +896,7 @@ def prep_article(
             and len(node.text_content()) < share_threshold,
         )
 
-    clean(article_content, "iframe")
-    clean(article_content, "input")
-    clean(article_content, "textarea")
-    clean(article_content, "select")
-    clean(article_content, "button")
+    clean_many(article_content, ("iframe", "input", "textarea", "select", "button"))
     clean_headers(article_content, flags["weight_classes"])
 
     clean_conditionally(article_content, "table", flags)

@@ -23,6 +23,109 @@ from cl_readability_spark.pipeline.udfs import (
 )
 
 
+def streaming_turn_rollup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "10 minutes",
+    window_size: str = "1 hour",
+) -> StreamingQuery:
+    """Watermarked windowed aggregation over the transcript stream: per
+    (event-time window, conv_id) turn counts and byte volumes — the metrics
+    rollup as a late-data-tolerant streaming query (SURVEY §2.11)."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(input_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "conv_id",
+            "n_turns",
+            "total_chars",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+CONV_STATE_SCHEMA = "n_turns LONG, total_chars LONG"
+CONV_OUTPUT_SCHEMA = (
+    "conv_id STRING, n_turns LONG, total_chars LONG, closed BOOLEAN"
+)
+
+
+def streaming_conversation_sessions(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    idle_timeout_ms: int = 1000,
+) -> StreamingQuery:
+    """Custom stateful operator via applyInPandasWithState: accumulates
+    per-conversation turn/char counts across micro-batches, emits the running
+    total each update and a final ``closed`` row when the conversation goes
+    idle (processing-time timeout) — the streaming twin of the per-conv
+    metrics sidecar."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n, chars) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [key[0]], "n_turns": [n], "total_chars": [chars],
+                 "closed": [True]}
+            )
+            return
+        n, chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            chars += int(pdf["text"].str.len().fillna(0).sum())
+        state.update((n, chars))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n], "total_chars": [chars],
+             "closed": [False]}
+        )
+
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(input_path)
+    sessions = (
+        stream.select("conv_id", "text")
+        .groupBy(F.col("conv_id"))
+        .applyInPandasWithState(
+            update,
+            CONV_OUTPUT_SCHEMA,
+            CONV_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_extract(
     spark: SparkSession,
     input_path: str,

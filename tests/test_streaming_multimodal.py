@@ -120,3 +120,50 @@ def test_media_feature_join_with_embeddings_shape(spark):
     )
     rows = sim.collect()
     assert all(r.sq_norm > 0 for r in rows)
+
+
+def test_streaming_windowed_rollup(spark, tmp_path):
+    from cl_readability_spark.pipeline.streaming import streaming_turn_rollup
+
+    inp = str(tmp_path / "in3")
+    out = str(tmp_path / "out3")
+    cp = str(tmp_path / "cp3")
+    df = synthetic_transcripts(spark, 3, seed=8)
+    df.write.parquet(inp)
+    q = streaming_turn_rollup(spark, inp, out, cp)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # matches the batch windowed aggregation exactly
+    batch = (
+        df.groupBy(F.window("ts", "1 hour"), F.col("conv_id"))
+        .agg(F.count("*").alias("n_turns"), F.sum(F.length("text")).alias("total_chars"))
+        .select(F.col("window.start").alias("window_start"), "conv_id", "n_turns", "total_chars")
+    )
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # append mode only emits windows the final watermark has passed; the
+    # emitted set must be a non-empty, exact subset of the batch aggregation
+    assert a <= b
+    assert len(a) > 0
+
+
+def test_streaming_stateful_sessions(spark, tmp_path):
+    from cl_readability_spark.pipeline.streaming import streaming_conversation_sessions
+
+    inp = str(tmp_path / "in4")
+    out = str(tmp_path / "out4")
+    cp = str(tmp_path / "cp4")
+    df = synthetic_transcripts(spark, 3, seed=13)
+    df.write.parquet(inp)
+    q = streaming_conversation_sessions(spark, inp, out, cp)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    rows = got.filter(~F.col("closed")).collect()
+    expected = {
+        (r.conv_id, r.n, r.chars)
+        for r in df.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.sum(F.length("text")).alias("chars"))
+        .collect()
+    }
+    final_state = {(r.conv_id, r.n_turns, r.total_chars) for r in rows}
+    assert expected <= final_state  # running totals reach the batch truth

@@ -156,7 +156,21 @@ def test_streaming_stateful_sessions(spark, tmp_path):
     df = synthetic_transcripts(spark, 3, seed=13)
     df.write.parquet(inp)
     q = streaming_conversation_sessions(spark, inp, out, cp)
-    q.awaitTermination(180)
+    # availableNow + ProcessingTimeTimeout keeps the query alive waiting for
+    # state timeouts; the running totals are committed after the first
+    # micro-batch — bound the wait and stop explicitly
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress.get("numInputRows", 0) >= 0 and not q.isActive:
+            break
+        if q.lastProgress and q.lastProgress.get("batchId", 0) >= 1:
+            break
+        time.sleep(1)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)
     got = spark.read.parquet(out)
     rows = got.filter(~F.col("closed")).collect()
     expected = {

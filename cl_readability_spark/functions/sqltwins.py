@@ -433,6 +433,34 @@ ORDER BY r_name
 """
 
 
+def q_user_event_seq(spark, sf_dir):
+    """Ordered per-key sequence aggregation (collect_list + array_sort vs
+    DuckDB's ordered string_agg) over the events table."""
+    ev = _tbl(spark, sf_dir, "events")
+    seq = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("event_seq"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+SQL_USER_EVENT_SEQ = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY event_id) AS event_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --- 14. langid (marker-stopword n-gram heuristic; deterministic CASE
 #     tie-break so Spark and DuckDB agree exactly) ---
 LANG_MARKERS = {
@@ -511,4 +539,5 @@ SQL_TWINS: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),
+    "user_event_seq": (q_user_event_seq, SQL_USER_EVENT_SEQ),
 }

@@ -879,7 +879,11 @@ def prep_article(
     article_content: Element, top_candidate: Element, flags: dict, state: dict
 ) -> None:
     """Readability._prepArticle (readability.lisp:532-575 + the JS-only
-    steps: markDataTables, fixLazyImages, share cleanup)."""
+    steps: markDataTables, fixLazyImages, share cleanup).
+
+    NB the ref's br-before-p step is inverted (readability.lisp:558-560
+    removes a <br> UNLESS followed by <p>); we keep the JS direction —
+    remove the <br> WHEN the next element is a <p>."""
     clean_styles(article_content)
     mark_data_tables(article_content)
     fix_lazy_images(article_content)

@@ -8,9 +8,16 @@ recursion the ref's FIXME at :301 asks for).
 
 from __future__ import annotations
 
+import re
+
 from cl_readability_spark.core import regexes as R
 from cl_readability_spark.core.config import PHRASING_ELEMENTS
 from cl_readability_spark.core.dom import Element, Text, get_elements_by_tag
+
+
+# Readability.REGEXPS.hasContent — a text node "has content" only when it
+# ends in a non-space character (JS quirk, kept for parity)
+_HAS_CONTENT = re.compile(r"\S$")
 
 
 def get_inner_text(node, normalize_spaces: bool = True) -> str:
@@ -109,24 +116,27 @@ def is_whitespace(node) -> bool:
 
 def is_element_without_content(node: Element) -> bool:
     """Readability._isElementWithoutContent (readability.lisp:120-130): no
-    non-whitespace text and children are only <br>/<hr>."""
+    non-whitespace text, and the direct-child count equals the *descendant*
+    br+hr count (JS compares children.length against
+    getElementsByTagName('br'/'hr') which search the whole subtree)."""
     if node.text_content().strip():
         return False
-    kids = node.children
-    n_elems = len([c for c in kids if isinstance(c, Element)])
-    if n_elems == 0:
+    kids = [c for c in node.children if isinstance(c, Element)]
+    if not kids:
         return True
-    n_br_hr = len([c for c in kids if isinstance(c, Element) and c.tag in ("br", "hr")])
-    return n_elems == n_br_hr
+    n_br_hr = len(get_elements_by_tag(node, "br", "hr"))
+    return len(kids) == n_br_hr
 
 
 def has_single_tag_inside(element: Element, tag: str) -> bool:
-    """Readability._hasSingleTagInsideElement (readability.lisp:516-530)."""
+    """Readability._hasSingleTagInsideElement (readability.lisp:516-530).
+    Text nodes count as content via REGEXPS.hasContent = /\\S$/ — i.e. only
+    when they END in a non-space character (JS quirk, kept for parity)."""
     kids = element.element_children
     if len(kids) != 1 or kids[0].tag != tag:
         return False
     return not any(
-        isinstance(c, Text) and not c.is_whitespace for c in element.children
+        isinstance(c, Text) and _HAS_CONTENT.search(c.data) for c in element.children
     )
 
 

@@ -159,3 +159,16 @@ def test_text_similarity():
 def test_text_density():
     div = first("<div><h2>abcde</h2>abcde</div>", "div")
     assert get_text_density(div, ("h1", "h2")) == pytest.approx(0.5)
+
+
+def test_has_single_tag_inside_hascontent_quirk():
+    # JS REGEXPS.hasContent = /\S$/: a text node ending in whitespace does
+    # NOT count as content (parity quirk)
+    assert has_single_tag_inside(first("<div>text <p>x</p></div>", "div"), "p")
+    assert not has_single_tag_inside(first("<div><p>x</p>text</div>", "div"), "p")
+
+
+def test_element_without_content_descendant_br():
+    # JS counts descendant br/hr vs direct children
+    assert is_element_without_content(first("<div><div><br></div></div>", "div"))
+    assert not is_element_without_content(first("<div><div><span></span></div></div>", "div"))

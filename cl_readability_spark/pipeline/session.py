@@ -33,6 +33,7 @@ def build_spark(
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "32m")
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir", "/tmp/clrs-spark-warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -196,10 +196,12 @@ class Element:
         stack = [self]
         while stack:
             n = stack.pop()
-            if isinstance(n, Text):
+            if type(n) is Text:
                 out.append(n.data)
             else:
-                stack.extend(reversed(n.children))
+                kids = n.children
+                if kids:
+                    stack.extend(reversed(kids))
         return "".join(out)
 
     # --- serialization (readability-plump.lisp:55-61) ---
@@ -448,7 +450,7 @@ def get_elements_by_tag(root: Element, *tags: str) -> list[Element]:
         stack = list(reversed(root.children))
         while stack:
             n = stack.pop()
-            if isinstance(n, Element):
+            if type(n) is not Text:  # children hold only Text or Element
                 if n.tag == want:
                     out.append(n)
                 kids = n.children
@@ -460,7 +462,7 @@ def get_elements_by_tag(root: Element, *tags: str) -> list[Element]:
     stack = list(reversed(root.children))
     while stack:
         n = stack.pop()
-        if isinstance(n, Element):
+        if type(n) is not Text:
             if n.tag in want_set:
                 out.append(n)
             kids = n.children

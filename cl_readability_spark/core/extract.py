@@ -364,11 +364,6 @@ def grab_article(doc: Document, cfg: ExtractorConfig, state: dict) -> Element | 
         if article is not None and text_len >= cfg.char_threshold:
             return article
 
-        # restore the body for the next attempt (JS: page.innerHTML = cache)
-        page.children = []
-        for c in page_cache:
-            page.append_child(_clone(c))
-
         if article is not None:
             attempts.append((article, text_len))
         if flags["strip_unlikelys"]:
@@ -386,6 +381,11 @@ def grab_article(doc: Document, cfg: ExtractorConfig, state: dict) -> Element | 
                 return None
             return attempts[0][0]
         state["retries"] = state.get("retries", 0) + 1
+        # restore the body for the next attempt (JS: page.innerHTML = cache);
+        # done only when another attempt actually runs
+        page.children = []
+        for c in page_cache:
+            page.append_child(_clone(c))
 
 
 def _grab_article_once(
@@ -653,13 +653,17 @@ def clean_styles(e: Element) -> None:
     """Readability._cleanStyles (readability.lisp:360-372)."""
     if e.tag == "svg":
         return
-    for attr in PRESENTATIONAL_ATTRIBUTES:
-        e.remove_attr(attr)
-    if e.tag in DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
-        e.remove_attr("width")
-        e.remove_attr("height")
-    for child in e.element_children:
-        clean_styles(child)
+    attrs = e.attrs
+    if attrs:
+        for attr in PRESENTATIONAL_ATTRIBUTES:
+            if attr in attrs:
+                del attrs[attr]
+        if e.tag in DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
+            attrs.pop("width", None)
+            attrs.pop("height", None)
+    for child in e.children:
+        if isinstance(child, Element):
+            clean_styles(child)
 
 
 def _get_row_and_column_count(table: Element) -> tuple[int, int]:

@@ -13,7 +13,8 @@ ops (exact dedup, fingerprinting, token counting, quality scoring, ANN).
 
 Determinism rules used throughout so the driver's order-insensitive
 value-hash matches: integer arithmetic where an order-dependent float sum
-would be ambiguous; ROUND(…, 4) on single-division floats; explicit BIGINT
+would be ambiguous; float outputs scaled to integers (basis points /
+×10000) so the driver's value hash never touches a double; explicit BIGINT
 casts to align Spark/DuckDB integer widths.
 """
 
@@ -182,7 +183,7 @@ def q_metrics_rollup(spark, sf_dir):
         .agg(
             F.count("*").alias("rows_cnt"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_chars") * 10000, 0).cast("long").alias("avg_chars_x10k"),
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
@@ -194,7 +195,7 @@ SQL_METRICS_ROLLUP = """
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS rows_cnt,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       ROUND(AVG(n_chars), 4) AS avg_chars,
+       CAST(ROUND(AVG(n_chars) * 10000, 0) AS BIGINT) AS avg_chars_x10k,
        MIN(doc_id) AS min_doc_id,
        MAX(doc_id) AS max_doc_id
 FROM documents
@@ -269,8 +270,8 @@ def q_quality_score(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars_meta"),
-        F.round(n_punct / F.length(F.col("text")), 4).alias("punct_ratio"),
-        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        F.round(n_punct * 10000 / F.length(F.col("text")), 0).cast("long").alias("punct_bp"),
+        F.round(n_stop * 10000 / n_words, 0).cast("long").alias("stopword_bp"),
         ((F.col("n_chars") >= 100) & (F.col("n_chars") <= 20000)).alias("length_ok"),
     )
 
@@ -278,12 +279,12 @@ def q_quality_score(spark, sf_dir):
 SQL_QUALITY_SCORE = rf"""
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars_meta,
-       ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-             / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-       ROUND(length(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+       CAST(ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             * 10000 / CAST(length(text) AS DOUBLE), 0) AS BIGINT) AS punct_bp,
+       CAST(ROUND(length(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                                 x -> list_contains({_STOP_SQL}, x)))
-             / CAST(length(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE),
-             4) AS stopword_ratio,
+             * 10000 / CAST(length(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE),
+             0) AS BIGINT) AS stopword_bp,
        n_chars >= 100 AND n_chars <= 20000 AS length_ok
 FROM documents
 """
@@ -309,7 +310,7 @@ def q_ann_topk(spark, sf_dir, k: int = 10):
     norm_q = F.sqrt(
         F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    sim = F.round(dot / (norm_e * norm_q), 4)
+    sim = F.round(dot * 10000 / (norm_e * norm_q), 0).cast("long")
     return (
         embs.filter(F.col("vec_id") != 0)
         .select("vec_id", "label", sim.alias("cosine_sim"))
@@ -320,9 +321,9 @@ def q_ann_topk(spark, sf_dir, k: int = 10):
 
 SQL_ANN_TOPK = """
 SELECT e.vec_id, e.label,
-       ROUND(list_dot_product(e.embedding, q.embedding)
+       CAST(ROUND(list_dot_product(e.embedding, q.embedding) * 10000
              / (SQRT(list_dot_product(e.embedding, e.embedding))
-                * SQRT(list_dot_product(q.embedding, q.embedding))), 4) AS cosine_sim
+                * SQRT(list_dot_product(q.embedding, q.embedding))), 0) AS BIGINT) AS cosine_sim
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 WHERE e.vec_id <> 0
 ORDER BY cosine_sim DESC, e.vec_id ASC

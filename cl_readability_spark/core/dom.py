@@ -18,7 +18,9 @@ nodes carry browser-decoded text.
 
 from __future__ import annotations
 
-from html import escape
+import re
+
+from html import escape, unescape
 from html.parser import HTMLParser
 
 
@@ -364,12 +366,135 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer path
+#
+# A regex scanner ~2.5× faster than stdlib html.parser tokenization, used for
+# the overwhelmingly common clean-markup case.  It drives the SAME
+# _TreeBuilder handle_* callbacks, and BAILS to the stdlib parser on any
+# construct whose tolerant-parsing semantics it does not replicate exactly
+# (stray '<', malformed close tags, exotic tag names, CDATA marked sections,
+# ambiguous unquoted-value-before-slash, unterminated raw text...).
+# Differential-tested against the stdlib path in tests/test_fast_parser.py.
+# ---------------------------------------------------------------------------
+
+class _FastParseBail(Exception):
+    pass
+
+
+_MASTER = re.compile(
+    r"""
+  (?P<text>[^<]+)
+| <(?P<close>/)(?P<ctag>[a-zA-Z][a-zA-Z0-9-]*)\s*>
+| <(?P<tag>[a-zA-Z][a-zA-Z0-9-]*)(?=[\s/>])(?P<attrs>(?:[^>"']|"[^"]*"|'[^']*')*?)(?P<selfclose>/?)>
+| <!--(?P<comment>.*?)-->
+| <!(?P<decl>[^>]*)>
+| <\?(?P<pi>[^>]*)>
+""",
+    re.S | re.X,
+)
+_ATTR = re.compile(r"""\s*([^\s=/>]+)(\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]*)))?""")
+_RAW_END = {
+    "script": re.compile(r"</script", re.I),
+    "style": re.compile(r"</style", re.I),
+}
+
+USE_FAST_PARSER = True  # tests flip this for differential runs
+
+
+def _fast_feed(html: str, builder: "_TreeBuilder") -> None:
+    pos, n = 0, len(html)
+    while pos < n:
+        m = _MASTER.match(html, pos)
+        if m is None:
+            raise _FastParseBail
+        text = m.group("text")
+        if text is not None:
+            builder.handle_data(unescape(text) if "&" in text else text)
+            pos = m.end()
+            continue
+        ctag = m.group("ctag")
+        if ctag is not None:
+            builder.handle_endtag(ctag.lower())
+            pos = m.end()
+            continue
+        tag = m.group("tag")
+        if tag is not None:
+            tag = tag.lower()
+            attrs_s = m.group("attrs")
+            selfclose = m.group("selfclose")
+            if selfclose and attrs_s and attrs_s[-1] not in " \t\r\n\"'":
+                # `<img src=x/>`: stdlib folds the '/' into the unquoted value
+                raise _FastParseBail
+            if attrs_s and "<" in attrs_s:
+                raise _FastParseBail  # tag soup like `<div<!-- -->`
+            attrs: list = []
+            if attrs_s and not attrs_s.isspace():
+                apos = 0
+                for am in _ATTR.finditer(attrs_s):
+                    if am.start() != apos:
+                        raise _FastParseBail
+                    apos = am.end()
+                    name = am.group(1).lower()
+                    if am.group(2) is None:
+                        val = None
+                    else:
+                        if am.group(4) is not None:
+                            val = am.group(4)
+                        elif am.group(5) is not None:
+                            val = am.group(5)
+                        else:
+                            val = am.group(6) or ""
+                        if "&" in val:
+                            val = unescape(val)
+                    attrs.append((name, val))
+                if attrs_s[apos:].strip():
+                    raise _FastParseBail
+            if selfclose:
+                builder.handle_startendtag(tag, attrs)
+                pos = m.end()
+                continue
+            builder.handle_starttag(tag, attrs)
+            pos = m.end()
+            if tag in _RAW_END:
+                rm = _RAW_END[tag].search(html, pos)
+                if rm is None:
+                    # EOF inside raw text — stdlib buffers and drops it;
+                    # don't replicate, defer
+                    raise _FastParseBail
+                builder.handle_data(html[pos : rm.start()])
+                gt = html.find(">", rm.start())
+                if gt == -1:
+                    raise _FastParseBail
+                if html[rm.end() : gt].strip():
+                    raise _FastParseBail  # `</script foo>` — let stdlib decide
+                builder.handle_endtag(tag)
+                pos = gt + 1
+            continue
+        decl = m.group("decl")
+        if decl is not None and decl.startswith("["):
+            raise _FastParseBail  # CDATA marked section — stdlib semantics
+        # comment / doctype / PI: dropped, same as the builder callbacks
+        pos = m.end()
+
+
 def parse_html(html: str, max_elements: int | None = None) -> Document:
     """Parse an HTML string into a Document, normalizing to html>body shape.
 
-    Raises TooManyElementsError when the element count exceeds
-    ``max_elements`` (conditions.lisp:6-21 / readability-plump.lisp:325-328).
-    """
+    Uses the fast tokenizer when the markup is clean, transparently falling
+    back to stdlib html.parser otherwise (identical trees either way —
+    differential-tested).  Raises TooManyElementsError when the element count
+    exceeds ``max_elements`` (conditions.lisp:6-21)."""
+    if USE_FAST_PARSER:
+        builder = _TreeBuilder(max_elements)
+        try:
+            _fast_feed(html, builder)
+        except _FastParseBail:
+            pass
+        else:
+            doc = builder.root
+            _ensure_structure(doc)
+            return doc
     builder = _TreeBuilder(max_elements)
     builder.feed(html)
     builder.close()

@@ -161,23 +161,29 @@ def test_streaming_stateful_sessions(spark, tmp_path):
     # micro-batch — bound the wait and stop explicitly
     import time
 
-    deadline = time.time() + 90
-    while time.time() < deadline:
-        if q.lastProgress and q.lastProgress.get("numInputRows", 0) >= 0 and not q.isActive:
-            break
-        if q.lastProgress and q.lastProgress.get("batchId", 0) >= 1:
-            break
-        time.sleep(1)
-    if q.isActive:
-        q.stop()
-    q.awaitTermination(30)
-    got = spark.read.parquet(out)
-    rows = got.filter(~F.col("closed")).collect()
     expected = {
         (r.conv_id, r.n, r.chars)
         for r in df.groupBy("conv_id")
         .agg(F.count("*").alias("n"), F.sum(F.length("text")).alias("chars"))
         .collect()
     }
-    final_state = {(r.conv_id, r.n_turns, r.total_chars) for r in rows}
+
+    def committed_state():
+        try:
+            rows = spark.read.parquet(out).filter(~F.col("closed")).collect()
+        except Exception:
+            return set()
+        return {(r.conv_id, r.n_turns, r.total_chars) for r in rows}
+
+    deadline = time.time() + 150
+    final_state = set()
+    while time.time() < deadline:
+        final_state = committed_state()
+        if expected <= final_state or not q.isActive:
+            break
+        time.sleep(2)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)
+    final_state = committed_state() or final_state
     assert expected <= final_state  # running totals reach the batch truth

@@ -56,14 +56,40 @@ _AUTO_CLOSE = {
 _HEAD_TAGS = frozenset(["title", "meta", "base", "link", "style"])
 
 
+def _index_of(parent, node) -> int:
+    """Position of ``node`` in ``parent.children`` in amortized O(1): every
+    node carries a position hint (``_pos``) kept fresh on append and repaired
+    by a short local scan (mutations shift siblings by small deltas), falling
+    back to a full refresh.  This is what keeps traversal of very wide
+    documents (tens of thousands of siblings) linear — a plain
+    ``list.index`` here made extraction O(n²)."""
+    sibs = parent.children
+    n = len(sibs)
+    i = node._pos
+    if 0 <= i < n and sibs[i] is node:
+        return i
+    lo = i - 4 if i - 4 > 0 else 0
+    hi = i + 4 if i + 4 < n else n - 1
+    for j in range(hi, lo - 1, -1):
+        if sibs[j] is node:
+            node._pos = j
+            return j
+    for j, c in enumerate(sibs):  # full refresh of every hint
+        c._pos = j
+    if 0 <= node._pos < n and sibs[node._pos] is node:
+        return node._pos
+    raise ValueError("node not in parent.children")
+
+
 class Text:
     """Text node (readability-plump.lisp:107-111)."""
 
-    __slots__ = ("parent", "data")
+    __slots__ = ("parent", "data", "_pos")
 
     def __init__(self, data: str, parent: "Element | None" = None):
         self.data = data
         self.parent = parent
+        self._pos = 0
 
     @property
     def is_whitespace(self) -> bool:
@@ -72,7 +98,7 @@ class Text:
     def detach(self) -> None:
         p = self.parent
         if p is not None:
-            p.children.remove(self)
+            del p.children[_index_of(p, self)]
             self.parent = None
 
     def __repr__(self) -> str:  # pragma: no cover
@@ -88,7 +114,8 @@ class Element:
     ``_readabilityDataTable``.
     """
 
-    __slots__ = ("parent", "tag", "attrs", "children", "score", "data_table")
+    __slots__ = ("parent", "tag", "attrs", "children", "score", "data_table",
+                 "_pos")
 
     def __init__(self, tag: str, attrs: dict | None = None,
                  parent: "Element | None" = None):
@@ -98,6 +125,7 @@ class Element:
         self.parent = parent
         self.score: float | None = None
         self.data_table = False
+        self._pos = 0
 
     # --- attribute protocol (readability.lisp:42-57) ---
     def get(self, name: str, default=None):
@@ -146,7 +174,7 @@ class Element:
         if p is None:
             return None
         sibs = p.children
-        i = sibs.index(self)
+        i = _index_of(p, self)
         return sibs[i + 1] if i + 1 < len(sibs) else None
 
     @property
@@ -155,7 +183,7 @@ class Element:
         if p is None:
             return None
         sibs = p.children
-        i = sibs.index(self)
+        i = _index_of(p, self)
         for j in range(i - 1, -1, -1):
             if isinstance(sibs[j], Element):
                 return sibs[j]
@@ -165,29 +193,34 @@ class Element:
     def append_child(self, node) -> None:
         old = node.parent
         if old is not None:
-            old.children.remove(node)
+            del old.children[_index_of(old, node)]
         node.parent = self
+        node._pos = len(self.children)
         self.children.append(node)
 
     def insert_before(self, node, ref) -> None:
         old = node.parent
         if old is not None:
-            old.children.remove(node)
+            del old.children[_index_of(old, node)]
         node.parent = self
-        self.children.insert(self.children.index(ref), node)
+        i = _index_of(self, ref)
+        self.children.insert(i, node)
+        node._pos = i
 
     def replace_child(self, new, old) -> None:
-        i = self.children.index(old)
+        i = _index_of(self, old)
         if new.parent is not None:
-            new.parent.children.remove(new)
+            del new.parent.children[_index_of(new.parent, new)]
+            i = _index_of(self, old)  # re-derive in case new was a sibling
         new.parent = self
         self.children[i] = new
+        new._pos = i
         old.parent = None
 
     def detach(self) -> None:
         p = self.parent
         if p is not None:
-            p.children.remove(self)
+            del p.children[_index_of(p, self)]
             self.parent = None
 
     # --- text protocol (readability.lisp:58-70 / plump `text`) ---
@@ -625,7 +658,7 @@ def _text_next(t: Text):
     if p is None:
         return None
     sibs = p.children
-    i = sibs.index(t)
+    i = _index_of(p, t)
     return sibs[i + 1] if i + 1 < len(sibs) else None
 
 
@@ -667,7 +700,7 @@ def _next_element_sibling(node: Element):
     if p is None:
         return None
     sibs = p.children
-    i = sibs.index(node)
+    i = _index_of(p, node)
     for j in range(i + 1, len(sibs)):
         if isinstance(sibs[j], Element):
             return sibs[j]

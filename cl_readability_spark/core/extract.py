@@ -115,7 +115,10 @@ def _clone(node, parent=None):
         return t
     el = Element(node.tag, dict(node.attrs))
     el.parent = parent
-    el.children = [_clone(c, el) for c in node.children]
+    kids = [_clone(c, el) for c in node.children]
+    for i, c in enumerate(kids):
+        c._pos = i
+    el.children = kids
     return el
 
 

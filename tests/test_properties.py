@@ -132,3 +132,25 @@ def test_pathological_nesting_never_kills():
     html = "<div>" * 5000 + "text" + "</div>" * 5000
     r = extract(html)
     assert r.status in ("ok", "no_content", "error")
+
+
+def test_wide_document_is_linear():
+    """Regression guard for the O(n²) sibling-index cliff: a 20k-sibling
+    document must extract in seconds, not minutes (was 11.8s before the
+    position-hint fix, ~0.9s after; threshold leaves headroom for machine
+    noise)."""
+    import time
+
+    html = (
+        "<html><body><div id='m'>"
+        + "".join(
+            f"<p>paragraph {i} with some words, commas, and text to score.</p>"
+            for i in range(20000)
+        )
+        + "</div></body></html>"
+    )
+    t0 = time.time()
+    r = extract(html, include_html=False)
+    dt = time.time() - t0
+    assert r.status == "ok"
+    assert dt < 8, f"wide doc took {dt:.1f}s — O(n²) regression?"

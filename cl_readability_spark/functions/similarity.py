@@ -99,6 +99,58 @@ def _sig_of(vec: list[float], n_planes: int, seed: int) -> int:
     return sig
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 512,
+) -> DataFrame:
+    """All-pairs embedding-cosine near-duplicate detection: hyperplane
+    signatures bucket the corpus, candidate pairs form within buckets
+    (self-join on the signature — near-identical vectors agree on every
+    sign bit w.h.p.), exact cosine verifies.  Returns
+    (id_a, id_b, cosine_sim_x10k) with id_a < id_b, sim ≥ threshold."""
+    sig = hyperplane_signature(embeddings, _dim_of(embeddings, vec_col),
+                               n_planes, seed, vec_col)
+    left = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("lsh_sig"),
+    )
+    right = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("lsh_sig"),
+    )
+    # cap pathological buckets so a degenerate signature cannot go quadratic
+    sizes = sig.groupBy("lsh_sig").count().filter(F.col("count") <= max_bucket)
+    bounded = left.join(sizes.select("lsh_sig"), "lsh_sig")
+    pairs = (
+        bounded.join(right, "lsh_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_sim_x10k",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                * 10000
+                / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
+                0,
+            ).cast("long"),
+        )
+        .filter(F.col("cosine_sim_x10k") >= int(threshold * 10000))
+        .select("id_a", "id_b", "cosine_sim_x10k")
+    )
+    return pairs
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    first = df.select(vec_col).first()
+    return len(first[0])
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -75,3 +75,30 @@ def test_lsh_probes_fewer_vectors(spark, embs, all_vecs):
     probes = {qsig} | {qsig ^ (1 << i) for i in range(8)}
     probed = sig_df.filter(sig_df.lsh_sig.isin(*[int(s) for s in probes])).count()
     assert probed < total * 0.25, (probed, total)
+
+
+def test_embedding_near_dups(spark):
+    """Planted near-duplicate embeddings are found; unrelated ones are not."""
+    import random
+
+    from cl_readability_spark.functions.similarity import embedding_near_dups
+
+    rng = random.Random(5)
+    rows = []
+    base = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(20)]
+    for i, v in enumerate(base):
+        rows.append((i, v))
+    # plant near-dups of vectors 0 and 1 (tiny perturbation)
+    rows.append((100, [x + 0.01 for x in base[0]]))
+    rows.append((101, [x * 1.001 for x in base[1]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r.id_a, r.id_b): r.cosine_sim_x10k
+        for r in embedding_near_dups(df, threshold=0.99).collect()
+    }
+    assert (0, 100) in pairs
+    assert (1, 101) in pairs
+    assert pairs[(1, 101)] >= 9990
+    # no unrelated gaussian pair reaches 0.99 cosine
+    for (a, b) in pairs:
+        assert (a, b) in {(0, 100), (1, 101)}

@@ -19,7 +19,10 @@ from cl_readability_spark.functions.dedup import (
     minhash_near_dups,
     simhash_signature,
 )
-from cl_readability_spark.functions.similarity import lsh_bucketed_topk
+from cl_readability_spark.functions.similarity import (
+    embedding_near_dups,
+    lsh_bucketed_topk,
+)
 from cl_readability_spark.functions.sqltwins import SQL_TWINS
 from cl_readability_spark.pipeline.job import extract_transcripts, metrics_rollup
 from cl_readability_spark.pipeline.transcripts import documents_as_transcripts
@@ -92,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_bucketed_topk(embs.filter(F.col("vec_id") != 0), q, k=10)
 
     out["ann_lsh_topk"] = _q_ann_lsh
+    out["embedding_near_dups"] = lambda spark, sf_dir: embedding_near_dups(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9
+    )
 
     def _q_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         from cl_readability_spark.pipeline.diff import explode_spans

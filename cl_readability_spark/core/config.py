@@ -7,7 +7,9 @@ whole object is captured by closure into the pandas UDF (broadcast-equivalent).
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
+from typing import Any
 
 
 # globals.lisp:16-17 — Readability.UNLIKELY_ROLES
@@ -70,6 +72,11 @@ class ExtractorConfig:
     strip_unlikelys: bool = True
     weight_classes: bool = True
     clean_conditionally: bool = True
+    # globals.lisp:32-33 — *visibility-checker*: pluggable visibility
+    # predicate (Element -> bool); None = the default _isProbablyVisible.
+    # For Spark use the callable must be a picklable module-level function
+    # (it rides into the Arrow UDF closure with the rest of the config).
+    visibility_checker: Callable[[Any], bool] | None = None
 
 
 DEFAULT_CONFIG = ExtractorConfig()

@@ -407,7 +407,10 @@ def _grab_article_once(
 
         match_string = node.class_name + " " + node.id
 
-        if not is_probably_visible(node):
+        # *visibility-checker* hook (globals.lisp:32-33): config override,
+        # defaulting to _isProbablyVisible
+        visible = state["cfg"].visibility_checker or is_probably_visible
+        if not visible(node):
             node = remove_and_get_next(node)
             continue
         if node.get("aria-modal") == "true" and node.get("role") == "dialog":

@@ -40,8 +40,11 @@ def _candidate_nodes(doc: Document) -> list[Element]:
 
 def is_readerable_doc(doc: Document, config: ExtractorConfig = DEFAULT_CONFIG) -> bool:
     score = 0.0
+    # *visibility-checker* hook (globals.lisp:32-33), bound via the :around
+    # method at readability-plump.lisp:122-125 in the reference
+    visible = config.visibility_checker or is_probably_visible
     for node in _candidate_nodes(doc):
-        if not is_probably_visible(node):
+        if not visible(node):
             continue
         match_string = node.class_name + " " + node.id
         if R.UNLIKELY_CANDIDATES.search(match_string) and not R.MAYBE_CANDIDATE.search(

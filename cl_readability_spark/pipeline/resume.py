@@ -144,6 +144,8 @@ class CheckpointedSink:
         }
         cfg = dataclasses.asdict(config)
         cfg["preserved_classes"] = sorted(cfg["preserved_classes"])
+        vc = cfg.get("visibility_checker")
+        cfg["visibility_checker"] = getattr(vc, "__qualname__", None) if vc else None
         manifest = {
             "batch": os.path.basename(batch_path),
             "rows": n_rows,

@@ -41,9 +41,12 @@ def _finalize(df: DataFrame) -> DataFrame:
         F.col("tool"),
         F.to_timestamp(F.from_unixtime(F.col("ts_epoch"))).alias("ts"),
     )
-    assert [f.name for f in out.schema.fields] == [
-        f.name for f in TRANSCRIPTS_SCHEMA.fields
-    ]
+    got = [(f.name, f.dataType) for f in out.schema.fields]
+    want = [(f.name, f.dataType) for f in TRANSCRIPTS_SCHEMA.fields]
+    if got != want:
+        raise ValueError(
+            f"transcript source schema drift: got {got}, want {want}"
+        )
     return out
 
 

@@ -1,10 +1,12 @@
-"""Snapshot-checkpointed, idempotently-resumable extraction sink.
+"""Snapshot-checkpointed, idempotently-resumable extraction job.
 
-Production target is an Iceberg table: each batch append is one atomic
-snapshot, and resume = left-anti join of the source against the committed
-keys of the last snapshot (SURVEY §2.11 joins row).  This sandbox has no
-Iceberg jars (offline; checked at build time), so the same contract is
-implemented on parquet, exactly as SURVEY §7 step 4 specifies the fallback:
+The job logic (``run_resumable``) is sink-agnostic and written against
+``sink.KeyedSink``: resume = left-anti join of the source against the
+committed keys, then one atomic batch append (SURVEY §2.11 joins row).
+The production sink is Iceberg (``sink.IcebergSink`` — one snapshot per
+append, time-travel resume); this sandbox has no Iceberg jars (offline;
+checked at build time), so the default sink implements the identical
+contract on parquet, exactly as SURVEY §7 step 4 specifies the fallback:
 
 - output root holds ``batch=N/`` directories; a batch is committed iff Spark
   finished writing it (``_SUCCESS`` marker — atomic at job-commit, exactly
@@ -14,8 +16,9 @@ implemented on parquet, exactly as SURVEY §7 step 4 specifies the fallback:
   half-written batch has no _SUCCESS → invisible; the anti-join re-selects
   its rows.
 
-Swapping in Iceberg is a sink-level change only (writeTo(...).append() and
-``VALID_FROM`` snapshot reads); the job DAG is identical.
+Swapping in Iceberg is a sink-object change only; the job DAG upstream of
+the write is identical (asserted by the plan-identity test in
+tests/test_spark_pipeline.py).
 """
 
 from __future__ import annotations
@@ -34,13 +37,55 @@ from cl_readability_spark.pipeline.job import (
     extract_transcripts,
     metrics_sidecar,
 )
+from cl_readability_spark.pipeline.sink import KEY_COLUMNS, KeyedSink
 
-KEY_COLUMNS = ["conv_id", "turn_idx"]
+
+def pending_rows(transcripts: DataFrame, committed: DataFrame | None) -> DataFrame:
+    """The resume anti-join: source rows whose keys are not yet committed.
+    Broadcast-friendly when the committed side is small; at scale both
+    sides shuffle on (conv_id, turn_idx) and AQE picks the strategy —
+    exactly the Iceberg MERGE-style resume plan."""
+    if committed is None:
+        return transcripts
+    return transcripts.join(committed, on=KEY_COLUMNS, how="left_anti")
+
+
+def run_resumable(
+    transcripts: DataFrame,
+    sink: KeyedSink,
+    config: ExtractorConfig = DEFAULT_CONFIG,
+    salt_buckets: int = 16,
+    num_partitions: int | None = None,
+    metrics_root: str | None = None,
+) -> int:
+    """Extract every not-yet-committed turn into ``sink``; returns rows
+    written.  Sink-agnostic: the same call works against parquet
+    checkpoints here and an Iceberg table in production."""
+    spark = transcripts.sparkSession
+    sink.prepare(spark)
+    remaining = pending_rows(transcripts, sink.committed_keys(spark))
+    result = extract_transcripts(
+        remaining,
+        config=config,
+        salt_buckets=salt_buckets,
+        num_partitions=num_partitions,
+    )
+    handle = sink.write_batch(result)
+    written = (
+        spark.read.parquet(handle) if os.path.isdir(handle) else sink.read(spark)
+    )
+    if metrics_root is not None:
+        metrics_sidecar(written).write.mode("append").parquet(metrics_root)
+    return written.count()
 
 
 class CheckpointedSink:
+    """Parquet implementation of the KeyedSink contract (see module doc)."""
+
     def __init__(self, root: str):
         self.root = root
+        self.key_columns = list(KEY_COLUMNS)
+        self._last_write: dict | None = None
         os.makedirs(root, exist_ok=True)
 
     # --- snapshot bookkeeping ---
@@ -71,11 +116,22 @@ class CheckpointedSink:
             ):
                 shutil.rmtree(path)
 
+    # --- KeyedSink protocol ---
+    def prepare(self, spark: SparkSession) -> None:
+        self.cleanup_uncommitted()
+
     def committed_keys(self, spark: SparkSession) -> DataFrame | None:
         batches = self.committed_batches()
         if not batches:
             return None
         return spark.read.parquet(*batches).select(*KEY_COLUMNS)
+
+    def write_batch(self, df: DataFrame) -> str:
+        batch_path = self._next_batch_path()
+        t0 = time.time()
+        df.write.mode("errorifexists").parquet(batch_path)
+        self._last_write = {"path": batch_path, "seconds": time.time() - t0}
+        return batch_path
 
     def read(self, spark: SparkSession) -> DataFrame:
         batches = self.committed_batches()
@@ -83,7 +139,7 @@ class CheckpointedSink:
             raise FileNotFoundError(f"no committed batches under {self.root}")
         return spark.read.parquet(*batches)
 
-    # --- the resumable job ---
+    # --- the resumable job (kept API; delegates to the generic runner) ---
     def run(
         self,
         transcripts: DataFrame,
@@ -92,32 +148,23 @@ class CheckpointedSink:
         num_partitions: int | None = None,
         metrics_root: str | None = None,
     ) -> int:
-        """Extract every not-yet-committed turn; returns rows written.
-
-        The anti-join is broadcast-friendly when the committed side is small;
-        at scale both sides shuffle on (conv_id, turn_idx) and AQE picks the
-        strategy — exactly the Iceberg MERGE-style resume plan."""
         spark = transcripts.sparkSession
-        self.cleanup_uncommitted()
-        committed = self.committed_keys(spark)
-        remaining = transcripts
-        if committed is not None:
-            remaining = transcripts.join(committed, on=KEY_COLUMNS, how="left_anti")
-        result = extract_transcripts(
-            remaining,
+        n = run_resumable(
+            transcripts,
+            self,
             config=config,
             salt_buckets=salt_buckets,
             num_partitions=num_partitions,
+            metrics_root=metrics_root,
         )
-        batch_path = self._next_batch_path()
-        t0 = time.time()
-        result.write.mode("errorifexists").parquet(batch_path)
-        written = spark.read.parquet(batch_path)
-        if metrics_root is not None:
-            metrics_sidecar(written).write.mode("append").parquet(metrics_root)
-        n = written.count()
-        self._write_manifest(written, batch_path, n, time.time() - t0, config,
-                             salt_buckets)
+        last = self._last_write or {}
+        batch_path = last.get("path")
+        if batch_path:
+            written = spark.read.parquet(batch_path)
+            self._write_manifest(
+                written, batch_path, n, last.get("seconds", 0.0), config,
+                salt_buckets,
+            )
         return n
 
     def _write_manifest(self, written: DataFrame, batch_path: str, n_rows: int,

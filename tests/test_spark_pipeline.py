@@ -161,6 +161,61 @@ def test_resume_ignores_uncommitted_batch(spark, transcripts, tmp_path):
     assert sink.read(spark).count() == transcripts.count()
 
 
+def test_sink_protocol_and_plan_identity(spark, transcripts, tmp_path):
+    """The resume job is sink-agnostic: both sinks satisfy KeyedSink and
+    the anti-join DAG upstream of the write is byte-identical once the
+    committed-keys leaf is fixed (the Iceberg swap is sink-object only)."""
+    import re
+
+    from cl_readability_spark.pipeline.resume import CheckpointedSink, pending_rows
+    from cl_readability_spark.pipeline.sink import IcebergSink, KeyedSink
+
+    parquet_sink = CheckpointedSink(str(tmp_path / "plan"))
+    iceberg_sink = IcebergSink("cat.db.extracted")
+    assert isinstance(parquet_sink, KeyedSink)
+    assert isinstance(iceberg_sink, KeyedSink)
+
+    parquet_sink.run(transcripts.limit(5))
+    committed = parquet_sink.committed_keys(spark)
+
+    def normalized_plan(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"#\d+L?", "#x", plan)
+
+    # same committed keys → same plan, regardless of which sink object the
+    # job holds (pending_rows never touches the sink)
+    p = normalized_plan(pending_rows(transcripts, committed))
+    assert "Join LeftAnti" in p
+    assert normalized_plan(pending_rows(transcripts, committed)) == p
+    # first run (no committed keys): plan is the bare source, no join
+    assert "Join" not in normalized_plan(pending_rows(transcripts, None))
+
+
+def test_iceberg_sink_fails_loudly_without_catalog(spark):
+    from cl_readability_spark.pipeline.sink import IcebergSink
+
+    sink = IcebergSink("cat.db.extracted")
+    assert IcebergSink.is_available(spark) is False
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        sink.prepare(spark)
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        sink.committed_keys(spark)
+
+
+def test_run_resumable_generic_runner(spark, transcripts, tmp_path):
+    """run_resumable against the protocol (not the .run() wrapper) keeps
+    the idempotence contract."""
+    from cl_readability_spark.pipeline.resume import run_resumable
+
+    sink = CheckpointedSink(str(tmp_path / "gen"))
+    n1 = run_resumable(transcripts.filter(F.col("turn_idx") % 2 == 0), sink)
+    n2 = run_resumable(transcripts, sink)
+    assert n1 + n2 == transcripts.count()
+    assert sink.read(spark).select("conv_id", "turn_idx").distinct().count() == (
+        transcripts.count()
+    )
+
+
 def test_documents_as_transcripts(spark):
     df = documents_as_transcripts(spark, "/root/testdata/sf0.001")
     assert [f.name for f in df.schema.fields] == [

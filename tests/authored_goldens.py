@@ -1,0 +1,137 @@
+"""Hand-authored golden expectations — derived from the WRITTEN semantics,
+never from running the engine.
+
+This is the independent correctness anchor the round-1 verdict asked for:
+``tests/fixtures/`` snapshots are engine-generated (a regression gate);
+the expectations here were derived by hand from the case HTML plus the
+documented algorithm (SURVEY §2.3-2.4, readability-plump.lisp:161-190,
+Readability.js semantics cited by the reference's TODOs), and committed as
+files under ``tests/fixtures-authored/`` that ``make_goldens.py`` must
+never write.  ``test_authored_goldens.py`` asserts byte-equality without
+ever invoking the generator.
+
+Derivation rules used (the engine's documented output contract):
+- extracted_text = the normalized inner texts of the top-level children of
+  the readability-page-1 wrapper, joined by "\\n\\n" (one block per child);
+  normalization = trim + collapse \\s{2,} to one space (_getInnerText,
+  readability.lisp:60-67).
+- text_content is the pre-order concatenation of text nodes, so sibling
+  <p>s whose literal text ends in a trailing space concatenate into a
+  single-space-separated run.
+
+Worked example of the method (class-weight, the non-obvious case):
+paragraph score = 1 + (commas+1) + min(len//100, 3) (JS _grabArticle);
+div init = +5 + classWeight (±25, regex.lisp:15-19).  #one = 30 + 45 = 75,
+#two = -20 + 45 = 25; sibling threshold = max(10, 0.2*75) = 15, so
+grab-article MERGES #two (25 >= 15) — but prep-article's
+clean-conditionally then removes it because JS _cleanConditionally drops
+any node with classWeight + 0 < 0 and 'widget' is a negative class.
+Hence: WINNER block only.
+"""
+
+# The literal sentences the cases are built from (tests/golden_cases.py).
+S = (
+    "Body content sentences with commas, clauses, and length enough to score "
+    "well in candidate selection, which keeps this paragraph firmly in the "
+    "article. "
+)
+S2 = (
+    "Identical paragraph content with commas, weight, and length to make "
+    "both containers score the same way, exactly. "
+)
+LOOSE = (
+    "Loose phrasing text with commas, and enough length to be scored as a "
+    "paragraph, truly. "
+)
+SEG1 = "Segment text with commas, structure, and heft enough to be real content. "
+SEG2 = "Second segment with commas, and plenty of words to matter here, still. "
+WINNER = (
+    "WINNER marker paragraph, long enough to contribute to the final text output."
+)
+
+# name -> {text, title?, byline?}; every derivation commented with its
+# reasoning chain.
+AUTHORED: dict[str, dict] = {
+    # <article> with 4 paragraphs of S*4; article is the only scored
+    # ancestor -> top candidate; no siblings; one block = S*16.
+    "basic-article": {
+        "text": (S * 16).strip(),
+        # <title> "... | Site": split at the separator, first part has 5
+        # words >= 3 -> kept (JS _getArticleTitle).
+        "title": "The Basic Article Fixture Title",
+    },
+    # div.sidebar and div.social-share match the unlikely-candidate regex
+    # (regex.lisp:9-10: 'sidebar', 'social') and not the maybe regex ->
+    # stripped in the grab pass; remaining: 3 paragraphs in div#page.
+    "unlikely-classes": {"text": (S * 12).strip()},
+    # display:none / hidden attr / aria-hidden=true are all invisible per
+    # _isProbablyVisible -> removed; 3 paragraphs remain.
+    "hidden-content": {"text": (S * 12).strip()},
+    # div#nav2 (30 links, ~zero non-link text, <10 commas) is removed by
+    # prep-article clean-conditionally: weight 0 < 25 and linkDensity ~1 >
+    # 0.2 (readability.lisp:467-485 / JS clause 5).
+    "link-density": {"text": (S * 12).strip()},
+    # the youtube iframe matches *videos-regex* -> kept (no text); the
+    # tracker iframe doesn't -> cleaned.  Text unaffected either way.
+    "video-embed-kept": {"text": (S * 12).strip()},
+    # unwrap-noscript-images swaps the lazy img for the noscript's; no text.
+    "noscript-img": {"text": (S * 12).strip()},
+    # ul.tags: 'tags' matches the negative regex -> weight -25 < 0 ->
+    # removed outright by clean-conditionally (weight + 0 < 0).
+    "clean-conditional": {"text": (S * 12).strip()},
+    # the 4th <p>'s text nodes: "See " + "the other page" + " and " +
+    # " inline for more of the story, truly." -> the img contributes
+    # nothing, the double space collapses to one under \s{2,} -> " ".
+    "relative-urls": {
+        "text": (
+            S * 12 + "See the other page and inline for more of the story, truly."
+        ).strip()
+    },
+    # replace-brs: the <br><br> run becomes a <p> pulling SEG2 in; SEG1
+    # stays as loose text wrapped by the div-children loop; one block.
+    "br-runs": {"text": (SEG1 * 3 + SEG2 * 3).strip()},
+    # prep-article unwraps the single-cell table; the td's paragraph plus
+    # the two following paragraphs = S*12 in document order.
+    "single-cell-table": {"text": (S * 12).strip()},
+    # span rel=author is detected by _checkByline (readability-plump.lisp:
+    # 128-135), recorded, and REMOVED from the content.
+    "byline-rel-author": {
+        "text": (S * 12).strip(),
+        "byline": "Alice B. Charles",
+    },
+    # title split derivations per JS _getArticleTitle (see each comment).
+    "title-pipe": {
+        "text": (S * 12).strip(),
+        # "A | B": first part, 5 words >= 3 -> kept, trimmed.
+        "title": "Five Word Article Title Here",
+    },
+    "title-colon": {
+        "text": (S * 12).strip(),
+        # no hierarchical separator; after-colon part has 7 words >= 3 and
+        # before-colon "Site Name" has 2 <= 5 words -> after-colon kept.
+        "title": "Seven Word Article Title Goes Right Here",
+    },
+    "title-h1": {
+        "text": (S * 12).strip(),
+        # <title> "Shorty" is < 15 chars and the page has exactly one h1 ->
+        # the h1's inner text becomes the title.
+        "title": "A Completely Different Long Heading For This",
+    },
+    # attempt 1 strips div.comment (unlikely regex 'comment'); the grabbed
+    # text is < *char-threshold* 500, so the retry loop relaxes
+    # strip-unlikelys and re-grabs; still < 500 through all flags -> the
+    # longest attempt (the 71-char paragraph) is kept.
+    "short-article-retry": {
+        "text": (
+            "Short real content, under the five hundred character threshold, sadly."
+        )
+    },
+    # the leaf div has no block children -> retagged <p> and scored; inner
+    # beats outer (divider 2), then the single-child hoist climbs
+    # inner -> outer (outer's only element child is inner); one block.
+    "div-soup": {"text": (LOOSE * 3 + S * 12).strip()},
+    # see the worked example in the module docstring: sibling #two IS
+    # merged by grab-article but then removed by clean-conditionally's
+    # negative-class-weight rule; WINNER block only.
+    "class-weight": {"text": (S2 * 9 + WINNER).strip()},
+}

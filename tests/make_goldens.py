@@ -1,6 +1,11 @@
 #!/usr/bin/env python
-"""Materialize the golden fixture corpus (run from repo root; see
-golden_cases.py for when regeneration is appropriate)."""
+"""Materialize the SNAPSHOT golden fixture corpus (run from repo root; see
+golden_cases.py for when regeneration is appropriate).
+
+This writes ONLY tests/fixtures/ — the engine-output snapshot suite (a
+regression gate).  The independent correctness anchor lives in
+tests/fixtures-authored/: hand-derived expectations this script must never
+touch (they are not generated from the engine; see authored_goldens.py)."""
 
 import json
 import os

@@ -93,6 +93,31 @@ def main() -> None:
     for name, (builder, _sql) in sorted(SQL_TWINS.items()):
         run(f"sql_{name}", lambda b=builder: builder_count(b, spark, sf_dir))
 
+    # 5. dedup/ANN scale paths (banded LSH; JVM-only plans)
+    from cl_readability_spark.functions.dedup import minhash_near_dups
+    from cl_readability_spark.functions.similarity import (
+        embedding_near_dups,
+        plant_near_dups,
+    )
+
+    run(
+        "dedup_minhash_real",
+        lambda: minhash_near_dups(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), jaccard_threshold=0.5
+        ).count(),
+    )
+    run(
+        "embedding_near_dups",
+        lambda: embedding_near_dups(
+            plant_near_dups(
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                every=5, gamma=0.43, seed=7,
+            ),
+            threshold=0.9,
+            dim=64,
+        ).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     throughput = {
         "extract_documents_turns_per_sec": round(

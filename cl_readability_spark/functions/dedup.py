@@ -148,6 +148,87 @@ def minhash_near_dups(
     return verified
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: documents whose 64-bit SimHashes are
+    within ``max_hamming`` bits.
+
+    Candidate generation is EXACT (not probabilistic): the signature is
+    split into 4 16-bit blocks, and by pigeonhole any pair within Hamming
+    distance 3 agrees on at least one whole block — so bucketing on
+    (block_idx, block_value) finds every qualifying pair as long as
+    ``max_hamming <= 3``.  Verification is ``bit_count(xor)`` — all JVM.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.  One groupBy shuffle on
+    the block key (bounded by ``max_bucket``) plus two id-joins for verify
+    — the same scale shape as the MinHash path."""
+    if max_hamming > 3:
+        raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
+    sim = simhash_signature(df, id_col, text_col)
+    blocks = sim.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("_id", "blk.block_idx", "blk.block_val")
+    buckets = (
+        blocks.groupBy("block_idx", "block_val")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sigs = sim.select(F.col(id_col), F.col("simhash"))
+    verified = (
+        pairs.join(
+            sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b")),
+            "id_b",
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return verified
+
+
 def simhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -198,15 +198,22 @@ def embedding_near_dups(
         F.explode(band_structs).alias("band"),
     ).select("_id", "refine_sig", "band.band_idx", "band.band_sig")
 
-    sizes = banded.groupBy("band_idx", "band_sig").count()
-    keyed = banded.join(sizes, ["band_idx", "band_sig"]).withColumn(
+    # bucket sizes via a window over the bucket key: ONE shuffle, and the
+    # groupBy below reuses the same hash partitioning (its keys are a
+    # superset), versus the groupBy-count + join-back shape which computes
+    # the 128-dot-product signature stage twice and shuffles three times.
+    from pyspark.sql.window import Window
+
+    bucket_w = Window.partitionBy("band_idx", "band_sig")
+    keyed = banded.withColumn("count", F.count("*").over(bucket_w)).withColumn(
         "sub",
         F.when(F.col("count") <= max_bucket, F.lit(0).cast("long")).otherwise(
             F.col("refine_sig")
         ),
     )
+    keyed = keyed.withColumn("oversized", F.col("count") > max_bucket)
     buckets = (
-        keyed.groupBy("band_idx", "band_sig", "sub")
+        keyed.groupBy("band_idx", "band_sig", "sub", "oversized")
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
         .withColumn("bsize", F.size("ids"))
     )
@@ -240,16 +247,15 @@ def embedding_near_dups(
     )
     if not return_stats:
         return verified
-    stats = sizes.agg(
-        F.count("*").alias("n_buckets_raw"),
-        F.sum((F.col("count") > max_bucket).cast("long")).alias("n_buckets_refined"),
-    ).crossJoin(
-        buckets.agg(
-            F.count("*").alias("n_buckets_final"),
-            F.sum(F.greatest(F.col("bsize") - max_bucket, F.lit(0))).alias(
-                "rows_truncated"
-            ),
-        )
+    stats = buckets.agg(
+        F.count_distinct(F.col("band_idx"), F.col("band_sig")).alias("n_buckets_raw"),
+        F.count_distinct(
+            F.when(F.col("oversized"), F.struct("band_idx", "band_sig"))
+        ).alias("n_buckets_refined"),
+        F.count("*").alias("n_buckets_final"),
+        F.sum(F.greatest(F.col("bsize") - max_bucket, F.lit(0))).alias(
+            "rows_truncated"
+        ),
     )
     return verified, stats
 

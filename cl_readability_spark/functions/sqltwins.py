@@ -433,6 +433,37 @@ FROM documents a JOIN documents b
 """
 
 
+# --- 17. dedup_simhash_planted — the SimHash block-LSH pipeline on the same
+#     planted-group corpus.  With max_hamming=0 the expected output is exact:
+#     identical texts share the full 64-bit SimHash (every block bucket
+#     contains the whole group → all pairs candidates, hamming 0), while
+#     cross-group token universes give distinct SimHashes (verified locally;
+#     a 64-bit collision would need p≈2^-64).  Candidate generation is
+#     pigeonhole-exact, so there is no probabilistic recall in this gate. ---
+def q_dedup_simhash_planted(spark, sf_dir):
+    from cl_readability_spark.functions.dedup import simhash_near_dups
+
+    group = F.floor(F.col("doc_id") / 10).cast("long")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda j: F.concat(
+                F.lit("w"), group.cast("string"), F.lit("_"), j.cast("string")
+            ),
+        ),
+    )
+    corpus = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return simhash_near_dups(corpus, max_hamming=0)
+
+
+SQL_DEDUP_SIMHASH_PLANTED = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id // 10 = b.doc_id // 10 AND a.doc_id < b.doc_id
+"""
+
+
 # --- TPC-H-style relational twins over the driver tables: the classic scan
 #     → broadcast-join → partial-agg shapes the metrics/lineage rollups use
 #     at scale.  Money math is integerized (×100, bigint) so cross-engine
@@ -641,6 +672,7 @@ SQL_TWINS: dict[str, tuple] = {
     "langid": (q_langid, SQL_LANGID),
     "candidate_score": (q_candidate_score, SQL_CANDIDATE_SCORE),
     "dedup_minhash_planted": (q_dedup_minhash_planted, SQL_DEDUP_MINHASH_PLANTED),
+    "dedup_simhash_planted": (q_dedup_simhash_planted, SQL_DEDUP_SIMHASH_PLANTED),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),

@@ -66,10 +66,18 @@ def measured_run(cores: int) -> None:
     # warm scan cache / JIT / python-worker imports so both runs pay it equally
     extract_transcripts(df.limit(64), salt_buckets=4).count()
 
-    t0 = time.perf_counter()
-    result = extract_transcripts(df, salt_buckets=16, num_partitions=4 * cores)
-    n_ok = result.filter(F.col("status") == "ok").count()
-    dt = time.perf_counter() - t0
+    # 3 repetitions, report the MIN as steady-state: the round-2 profile
+    # (BENCH/BASELINE.md) showed the first full pass carries residual
+    # warmup (page cache, full python-worker fleet spin-up) worth up to
+    # 40% at 32 cores, which single-shot timing misattributed to scaling.
+    reps = []
+    n_ok = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        result = extract_transcripts(df, salt_buckets=16, num_partitions=4 * cores)
+        n_ok = result.filter(F.col("status") == "ok").count()
+        reps.append(time.perf_counter() - t0)
+    dt = min(reps)
     n = df.count()
     print(
         json.dumps(
@@ -78,6 +86,7 @@ def measured_run(cores: int) -> None:
                 "turns": n,
                 "ok_rows": n_ok,
                 "seconds": round(dt, 3),
+                "reps": [round(r, 3) for r in reps],
                 "turns_per_sec": round(n / dt, 1),
             }
         )
@@ -103,16 +112,20 @@ def mp_control(procs: int) -> None:
     table = pq.read_table(CORPUS_PATH, columns=["text"])
     docs = table.column("text").to_pylist()
     chunks = [docs[i :: procs * 4] for i in range(procs * 4)]
-    t0 = time.perf_counter()
-    with mp.Pool(procs) as pool:
-        pool.map(_mp_chunk, chunks)
-    dt = time.perf_counter() - t0
+    reps = []
+    for _ in range(3):  # min-of-3, same steady-state protocol as the Spark runs
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as pool:
+            pool.map(_mp_chunk, chunks)
+        reps.append(time.perf_counter() - t0)
+    dt = min(reps)
     print(
         json.dumps(
             {
                 "procs": procs,
                 "turns": len(docs),
                 "seconds": round(dt, 3),
+                "reps": [round(r, 3) for r in reps],
                 "turns_per_sec": round(len(docs) / dt, 1),
             }
         )

@@ -120,3 +120,32 @@ def test_simhash_near_dups_close_in_hamming(spark, corpus_df):
     # unrelated docs far apart
     unrelated = [hamming(sims[a], sims[b]) for a, b in itertools.combinations(range(10), 2)]
     assert min(unrelated) > 10
+
+
+def test_simhash_near_dups_pairs(spark, corpus_df):
+    """Block-LSH SimHash pairs: the exact dup (hamming 0) is guaranteed
+    found; every returned pair satisfies the hamming bound; pairs at
+    hamming <= 3 are found EXACTLY (pigeonhole over 4 blocks)."""
+    from cl_readability_spark.functions.dedup import simhash_near_dups
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dups(corpus_df, max_hamming=3).collect()
+    }
+    assert got.get((2, 102)) == 0  # exact duplicate
+    assert all(h <= 3 for h in got.values())
+    # exhaustive truth at hamming <= 3 from the signatures themselves
+    sims = {r.doc_id: r.simhash for r in simhash_signature(corpus_df).collect()}
+    truth = {
+        tuple(sorted(p)): hamming(sims[p[0]], sims[p[1]])
+        for p in itertools.combinations(sims, 2)
+        if hamming(sims[p[0]], sims[p[1]]) <= 3
+    }
+    assert got == truth  # exact recall AND precision, no probabilistic slack
+
+
+def test_simhash_near_dups_rejects_wide_hamming(spark, corpus_df):
+    from cl_readability_spark.functions.dedup import simhash_near_dups
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(corpus_df, max_hamming=4)

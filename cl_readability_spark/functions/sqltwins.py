@@ -394,6 +394,37 @@ FROM documents
 """
 
 
+# --- 15b. link_density — the 0.3 hash-link discount formula
+#     (readability.lisp:408-423 / Readability._getLinkDensity): density =
+#     Σ over links of len × (0.3 if href starts '#' else 1.0) ÷ total text
+#     length.  Per-node link stats synthesized from doc_id (hash-link chars,
+#     plain-link chars) over the real n_chars; integerized with ×10 coeffs
+#     and FLOOR so the value hash is float-free.  A regression in the 0.3
+#     constant or the discount direction flips the hash. ---
+def q_link_density(spark, sf_dir):
+    hash_len = (F.col("doc_id") % 50).cast("long")
+    plain_len = ((F.col("doc_id") * 7) % 97).cast("long")
+    ld_x1000 = F.floor(
+        (hash_len * 3 + plain_len * 10) * 1000 / (F.col("n_chars") * 10)
+    ).cast("long")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        hash_len.alias("hash_link_chars"),
+        plain_len.alias("plain_link_chars"),
+        ld_x1000.alias("link_density_x1000"),
+    )
+
+
+SQL_LINK_DENSITY = """
+SELECT doc_id,
+       CAST(doc_id % 50 AS BIGINT) AS hash_link_chars,
+       CAST((doc_id * 7) % 97 AS BIGINT) AS plain_link_chars,
+       CAST(FLOOR(((doc_id % 50) * 3 + ((doc_id * 7) % 97) * 10) * 1000
+                  / (n_chars * 10.0)) AS BIGINT) AS link_density_x1000
+FROM documents
+"""
+
+
 # --- 16. dedup_minhash_planted — the full shingle→minhash→band→bucket-join
 #     →verify pipeline over a deterministic planted-duplicate corpus whose
 #     expected output is exactly computable: docs are grouped in tens
@@ -671,6 +702,7 @@ SQL_TWINS: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "langid": (q_langid, SQL_LANGID),
     "candidate_score": (q_candidate_score, SQL_CANDIDATE_SCORE),
+    "link_density": (q_link_density, SQL_LINK_DENSITY),
     "dedup_minhash_planted": (q_dedup_minhash_planted, SQL_DEDUP_MINHASH_PLANTED),
     "dedup_simhash_planted": (q_dedup_simhash_planted, SQL_DEDUP_SIMHASH_PLANTED),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),

@@ -180,23 +180,50 @@ def embedding_near_dups(
             return (empty, None) if return_stats else empty
         dim = len(head[0][0])
 
-    refine = _sig_expr(vec_col, dim, n_refine, seed + 777_000_001)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                _sig_expr(vec_col, dim, n_planes, seed + 1_000_003 * (b + 1)).alias(
-                    "band_sig"
-                ),
-            )
-            for b in range(n_bands)
-        ]
+    # Signature stage: one vectorized numpy matmul per Arrow batch.  The
+    # pure-expression alternative (n_bands*n_planes + n_refine = 80
+    # aggregate/zip_with dot products, each over a 64-literal plane array)
+    # builds a multi-MB expression tree that Catalyst analyzes per run and
+    # evaluates as interpreted lambdas (HOFs don't codegen) — measured ~8 s
+    # fixed planning plus ~1 ms/row at dim=64.  The pandas UDF is the
+    # documented escape hatch for exactly this shape: (batch × dim) @
+    # (dim × 80) then bit-pack, ~1 µs/row, tiny plan.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = [
+        _hyperplane(dim, i, seed + 1_000_003 * (b + 1))
+        for b in range(n_bands)
+        for i in range(n_planes)
+    ] + [_hyperplane(dim, i, seed + 777_000_001) for i in range(n_refine)]
+    plane_matrix = np.asarray(planes, dtype=np.float64)  # (B*r + R, dim)
+    band_weights = (1 << np.arange(n_planes, dtype=np.int64))
+    refine_weights = (1 << np.arange(n_refine, dtype=np.int64))
+    nb, npl = n_bands, n_planes
+
+    # NB: no type hints — the module's `from __future__ import annotations`
+    # stringifies them, which pandas_udf's inference can't resolve inside a
+    # closure; hint-less defaults to the scalar Series->Series eval type.
+    @pandas_udf("array<long>")
+    def _sigs(v):
+        if v.empty:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
+        bits = (m @ plane_matrix.T) > 0  # (n, B*r + R)
+        band_sigs = bits[:, : nb * npl].reshape(len(m), nb, npl) @ band_weights
+        refine_sigs = bits[:, nb * npl :] @ refine_weights
+        out = np.concatenate([band_sigs, refine_sigs[:, None]], axis=1)
+        return pd.Series(list(out))
+
+    sig_df = embeddings.select(
+        F.col(id_col).alias("_id"), _sigs(F.col(vec_col)).alias("_sigs")
     )
-    banded = embeddings.select(
-        F.col(id_col).alias("_id"),
-        refine.alias("refine_sig"),
-        F.explode(band_structs).alias("band"),
-    ).select("_id", "refine_sig", "band.band_idx", "band.band_sig")
+    banded = sig_df.select(
+        "_id",
+        F.element_at("_sigs", n_bands + 1).alias("refine_sig"),
+        F.posexplode(F.slice("_sigs", 1, n_bands)).alias("band_idx", "band_sig"),
+    )
 
     # bucket sizes via a window over the bucket key: ONE shuffle, and the
     # groupBy below reuses the same hash partitioning (its keys are a

@@ -21,6 +21,7 @@ from cl_readability_spark.functions.dedup import (
 )
 from cl_readability_spark.functions.similarity import (
     embedding_near_dups,
+    ivf_topk,
     lsh_bucketed_topk,
     plant_near_dups,
 )
@@ -96,6 +97,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_bucketed_topk(embs.filter(F.col("vec_id") != 0), q, k=10)
 
     out["ann_lsh_topk"] = _q_ann_lsh
+
+    def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF-flat ANN (cell-pruned exact cosine); rows-only check — the
+        probe set is recall<1 by design (oracle would need n_probe=n_cells,
+        which is the already-oracled brute force)."""
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = list(embs.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+        return ivf_topk(embs.filter(F.col("vec_id") != 0), q, k=10)
+
+    out["ann_ivf_topk"] = _q_ann_ivf
 
     def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Banded-LSH near-dup detection over the embeddings table plus

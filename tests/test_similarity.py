@@ -210,3 +210,35 @@ def test_embedding_near_dups(spark):
     # no unrelated gaussian pair reaches 0.99 cosine
     for (a, b) in pairs:
         assert (a, b) in {(0, 100), (1, 101)}
+
+
+def test_ivf_assignment_balanced_and_deterministic(spark, embs):
+    from cl_readability_spark.functions.similarity import ivf_assign
+
+    a = {r.vec_id: r.ivf_cell for r in ivf_assign(embs, n_cells=16, dim=64).collect()}
+    b = {r.vec_id: r.ivf_cell for r in ivf_assign(embs, n_cells=16, dim=64).collect()}
+    assert a == b
+    # cells cover a healthy spread (hash directions ~ near-orthogonal)
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert len(counts) >= 8
+    assert max(counts.values()) < len(a) * 0.5
+
+
+def test_ivf_topk_recall_and_pruning(spark, embs, all_vecs):
+    from cl_readability_spark.functions.similarity import ivf_assign, ivf_topk
+
+    q = all_vecs[3]
+    exact = [r.vec_id for r in brute_force_topk(embs, q, 10).collect()]
+    approx = [r.vec_id for r in ivf_topk(embs, q, k=10, n_cells=16, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)
+    # probing fewer cells scans fewer vectors
+    assigned = ivf_assign(embs, n_cells=16, dim=64)
+    total = embs.count()
+    probed = assigned.filter("ivf_cell in (0,1,2,3)").count()
+    assert probed < total  # cells genuinely partition the corpus
+    # full probe degenerates to brute force (recall 1.0)
+    full = [r.vec_id for r in ivf_topk(embs, q, k=10, n_cells=16, n_probe=16).collect()]
+    assert full == exact

@@ -99,22 +99,6 @@ def _sig_of(vec: list[float], n_planes: int, seed: int) -> int:
     return sig
 
 
-def _sig_expr(vec_col: str, dim: int, n_planes: int, seed: int):
-    """Integer hyperplane-signature Column: bit i = sign(v · plane_i)."""
-    planes = [_hyperplane(dim, i, seed) for i in range(n_planes)]
-    bits = [
-        F.when(
-            _dot(F.col(vec_col), F.array(*[F.lit(x) for x in planes[i]])) > 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(n_planes)
-    ]
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
-
-
 def _pairs_within(ids_col):
     """All ordered pairs (id_a < id_b) from a sorted id array column."""
     return F.explode(

@@ -32,11 +32,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cl_readability_spark.core.config import DEFAULT_CONFIG, ExtractorConfig
-from cl_readability_spark.pipeline.job import (
-    OUTPUT_COLUMNS,
-    extract_transcripts,
-    metrics_sidecar,
-)
+from cl_readability_spark.pipeline.job import extract_transcripts, metrics_sidecar
 from cl_readability_spark.pipeline.sink import KEY_COLUMNS, KeyedSink
 
 

@@ -187,3 +187,41 @@ def test_streaming_stateful_sessions(spark, tmp_path):
     q.awaitTermination(30)
     final_state = committed_state() or final_state
     assert expected <= final_state  # running totals reach the batch truth
+
+
+def test_streaming_rollup_drops_late_data_past_watermark(spark, tmp_path):
+    """Watermark semantics across checkpointed restarts: a row arriving
+    2 days older than the committed watermark is dropped by the append-mode
+    windowed aggregation, not silently merged into a re-emitted window."""
+    import datetime
+
+    from cl_readability_spark.pipeline.streaming import streaming_turn_rollup
+
+    inp = str(tmp_path / "in5")
+    out = str(tmp_path / "out5")
+    cp = str(tmp_path / "cp5")
+
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    rows1 = [
+        ("c1", i, "user", "hello world", None, base + datetime.timedelta(minutes=i))
+        for i in range(5)
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    spark.createDataFrame(rows1, schema).write.parquet(inp + "/b1")
+    q = streaming_turn_rollup(spark, inp + "/*", out, cp, watermark="10 minutes",
+                              window_size="1 hour")
+    q.awaitTermination(120)
+
+    # phase 2: one on-time row plus one 2-days-late row for an old window
+    rows2 = [
+        ("c1", 10, "user", "on time", None, base + datetime.timedelta(minutes=20)),
+        ("late", 0, "user", "way too late", None, base - datetime.timedelta(days=2)),
+    ]
+    spark.createDataFrame(rows2, schema).write.parquet(inp + "/b2")
+    q2 = streaming_turn_rollup(spark, inp + "/*", out, cp, watermark="10 minutes",
+                               window_size="1 hour")
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # the late conv's 2-day-old window must never have been emitted
+    assert got.filter(F.col("conv_id") == "late").count() == 0

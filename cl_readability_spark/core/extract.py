@@ -816,16 +816,9 @@ def clean_conditionally(
     weight_classes = flags["weight_classes"]
 
     def pred(node: Element) -> bool:
-        # one inner-text computation per node (it is re-used 3×: list ratio,
-        # comma gate, content length)
+        # one inner-text computation per node (it is re-used 4×: list ratio,
+        # comma gate, content length, density denominators)
         node_text = get_inner_text(node)
-        is_list = tag in ("ul", "ol")
-        if not is_list:
-            list_length = 0
-            for lst in get_elements_by_tag(node, "ul", "ol"):
-                list_length += len(get_inner_text(lst))
-            total = len(node_text)
-            is_list = total > 0 and list_length / total > 0.9
 
         if tag == "table" and node.data_table:
             return False
@@ -838,24 +831,78 @@ def clean_conditionally(
         if weight < 0:
             return True
 
+        # Comma-rich nodes (the common case for real article containers) are
+        # kept without ANY subtree scan: every stat below — including the
+        # ul/ol list-ratio — is consumed only inside this branch, so the JS
+        # order (which computes the ratio upfront) is observationally
+        # identical but pays 1-8 extra full-subtree scans per node.
         if node_text.count(",") < 10:
-            p = len(get_elements_by_tag(node, "p"))
-            img = len(get_elements_by_tag(node, "img"))
-            li = len(get_elements_by_tag(node, "li")) - 100
-            inputs = len(get_elements_by_tag(node, "input"))
-            heading_density = get_text_density(
-                node, ("h1", "h2", "h3", "h4", "h5", "h6")
+            # ONE subtree traversal gathers every per-tag stat the 7-clause
+            # rule needs (the naive form is up to 8 separate scans).  Same
+            # document order as get_elements_by_tag, so the
+            # first-video-embed early exit is unchanged.
+            p = img = li_raw = inputs = 0
+            lists: list[Element] = []
+            headings: list[Element] = []
+            embeds: list[Element] = []
+            anchors: list[Element] = []
+            stack = list(reversed(node.children))
+            while stack:
+                n = stack.pop()
+                if type(n) is not Text:
+                    t = n.tag
+                    if t == "p":
+                        p += 1
+                    elif t == "img":
+                        img += 1
+                    elif t == "li":
+                        li_raw += 1
+                    elif t == "input":
+                        inputs += 1
+                    elif t == "ul" or t == "ol":
+                        lists.append(n)
+                    elif t in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                        headings.append(n)
+                    elif t in ("object", "embed", "iframe"):
+                        embeds.append(n)
+                    elif t == "a":
+                        anchors.append(n)
+                    kids = n.children
+                    if kids:
+                        stack.extend(reversed(kids))
+
+            is_list = tag in ("ul", "ol")
+            if not is_list:
+                list_length = sum(len(get_inner_text(lst)) for lst in lists)
+                total = len(node_text)
+                is_list = total > 0 and list_length / total > 0.9
+
+            li = li_raw - 100
+            content_length = len(node_text)
+            # _getTextDensity over h1-h6
+            heading_density = (
+                sum(len(get_inner_text(h, True)) for h in headings) / content_length
+                if content_length
+                else 0.0
             )
             embed_count = 0
-            for embed in get_elements_by_tag(node, "object", "embed", "iframe"):
+            for embed in embeds:
                 for value in embed.attrs.values():
                     if R.VIDEOS.search(value):
                         return False
                 if embed.tag == "object" and R.VIDEOS.search(embed.inner_html()):
                     return False
                 embed_count += 1
-            link_density = get_link_density(node)
-            content_length = len(node_text)
+            # _getLinkDensity (0.3 '#'-href discount, empty-href guard)
+            if content_length == 0:
+                link_density = 0.0
+            else:
+                link_len = 0.0
+                for a in anchors:
+                    href = a.get("href") or ""
+                    coeff = 0.3 if href.startswith("#") else 1.0
+                    link_len += len(get_inner_text(a)) * coeff
+                link_density = link_len / content_length
             have_to_remove = (
                 (img > 1 and p / img < 0.5 and not has_ancestor_tag(node, "figure"))
                 or (not is_list and li > p)
@@ -876,8 +923,7 @@ def clean_conditionally(
                 for child in node.element_children:
                     if len(child.element_children) > 1:
                         return have_to_remove
-                li_count = len(get_elements_by_tag(node, "li"))
-                if img == li_count:
+                if img == li_raw:
                     return False
             return have_to_remove
         return False

@@ -108,6 +108,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ann_ivf_topk"] = _q_ann_ivf
 
+    def _q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multimodal composition (rows-only): synthetic media → stubbed
+        feature decode (real Arrow plumbing) → banded-LSH near-dups with
+        planted exact copies (guaranteed >0 pairs)."""
+        from cl_readability_spark.pipeline.multimodal import (
+            media_feature_near_dups,
+            synthetic_media,
+        )
+
+        return media_feature_near_dups(synthetic_media(spark, n=60))
+
+    out["media_near_dups"] = _q_media_near_dups
+
     def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Banded-LSH near-dup detection over the embeddings table plus
         deterministically planted perturbed copies (cosine 0.903-0.95, NOT

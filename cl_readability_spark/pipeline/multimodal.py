@@ -156,3 +156,31 @@ def sample_video_frames(
         "doc_id", F.col("meta.duration_ms").alias("duration_ms")
     )
     return src.mapInPandas(mapper, FRAME_SAMPLE_SCHEMA)
+
+
+def media_feature_near_dups(
+    media: DataFrame, threshold: float = 0.98, plant_copies_every: int = 3
+) -> DataFrame:
+    """Multimodal → similarity-stack composition: decode features (stubbed
+    codec, real Arrow plumbing) and run banded-LSH near-duplicate detection
+    over the feature vectors — the media-dedup path a training pipeline
+    runs over image corpora.
+
+    ``plant_copies_every`` unions exact copies of every N-th doc (offset
+    ids) so the query verifiably yields pairs on any corpus; at threshold
+    0.98 the planted identical-feature pairs (cosine 1.0) are guaranteed
+    candidates in every band."""
+    from cl_readability_spark.functions.similarity import embedding_near_dups
+
+    feats = decode_image_features(media, fake=True).filter(
+        F.col("status") == "ok"
+    )
+    vecs = feats.select(F.col("doc_id").alias("vec_id"), F.col("features"))
+    if plant_copies_every:
+        copies = vecs.filter(F.col("vec_id") % plant_copies_every == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), F.col("features")
+        )
+        vecs = vecs.unionByName(copies)
+    return embedding_near_dups(
+        vecs, threshold=threshold, dim=16, vec_col="features"
+    )

@@ -225,3 +225,20 @@ def test_streaming_rollup_drops_late_data_past_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     # the late conv's 2-day-old window must never have been emitted
     assert got.filter(F.col("conv_id") == "late").count() == 0
+
+
+def test_media_feature_near_dups_composition(spark):
+    """Multimodal features flow into the banded-LSH dedup stack: planted
+    exact copies are found at cosine 1.0; output pairs respect the
+    threshold."""
+    from cl_readability_spark.pipeline.multimodal import (
+        media_feature_near_dups,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=45)
+    pairs = media_feature_near_dups(media, threshold=0.98).collect()
+    planted = [r for r in pairs if r.id_b == r.id_a + 1_000_000]
+    n_expected = sum(1 for r in media.collect() if r.doc_id % 3 == 0)
+    assert len(planted) == n_expected  # identical copies: guaranteed recall
+    assert all(r.cosine_sim_x10k >= 9800 for r in pairs)

@@ -204,6 +204,45 @@ ORDER BY lang
 """
 
 
+# --- 8b. rollup_hierarchy (GROUP BY ROLLUP over (lang, length bucket) —
+#     the grouping-sets family; subtotal rows' NULLs are coalesced to
+#     sentinel labels in BOTH engines so the driver's value hash never
+#     compares engine-specific NULL encodings) ---
+def q_rollup_hierarchy(spark, sf_dir):
+    bucket = F.when(F.col("n_chars") < 500, "short").otherwise("long")
+    d = _docs(spark, sf_dir).withColumn("len_bucket", bucket)
+    return (
+        d.rollup("lang", "len_bucket")
+        .agg(
+            F.count("*").alias("rows_cnt"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang_g"),
+            F.coalesce(F.col("len_bucket"), F.lit("ALL")).alias("bucket_g"),
+            "rows_cnt",
+            "total_chars",
+        )
+        .orderBy("lang_g", "bucket_g")
+    )
+
+
+SQL_ROLLUP_HIERARCHY = """
+SELECT COALESCE(lang, 'ALL') AS lang_g,
+       COALESCE(len_bucket, 'ALL') AS bucket_g,
+       CAST(COUNT(*) AS BIGINT) AS rows_cnt,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT lang,
+         CASE WHEN n_chars < 500 THEN 'short' ELSE 'long' END AS len_bucket,
+         n_chars
+  FROM documents
+)
+GROUP BY ROLLUP(lang, len_bucket)
+ORDER BY lang_g, bucket_g
+"""
+
+
 # --- 9. dedup_exact (hash-groupBy exact dedup over documents) ---
 def q_dedup_exact(spark, sf_dir):
     return (
@@ -695,6 +734,7 @@ SQL_TWINS: dict[str, tuple] = {
     "turn_order": (q_turn_order, SQL_TURN_ORDER),
     "resume_antijoin": (q_resume_antijoin, SQL_RESUME_ANTIJOIN),
     "metrics_rollup": (q_metrics_rollup, SQL_METRICS_ROLLUP),
+    "rollup_hierarchy": (q_rollup_hierarchy, SQL_ROLLUP_HIERARCHY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -1,0 +1,121 @@
+"""Corpus curation: the composed training-data pipeline over extraction
+output — quality gating, exact dedup, MinHash near-dup pruning — as one
+flag-based pass (extract → flags → filter), so the whole curation is a
+single job with a one-row audit report instead of a count() per stage.
+
+Flag semantics (all computed lazily, JVM-side except the fused minhash
+stage):
+- ``quality_ok``   — length bounds + stopword ratio + langid gate
+- ``exact_keep``   — first row (by key) of each normalized-text fingerprint
+- ``near_dup_drop``— row is the dropped (higher-key) side of a verified
+                     MinHash near-duplicate pair
+- ``kept``         — quality_ok AND exact_keep AND NOT near_dup_drop
+
+At 100 TB: the wide ops are one fingerprint window (or groupBy), the
+minhash bucket shuffle, and the pair anti-join — all keyed, all
+AQE-manageable; no driver-side loops, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from cl_readability_spark.functions.dedup import minhash_near_dups
+from cl_readability_spark.functions.sqltwins import LANG_MARKERS, STOPWORDS
+
+
+def quality_flag(
+    text_col,
+    min_chars: int = 100,
+    max_chars: int = 200_000,
+    min_stopword_bp: int = 100,
+    langs: tuple[str, ...] = ("en",),
+):
+    """Boolean Column: length window + stopword-ratio floor + langid gate
+    (the sqltwins quality/langid heuristics composed as one expression)."""
+    n_chars = F.length(text_col)
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: x.isin(STOPWORDS)))
+    stop_bp = F.when(n_words > 0, n_stop * 10000 / n_words).otherwise(0)
+    scores = {
+        lang: F.size(F.filter(words, (lambda m: (lambda x: x.isin(m)))(m)))
+        for lang, m in LANG_MARKERS.items()
+    }
+    best = None
+    for lang in LANG_MARKERS:
+        cond = None
+        for other in LANG_MARKERS:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    lang_pred = best.otherwise(list(LANG_MARKERS)[-1])
+    return (
+        (n_chars >= min_chars)
+        & (n_chars <= max_chars)
+        & (stop_bp >= min_stopword_bp)
+        & lang_pred.isin(*langs)
+    )
+
+
+def curate(
+    extracted: DataFrame,
+    text_col: str = "extracted_text",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    jaccard_threshold: float = 0.8,
+    min_chars: int = 100,
+    max_chars: int = 200_000,
+    min_stopword_bp: int = 100,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Adds the curation flags to ``extracted`` (see module doc); filter on
+    ``kept`` for the final corpus, aggregate the flags for the report."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    df = extracted.withColumn("_row_key", key)
+
+    df = df.withColumn(
+        "quality_ok",
+        F.coalesce(
+            quality_flag(F.col(text_col), min_chars, max_chars,
+                         min_stopword_bp, langs),
+            F.lit(False),
+        ),
+    )
+
+    fingerprint = F.md5(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         "[^a-z0-9]", "")
+    )
+    w = Window.partitionBy(fingerprint).orderBy("_row_key")
+    df = df.withColumn("exact_keep", F.row_number().over(w) == 1)
+
+    # near-dup pairs over the surviving candidates only (quality+exact
+    # gates shrink the minhash input before its bucket shuffle)
+    survivors = df.filter(F.col("quality_ok") & F.col("exact_keep")).select(
+        F.col("_row_key").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    pairs = minhash_near_dups(survivors, jaccard_threshold=jaccard_threshold)
+    drops = pairs.select(F.col("id_b").alias("_row_key")).distinct().withColumn(
+        "near_dup_drop", F.lit(True)
+    )
+    df = df.join(drops, "_row_key", "left").withColumn(
+        "near_dup_drop", F.coalesce(F.col("near_dup_drop"), F.lit(False))
+    )
+    return df.withColumn(
+        "kept",
+        F.col("quality_ok") & F.col("exact_keep") & ~F.col("near_dup_drop"),
+    )
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    """One-row audit: total rows, per-gate drop counts, final kept count."""
+    return curated.agg(
+        F.count("*").alias("rows_in"),
+        F.sum((~F.col("quality_ok")).cast("long")).alias("dropped_quality"),
+        F.sum((~F.col("exact_keep")).cast("long")).alias("dropped_exact_dup"),
+        F.sum(F.col("near_dup_drop").cast("long")).alias("dropped_near_dup"),
+        F.sum(F.col("kept").cast("long")).alias("rows_kept"),
+    )

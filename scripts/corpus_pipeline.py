@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""End-to-end training-data pipeline: the composed run a corpus team would
+deploy (same `spark-submit --py-files clrs.zip` shape as extract_job.py).
+
+    transcripts parquet
+      → Readability extraction (salted, vectorized, resumable batches)
+      → curation flags (quality gate, exact dedup, MinHash near-dup prune)
+      → kept corpus parquet + one-row audit report (JSON on stdout)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--salt-buckets", type=int, default=16)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--jaccard-threshold", type=float, default=0.8)
+    p.add_argument("--min-chars", type=int, default=100)
+    p.add_argument("--min-stopword-bp", type=int, default=100,
+                   help="stopword-ratio floor in basis points; 0 disables "
+                        "(use for non-natural-language corpora)")
+    p.add_argument("--langs", default="en",
+                   help="comma-separated langid allowlist")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from cl_readability_spark.functions.curation import curate, curation_report
+    from cl_readability_spark.pipeline.job import extract_transcripts
+
+    spark = SparkSession.builder.appName("cl-readability-curate").getOrCreate()
+    transcripts = spark.read.parquet(args.input)
+    t0 = time.time()
+    extracted = extract_transcripts(
+        transcripts,
+        salt_buckets=args.salt_buckets,
+        num_partitions=args.partitions,
+    )
+    curated = curate(
+        extracted,
+        jaccard_threshold=args.jaccard_threshold,
+        min_chars=args.min_chars,
+        min_stopword_bp=args.min_stopword_bp,
+        langs=tuple(args.langs.split(",")),
+    ).persist()  # one extraction+curation pass feeds both write and report
+    (
+        curated.filter(F.col("kept"))
+        .select("conv_id", "turn_idx", "extracted_text", "content_spans")
+        .write.mode("overwrite")
+        .parquet(args.output)
+    )
+    report = curation_report(curated).collect()[0].asDict()
+    curated.unpersist()
+    report["seconds"] = round(time.time() - t0, 2)
+    report["output"] = args.output
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,77 @@
+"""Curation pipeline: flag semantics on planted cases and the composed
+extract→curate run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cl_readability_spark.functions.curation import curate, curation_report
+
+pytestmark = pytest.mark.spark
+
+GOOD = (
+    "The article is a long and genuinely useful body of text with the usual "
+    "stopwords in it, and it keeps going for long enough to pass the length "
+    "gate of the curation pipeline, which is the whole point of this row. "
+) * 3
+NEAR = GOOD + "One extra trailing sentence changes very little of the body."
+
+
+@pytest.fixture()
+def planted(spark):
+    rows = [
+        ("c1", 0, GOOD),            # kept
+        ("c1", 1, "too short"),     # quality drop (length)
+        ("c2", 0, GOOD),            # exact dup of (c1,0) -> dropped
+        ("c3", 0, NEAR),            # near-dup of (c1,0) -> dropped
+        ("c4", 0, "x y z " * 60),   # quality drop (no stopwords)
+        # kept: a genuinely different document (shares stopwords only, so
+        # word-5-gram Jaccard vs GOOD is ~0)
+        ("c5", 0, (
+            "A completely different report covers the migration of the data "
+            "platform, and it describes the rollout schedule in enough words "
+            "to pass every quality gate without overlapping the other rows. "
+        ) * 3),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string"
+    )
+
+
+def test_curate_flags(spark, planted):
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in curate(planted, jaccard_threshold=0.7).collect()
+    }
+    assert out[("c1", 0)].kept
+    assert not out[("c1", 1)].quality_ok
+    assert out[("c2", 0)].quality_ok and not out[("c2", 0)].exact_keep
+    assert out[("c3", 0)].near_dup_drop and not out[("c3", 0)].kept
+    assert not out[("c4", 0)].quality_ok
+    assert out[("c5", 0)].kept
+
+    rep = curation_report(curate(planted, jaccard_threshold=0.7)).collect()[0]
+    assert rep.rows_in == 6
+    assert rep.dropped_quality == 2
+    assert rep.dropped_exact_dup == 1
+    assert rep.dropped_near_dup == 1
+    assert rep.rows_kept == 2
+
+
+def test_curate_composes_with_extraction(spark):
+    """The real composition: transcripts → extract → curate, no crashes,
+    kept subset non-empty and flag columns present."""
+    from cl_readability_spark.pipeline.job import extract_transcripts
+    from cl_readability_spark.pipeline.transcripts import synthetic_transcripts
+
+    transcripts = synthetic_transcripts(spark, 4, seed=21)
+    # the synthetic corpus vocabulary is tech jargon with no English
+    # stopwords, so disable the stopword floor for this composition check
+    curated = curate(
+        extract_transcripts(transcripts, salt_buckets=4), min_stopword_bp=0
+    )
+    rep = curation_report(curated).collect()[0]
+    assert rep.rows_in == transcripts.count()
+    assert 0 < rep.rows_kept <= rep.rows_in
+    assert set(curated.columns) >= {
+        "quality_ok", "exact_keep", "near_dup_drop", "kept",
+    }

@@ -121,6 +121,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["media_near_dups"] = _q_media_near_dups
 
+    def _q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The composed training-data pipeline (extract → quality gate →
+        exact dedup → minhash near-dup prune) as a one-row audit report;
+        rows-only check (the pipeline is not SQL-expressible end-to-end,
+        its per-gate pieces are oracle-checked individually)."""
+        from cl_readability_spark.functions.curation import (
+            curate,
+            curation_report,
+        )
+
+        transcripts = documents_as_transcripts(spark, sf_dir)
+        curated = curate(
+            extract_transcripts(transcripts, salt_buckets=8),
+            min_stopword_bp=0,
+        )
+        return curation_report(curated)
+
+    out["curation_report"] = _q_curation_report
+
     def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Banded-LSH near-dup detection over the embeddings table plus
         deterministically planted perturbed copies (cosine 0.903-0.95, NOT

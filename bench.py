@@ -106,6 +106,21 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/documents.parquet"), jaccard_threshold=0.5
         ).count(),
     )
+    # 6. composed curation pipeline (extract -> gates -> dedup -> report)
+    from cl_readability_spark.functions.curation import curate, curation_report
+
+    run(
+        "curation_pipeline",
+        lambda: curation_report(
+            curate(
+                extract_transcripts(
+                    documents_as_transcripts(spark, sf_dir), salt_buckets=8
+                ),
+                min_stopword_bp=0,
+            )
+        ).count(),
+    )
+
     run(
         "embedding_near_dups",
         lambda: embedding_near_dups(

@@ -149,3 +149,23 @@ def test_simhash_near_dups_rejects_wide_hamming(spark, corpus_df):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dups(corpus_df, max_hamming=4)
+
+
+def test_minhash_plan_shape(spark, corpus_df):
+    """Physical-plan golden (PLANS.md): one MapInPandas signature stage,
+    one bucket shuffle on (band_idx, band_hash), partial+final aggregate
+    for the pair distinct."""
+    import re as _re
+
+    plan = (
+        minhash_near_dups(corpus_df, jaccard_threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the fused stage appears once per plan branch (Spark has no
+    # cross-join-branch subplan reuse): signature path + the two
+    # verification joins = 3.  The stage is numpy-cheap by design; the
+    # assertion pins the count so an accidental 4th branch is caught.
+    assert plan.count("MapInPandas") == 3, plan[:1500]
+    assert len(_re.findall(r"Exchange hashpartitioning\(band_idx", plan)) == 1

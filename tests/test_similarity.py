@@ -242,3 +242,28 @@ def test_ivf_topk_recall_and_pruning(spark, embs, all_vecs):
     # full probe degenerates to brute force (recall 1.0)
     full = [r.vec_id for r in ivf_topk(embs, q, k=10, n_cells=16, n_probe=16).collect()]
     assert full == exact
+
+
+def test_near_dups_plan_shape(spark):
+    """Physical-plan golden (PLANS.md): exactly ONE exchange feeds the
+    bucket groupBy (window + collect_list share it), the signature stage is
+    a single Arrow python stage, and the scan is pruned to (vec_id,
+    embedding).  Uses a fresh uncached read: the cached module fixture
+    would replace the FileScan with InMemoryTableScan."""
+    import re as _re
+
+    from cl_readability_spark.functions.similarity import embedding_near_dups
+
+    fresh = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (
+        embedding_near_dups(fresh, threshold=0.9, dim=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    band_exchanges = len(_re.findall(r"Exchange hashpartitioning\(band_idx", plan))
+    assert band_exchanges == 1, plan[:2000]
+    assert plan.count("ArrowEvalPython") == 1
+    # scans pruned to the two needed columns (label never read)
+    for scan in _re.findall(r"FileScan parquet \[[^]]*\]", plan):
+        assert "label" not in scan, scan

@@ -130,9 +130,13 @@ def minhash_stage(
     k: int = 5,
     n_hashes: int = 32,
     seed: int = 42,
+    include: str = "both",
 ) -> DataFrame:
-    """Fused Arrow stage: (id, shingle_hashes array<long>, signature
-    array<long>) in ONE python pass per batch.
+    """Fused Arrow stage: (id [, shingle_hashes array<long>]
+    [, signature array<long>]) in ONE python pass per batch; ``include``
+    selects "signature", "hashes", or "both" (skipping an unneeded array
+    saves its Arrow serialization, and the hashes-only mode skips the
+    numpy signature broadcast entirely).
 
     Shingle hash = keyed blake2b-64 of the word k-gram (deterministic
     across processes); signature_j = min over shingles of the multiply-
@@ -160,13 +164,16 @@ def minhash_stage(
     b_vec = np.array([c[1] for c in coeffs], dtype=np.uint64)
     key = str(seed).encode()
 
-    out_schema = StructType(
-        [
-            df.schema[id_col],
-            StructField("shingle_hashes", ArrayType(LongType()), False),
-            StructField("signature", ArrayType(LongType()), False),
-        ]
-    )
+    if include not in ("both", "signature", "hashes"):
+        raise ValueError(f"include must be both|signature|hashes, got {include}")
+    want_hashes = include in ("both", "hashes")
+    want_sig = include in ("both", "signature")
+    fields = [df.schema[id_col]]
+    if want_hashes:
+        fields.append(StructField("shingle_hashes", ArrayType(LongType()), False))
+    if want_sig:
+        fields.append(StructField("signature", ArrayType(LongType()), False))
+    out_schema = StructType(fields)
 
     def _batches(iterator):
         blake = hashlib.blake2b
@@ -190,14 +197,19 @@ def minhash_stage(
                     dtype=np.uint64,
                     count=len(grams),
                 )
-                # (n_shingles, n_hashes) multiply-shift, wraparound = mod 2^64
-                sig = (hs[:, None] * a_vec[None, :] + b_vec[None, :]).min(axis=0)
                 ids.append(doc_id)
-                sh_col.append(hs.astype(np.int64))
-                sig_col.append(sig.astype(np.int64))
-            yield pd.DataFrame(
-                {id_col: ids, "shingle_hashes": sh_col, "signature": sig_col}
-            )
+                if want_hashes:
+                    sh_col.append(hs.astype(np.int64))
+                if want_sig:
+                    # (n_shingles, n_hashes) multiply-shift, mod 2^64 wrap
+                    sig = (hs[:, None] * a_vec[None, :] + b_vec[None, :]).min(axis=0)
+                    sig_col.append(sig.astype(np.int64))
+            out = {id_col: ids}
+            if want_hashes:
+                out["shingle_hashes"] = sh_col
+            if want_sig:
+                out["signature"] = sig_col
+            yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(_batches, out_schema)
 
@@ -210,19 +222,82 @@ def minhash_near_dups(
     n_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.6,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Full pipeline: fused shingle+minhash Arrow stage → LSH buckets →
     candidate pairs → exact Jaccard verification on the hashed shingle
     sets (64-bit; collision probability ~2^-64 per shingle pair) → pairs
     ≥ threshold.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    hashed = minhash_stage(df, id_col, text_col, k, n_hashes)
-    cand = lsh_candidate_pairs(hashed, id_col, n_hashes, bands)
-    sets_ = hashed.select(F.col(id_col).alias("_sid"), F.col("shingle_hashes"))
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Cost/plan shape (the reason this does NOT use verification joins):
+    Spark has no cross-branch subplan reuse, so any formulation that joins
+    shingle sets back onto candidate pairs re-runs the hashing stage once
+    per branch (measured: a "hash only candidate rows" variant still
+    duplicated the whole candidate subtree).  Instead the compact hashed
+    shingle arrays (~8×n_shingles×8 bytes per doc across the 8 band rows)
+    ride THROUGH the bucket shuffle, so the plan is exactly: one Arrow
+    stage over the corpus → one bucket exchange → pairwise explode → one
+    pair-dedup aggregate → JVM Jaccard filter.  Zero joins, every byte of
+    text read once."""
+    hashed = minhash_stage(df, id_col, text_col, k, n_hashes, include="both")
+    rows_per_band = n_hashes // bands
+    banded = hashed.select(
+        F.col(id_col).alias("_id"),
+        F.col("shingle_hashes"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r].cast(
+                                        "string"
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "shingle_hashes", "band.band_idx", "band.band_hash")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("shingle_hashes")))
+            ).alias("items")
+        )
+        .filter((F.size("items") > 1) & (F.size("items") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("items"), i + 2, F.size("items")),
+                        lambda b: F.struct(
+                            a["_id"].alias("id_a"),
+                            b["_id"].alias("id_b"),
+                            a["shingle_hashes"].alias("sh_a"),
+                            b["shingle_hashes"].alias("sh_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
     verified = (
-        cand.join(sets_.withColumnRenamed("_sid", "id_a").withColumnRenamed("shingle_hashes", "sh_a"), "id_a")
-        .join(sets_.withColumnRenamed("_sid", "id_b").withColumnRenamed("shingle_hashes", "sh_b"), "id_b")
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b"))
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

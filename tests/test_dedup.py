@@ -163,9 +163,10 @@ def test_minhash_plan_shape(spark, corpus_df):
         .executedPlan()
         .toString()
     )
-    # the fused stage appears once per plan branch (Spark has no
-    # cross-join-branch subplan reuse): signature path + the two
-    # verification joins = 3.  The stage is numpy-cheap by design; the
-    # assertion pins the count so an accidental 4th branch is caught.
-    assert plan.count("MapInPandas") == 3, plan[:1500]
+    # join-free formulation: the hashed shingle arrays ride through the
+    # bucket shuffle, so the corpus is hashed exactly ONCE (Spark has no
+    # cross-branch subplan reuse — a join-back formulation re-runs the
+    # Arrow stage per branch)
+    assert plan.count("MapInPandas") == 1, plan[:1500]
     assert len(_re.findall(r"Exchange hashpartitioning\(band_idx", plan)) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

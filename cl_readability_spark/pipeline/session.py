@@ -31,6 +31,12 @@ def build_spark(
         # would be 5 GB; the byte cap splits it)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "32m")
+        # ...and the same bound for the JVM-side parquet vectorized reader:
+        # its default 4096-row column vectors over multi-KB text cells need
+        # contiguous on-heap reservations that fail on small-heap drivers
+        # (observed FAILED_READ_FILE at 1 GB heap on a 3.5 KB-avg corpus)
+        # and would be GBs on whale rows regardless of heap
+        .config("spark.sql.parquet.columnarReaderBatchSize", str(arrow_max_records))
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.warehouse.dir", "/tmp/clrs-spark-warehouse")
@@ -38,3 +44,23 @@ def build_spark(
         .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
+
+
+def get_or_build_session(app_name: str) -> SparkSession:
+    """Session for the production scripts: under spark-submit (which sets
+    spark.master and the deployment's memory/executor conf) just attach;
+    run as plain python, fall back to build_spark's tuned local defaults —
+    the bare builder's 1 GB local driver cannot even scan a wide-text
+    corpus (see the columnarReaderBatchSize note above)."""
+    from pyspark import SparkConf
+
+    if SparkConf().contains("spark.master"):
+        return (
+            SparkSession.builder.appName(app_name)
+            .config(
+                "spark.sql.parquet.columnarReaderBatchSize",
+                SparkConf().get("spark.sql.parquet.columnarReaderBatchSize", "512"),
+            )
+            .getOrCreate()
+        )
+    return build_spark(app_name=app_name)

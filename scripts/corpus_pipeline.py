@@ -12,8 +12,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# plain `python scripts/<this>.py` puts scripts/ (not the repo root) on
+# sys.path; under spark-submit the package arrives via --py-files instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str]) -> int:
@@ -31,12 +36,14 @@ def main(argv: list[str]) -> int:
                    help="comma-separated langid allowlist")
     args = p.parse_args(argv)
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import functions as F
 
     from cl_readability_spark.functions.curation import curate, curation_report
     from cl_readability_spark.pipeline.job import extract_transcripts
 
-    spark = SparkSession.builder.appName("cl-readability-curate").getOrCreate()
+    from cl_readability_spark.pipeline.session import get_or_build_session
+
+    spark = get_or_build_session("cl-readability-curate")
     transcripts = spark.read.parquet(args.input)
     t0 = time.time()
     extracted = extract_transcripts(

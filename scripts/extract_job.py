@@ -18,8 +18,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# plain `python scripts/<this>.py` puts scripts/ (not the repo root) on
+# sys.path; under spark-submit the package arrives via --py-files instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str]) -> int:
@@ -34,12 +39,12 @@ def main(argv: list[str]) -> int:
     p.add_argument("--base-url", default=None)
     args = p.parse_args(argv)
 
-    from pyspark.sql import SparkSession
-
     from cl_readability_spark.core.config import ExtractorConfig
     from cl_readability_spark.pipeline.resume import CheckpointedSink
 
-    spark = SparkSession.builder.appName("cl-readability-extract").getOrCreate()
+    from cl_readability_spark.pipeline.session import get_or_build_session
+
+    spark = get_or_build_session("cl-readability-extract")
     config = ExtractorConfig(
         document_url=args.base_url,
         max_elements=args.max_elements,

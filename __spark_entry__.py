@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from cl_readability_spark.functions.dedup import (
     minhash_near_dups,
     simhash_signature,
+    winnow_fingerprints,
 )
 from cl_readability_spark.functions.similarity import (
     embedding_near_dups,
@@ -88,6 +89,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark.read.parquet(f"{sf_dir}/documents.parquet"), jaccard_threshold=0.5
     )
     out["simhash_signatures"] = lambda spark, sf_dir: simhash_signature(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    # winnowing rolling-hash fingerprints (rows-only: the selection is a
+    # python/numpy stage; the prefix polynomial hash IS oracle-checked
+    # separately as the rolling_hash twin)
+    out["winnow_fingerprints"] = lambda spark, sf_dir: winnow_fingerprints(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
 

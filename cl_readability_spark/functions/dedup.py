@@ -475,3 +475,80 @@ def simhash_signature_agg(
         ).alias("simhash"),
     )
     return sim
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): rolling
+    polynomial hash over character k-grams, then the minimum hash of every
+    ``window``-length run is selected (rightmost-min rule) — the standard
+    plagiarism/near-dup index with guaranteed match detection for shared
+    substrings longer than k + window - 1.
+
+    One fused Arrow stage: the k-gram polynomial hashes are k vectorized
+    numpy passes (O(doc bytes) total, no per-char python), window minima
+    via sliding_window_view; exploded to (id, pos, fingerprint) for
+    index-style joins — dedup candidates are then a plain groupBy on
+    fingerprint."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    base = 1_000_003
+    # k-gram hash h_i = sum_j codes[i+j] * base^(k-1-j) (mod 2^64 via
+    # uint64 wraparound) — k vectorized passes instead of a per-char
+    # python rolling loop (which would be O(doc bytes) interpreter steps)
+    weights = np.array(
+        [pow(base, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+    )
+    salt = np.uint64(
+        int.from_bytes(hashlib.sha256(f"winnow:{seed}".encode()).digest()[:8], "big")
+    )
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("pos", IntegerType(), False),
+            StructField("fingerprint", LongType(), False),
+        ]
+    )
+
+    def _batches(iterator):
+        for pdf in iterator:
+            ids, poss, fps = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = (text or "").lower()
+                n = len(s)
+                if n < k:
+                    continue
+                codes = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+                n = len(codes)
+                if n < k:
+                    continue
+                n_h = n - k + 1
+                h = np.zeros(n_h, dtype=np.uint64)
+                for j in range(k):
+                    h += codes[j : j + n_h].astype(np.uint64) * weights[j]
+                h ^= salt
+                if len(h) <= window:
+                    picks = {int(h.argmin())}
+                else:
+                    # sliding-window minima via stride tricks; rightmost min
+                    # per the winnowing rule (argmin on the reversed window)
+                    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                    rev_arg = window - 1 - np.argmin(sw[:, ::-1], axis=1)
+                    picks = set((np.arange(len(sw)) + rev_arg).tolist())
+                for p in sorted(picks):
+                    ids.append(doc_id)
+                    poss.append(int(p))
+                    fps.append(int(np.int64(h[p])))
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fingerprint": fps})
+
+    return df.select(id_col, text_col).mapInPandas(_batches, out_schema)

@@ -281,6 +281,37 @@ FROM documents
 """
 
 
+# --- 10b. rolling_hash (Rabin-Karp polynomial hash over the first 32
+#     chars, mod 1e9+7 — the classic rolling-hash fingerprint form,
+#     unrolled so both engines compute identical bigints with no overflow:
+#     each term < P*128 and the 32-term sum < 2^42) ---
+_RH_P = 1_000_000_007
+_RH_POWS = [pow(31, 32 - i, _RH_P) for i in range(1, 33)]
+
+
+def q_rolling_hash(spark, sf_dir):
+    terms = None
+    for i in range(1, 33):
+        t = F.coalesce(F.ascii(F.substring(F.col("text"), i, 1)), F.lit(0)).cast(
+            "long"
+        ) * F.lit(_RH_POWS[i - 1])
+        terms = t if terms is None else terms + t
+    return _docs(spark, sf_dir).select(
+        "doc_id", (terms % _RH_P).cast("long").alias("rk_hash32")
+    )
+
+
+SQL_ROLLING_HASH = (
+    "SELECT doc_id, CAST(("
+    + " + ".join(
+        f"CAST(COALESCE(ascii(substring(text, {i}, 1)), 0) AS BIGINT)"
+        f" * CAST({_RH_POWS[i - 1]} AS BIGINT)"
+        for i in range(1, 33)
+    )
+    + f") % {_RH_P} AS BIGINT) AS rk_hash32 FROM documents"
+)
+
+
 # --- 11. token_count (BPE-ish regex tokenizer) ---
 def q_token_count(spark, sf_dir):
     return _docs(spark, sf_dir).select(
@@ -737,6 +768,7 @@ SQL_TWINS: dict[str, tuple] = {
     "rollup_hierarchy": (q_rollup_hierarchy, SQL_ROLLUP_HIERARCHY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "rolling_hash": (q_rolling_hash, SQL_ROLLING_HASH),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),

@@ -170,3 +170,42 @@ def test_minhash_plan_shape(spark, corpus_df):
     assert plan.count("MapInPandas") == 1, plan[:1500]
     assert len(_re.findall(r"Exchange hashpartitioning\(band_idx", plan)) == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a substring longer than
+    k + window - 1 share at least one selected fingerprint; disjoint-text
+    docs share none; deterministic across runs."""
+    from cl_readability_spark.functions.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "PREFIX one " + shared + " SUFFIX alpha"),
+        (2, "totally different opening " + shared + " and another ending"),
+        (3, "no overlap here at all, just some other words entirely fresh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = winnow_fingerprints(df, k=8, window=16)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    again = {}
+    for r in winnow_fingerprints(df, k=8, window=16).collect():
+        again.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert again == by_doc  # deterministic
+
+
+def test_winnow_density(spark, corpus_df):
+    """Winnowing selects ~2/(window+1) of positions (density bound) —
+    fingerprints stay sparse enough to index at scale."""
+    from cl_readability_spark.functions.dedup import winnow_fingerprints
+
+    from pyspark.sql import functions as F
+
+    fp = winnow_fingerprints(corpus_df, k=8, window=16)
+    n_fp = fp.count()
+    total_chars = corpus_df.select(F.sum(F.length("text"))).collect()[0][0]
+    assert 0 < n_fp < total_chars * 0.2  # far below one-per-position

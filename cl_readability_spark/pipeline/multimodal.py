@@ -130,6 +130,63 @@ def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("status", StringType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """payload → resized payload via mapInPandas.  The real resizer (PIL
+    ``Image.resize``) would drop in where the deterministic fake sits —
+    the fake emits a hash-derived payload of exactly width*height bytes so
+    downstream batch-shape/size accounting is real; non-fake mode raises
+    per the stub contract (no image libs in this runtime)."""
+    import hashlib
+
+    def mapper(batches):
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL — not in runtime image; "
+                    "use fake=True for the deterministic stand-in"
+                )
+            out_payloads = []
+            status = []
+            for kind, p in zip(pdf["kind"], pdf["payload"]):
+                if p is None or kind != "image":
+                    out_payloads.append(None)
+                    status.append("skipped" if p is not None else "null_payload")
+                    continue
+                seed = hashlib.blake2b(bytes(p), digest_size=8).digest()
+                n = width * height
+                reps = n // 8 + 1
+                out_payloads.append((seed * reps)[:n])
+                status.append("ok")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": out_payloads,
+                    "status": status,
+                }
+            )
+
+    return df.select("doc_id", "kind", "payload").mapInPandas(
+        mapper, RESIZED_SCHEMA
+    )
+
+
 def sample_video_frames(
     df: DataFrame, every_ms: int = 1000, fake: bool = True
 ) -> DataFrame:

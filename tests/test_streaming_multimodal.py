@@ -242,3 +242,25 @@ def test_media_feature_near_dups_composition(spark):
     n_expected = sum(1 for r in media.collect() if r.doc_id % 3 == 0)
     assert len(planted) == n_expected  # identical copies: guaranteed recall
     assert all(r.cosine_sim_x10k >= 9800 for r in pairs)
+
+
+def test_resize_images_plumbing(spark):
+    """Resize stub: deterministic payloads of exactly w*h bytes for images,
+    skip markers for other kinds, loud NotImplementedError in real mode."""
+    from cl_readability_spark.pipeline.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=12)
+    out = resize_images(media, width=32, height=16).collect()
+    assert len(out) == 12
+    for r in out:
+        if r.kind == "image":
+            assert r.status == "ok" and len(r.payload) == 32 * 16
+        else:
+            assert r.status in ("skipped", "null_payload") and r.payload is None
+    # determinism
+    again = {r.doc_id: bytes(r.payload) for r in resize_images(media, 32, 16).collect() if r.payload}
+    first = {r.doc_id: bytes(r.payload) for r in out if r.payload}
+    assert again == first
+    with pytest.raises(Exception) as e:
+        resize_images(media, fake=False).collect()
+    assert "NotImplementedError" in str(e.value) or "PIL" in str(e.value)

@@ -114,6 +114,37 @@ def _pairs_within(ids_col):
     )
 
 
+def near_dup_params(
+    corpus_rows: int,
+    threshold: float = 0.9,
+    recall_target: float = 0.9,
+    target_bucket: int = 64,
+    max_planes: int = 16,
+) -> tuple[int, int]:
+    """(n_bands, n_planes) sized for the corpus — the explicit version of
+    the docstring rule so callers don't hand-tune.
+
+    n_planes grows with log2(corpus/target_bucket) so typical buckets hold
+    ~target_bucket rows (at 100k rows the 8-bit default left ~390-row
+    buckets → ~10^8 chance-collision candidate pairs on unclustered data);
+    n_bands then restores the recall target via 1-(1-p^r)^b with
+    p = 1-arccos(threshold)/pi.  Pure arithmetic, no Spark action — pass
+    a row-count estimate (exact counts are not required; the bucket target
+    tolerates 2-4x error)."""
+    import math
+
+    p = 1 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    n_planes = max(
+        4,
+        min(max_planes, math.ceil(math.log2(max(corpus_rows, 2) / target_bucket))),
+    )
+    band_p = p**n_planes
+    if band_p >= 1.0:
+        return 1, n_planes
+    n_bands = max(4, math.ceil(math.log(1 - recall_target) / math.log(1 - band_p)))
+    return n_bands, n_planes
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -234,6 +265,28 @@ def embedding_near_dups(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    # exact-cosine verification, vectorized: the candidate set on
+    # low-structure corpora is dominated by chance bucket collisions
+    # (~bucket_size²·buckets pairs), and the JVM higher-order-function
+    # cosine runs interpreted — measured ~60 s of the 71 s total on 29M
+    # candidates at 100k rows.  One numpy batch cosine replaces it.
+    @pandas_udf("long")
+    def _cos_x10k(va, vb):
+        if va.empty:
+            return pd.Series([], dtype="int64")
+        a = np.stack([np.asarray(x, dtype=np.float64) for x in va.values])
+        b = np.stack([np.asarray(x, dtype=np.float64) for x in vb.values])
+        dots = (a * b).sum(axis=1)
+        denom = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+        sims = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+        # HALF_UP to match Spark's round()
+        return pd.Series(np.floor(sims * 10000 + 0.5).astype("int64"))
+
+    # it IS deterministic; the marker only stops Catalyst's project-collapse
+    # from inlining the UDF into both the filter and the projection (which
+    # would evaluate the cosine twice per candidate pair)
+    _cos_x10k = _cos_x10k.asNondeterministic()
+
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     verified = (
         pairs.join(
@@ -244,15 +297,7 @@ def embedding_near_dups(
             vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")),
             "id_b",
         )
-        .withColumn(
-            "cosine_sim_x10k",
-            F.round(
-                _dot(F.col("vec_a"), F.col("vec_b"))
-                * 10000
-                / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))),
-                0,
-            ).cast("long"),
-        )
+        .withColumn("cosine_sim_x10k", _cos_x10k(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine_sim_x10k") >= int(threshold * 10000))
         .select("id_a", "id_b", "cosine_sim_x10k")
     )

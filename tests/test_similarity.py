@@ -263,7 +263,10 @@ def test_near_dups_plan_shape(spark):
     )
     band_exchanges = len(_re.findall(r"Exchange hashpartitioning\(band_idx", plan))
     assert band_exchanges == 1, plan[:2000]
-    assert plan.count("ArrowEvalPython") == 1
+    # two vectorized python stages by design: the banded signatures and the
+    # batch cosine verification (the HOF cosine ran interpreted — measured
+    # ~60 s on 29M candidate pairs at 100k rows)
+    assert plan.count("ArrowEvalPython") == 2
     # column pruning reaches the scan (label never read).  When another test
     # has cached the embeddings table, Spark substitutes the cached relation
     # — then the pruning shows at the InMemoryTableScan projection instead
@@ -275,3 +278,21 @@ def test_near_dups_plan_shape(spark):
     assert scans
     for scan in scans:
         assert "label" not in scan, scan
+
+
+def test_near_dup_params_sizing():
+    from cl_readability_spark.functions.similarity import near_dup_params
+
+    # small corpus: defaults-scale parameters
+    b, r = near_dup_params(3_000, threshold=0.9)
+    assert r <= 8 and b >= 4
+    # 100k corpus: more planes (bucket control) and enough bands for recall
+    b2, r2 = near_dup_params(100_000, threshold=0.9)
+    assert r2 > r  # plane count grows with corpus
+    import math
+
+    p = 1 - math.acos(0.9) / math.pi
+    recall = 1 - (1 - p**r2) ** b2
+    assert recall >= 0.9, (b2, r2, recall)
+    # monotone: bigger corpus never means fewer planes
+    assert near_dup_params(10_000_000)[1] >= r2

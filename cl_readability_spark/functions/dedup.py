@@ -1,16 +1,22 @@
-"""Near-duplicate detection at corpus scale — MinHash+LSH and SimHash.
+"""Near-duplicate detection at corpus scale — MinHash+LSH, SimHash, and
+winnowing fingerprints.
 
-Everything here is pure DataFrame ops (xxhash64, higher-order array
-functions, hash aggregates) — no Python in the hot path, so the plans are
-whole-stage-codegen and shuffle only on the band/bucket keys (classic
-shingle → minhash → band → bucket-join LSH).
+Hot-path split, chosen by measurement (PLANS.md): per-document hashing
+(shingling, minhash, simhash bit-sums, winnowing) runs in fused
+numpy/Arrow stages — the expression alternatives are interpreted
+higher-order-function lambdas (no codegen) and 2.5-6.6× slower — while
+everything wide stays JVM: band/bucket exchanges, collect_list buckets,
+pairwise explode, exact Jaccard on hashed-shingle long arrays, bit_count
+Hamming verify.  JVM-only reference formulations are kept
+(``word_shingles``/``minhash_signature``/``simhash_signature_agg``) as
+the no-python option and as differential-test anchors.
 
 Scale design: the only wide operations are (a) the explode of ``bands``
 rows per doc (bands ≈ 8, constant), and (b) the groupBy on
-(band_idx, band_hash) whose fan-in is the bucket size — bounded by
-``spark.sql.shuffle.partitions`` and naturally tiny for non-duplicate
-corpora.  Candidate verification joins back only the candidate pairs
-(anti-skew: bucket lists are capped via ``max_bucket``)."""
+(band_idx, band_hash) whose fan-in is the bucket size (anti-skew: bucket
+lists are capped via ``max_bucket``).  The minhash pipeline is join-free
+— the compact hash arrays ride through the bucket shuffle — so every
+byte of text is read and hashed exactly once."""
 
 from __future__ import annotations
 

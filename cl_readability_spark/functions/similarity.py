@@ -167,8 +167,9 @@ def embedding_near_dups(
     at the default (8 bands x 8 planes) that is ~0.94 at s=0.9 and
     ~0.99 at s=0.95 — versus ~0.40 for the old single 6-bit AND-only
     signature.  The signature space is ``n_bands * 2**n_planes`` buckets;
-    size ``n_planes >= log2(corpus_rows / max_bucket)`` so typical buckets
-    stay under ``max_bucket``.
+    use ``near_dup_params(corpus_rows, threshold)`` to size both knobs
+    (planes control bucket sizes, bands restore recall) — the defaults
+    suit corpora up to ~30k rows.
 
     Oversized buckets are NOT dropped: they are sub-divided by an
     ``n_refine``-bit refinement signature (shared across bands), and only
@@ -178,12 +179,14 @@ def embedding_near_dups(
     Returns (id_a, id_b, cosine_sim_x10k) with id_a < id_b and
     sim ≥ threshold; with ``return_stats=True`` returns (pairs, stats)
     where stats is a 1-row DataFrame (n_buckets_raw, n_buckets_refined,
-    n_buckets_final, rows_truncated).
+    n_buckets_final, rows_truncated) — or None for an empty input.
 
-    At 100 TB: per-row cost is n_bands*n_planes + n_refine JVM dot
-    products; the only wide ops are the groupBy on (band_idx, band_sig,
-    sub) — fan-in bounded by max_bucket — and the two verification joins
-    keyed on id.  No driver-side state, no Python UDFs."""
+    At 100 TB: per-row cost is one numpy matmul slice (n_bands*n_planes +
+    n_refine plane dots) in the signature Arrow stage; the wide ops are
+    the groupBy on (band_idx, band_sig, sub) — fan-in bounded by
+    max_bucket — the candidate-pair distinct, and the two verification
+    joins keyed on id feeding the batch-cosine Arrow stage.  No
+    driver-side state, no per-row python dispatch."""
     if dim is None:
         head = embeddings.select(vec_col).head(1)
         if not head:

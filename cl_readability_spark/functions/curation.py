@@ -107,7 +107,7 @@ def curate(
     return df.withColumn(
         "kept",
         F.col("quality_ok") & F.col("exact_keep") & ~F.col("near_dup_drop"),
-    )
+    ).drop("_row_key")
 
 
 def curation_report(curated: DataFrame) -> DataFrame:

@@ -134,4 +134,38 @@ AUTHORED: dict[str, dict] = {
     # merged by grab-article but then removed by clean-conditionally's
     # negative-class-weight rule; WINNER block only.
     "class-weight": {"text": (S2 * 9 + WINNER).strip()},
+    # markDataTables marks the <th>-bearing table a DATA table, so
+    # clean-conditionally's fishiness rule (low commas, short content)
+    # never evaluates it — cell texts stay, concatenated in cell order.
+    "data-table-kept": {
+        "text": (S * 12 + "Name Value Latency low Cost high").strip()
+    },
+    # the §2.9 replace-brs broken-branch resolution: the <br><br> run sits
+    # INSIDE a <p>, so the new paragraph's parent is a <p> and is retagged
+    # <div> (JS semantics; the reference's `(set-tag-name )` is the broken
+    # branch).  Both segments survive as one block.
+    "br-p-parent": {
+        "text": (
+            S * 12
+            + "First segment before the break, with enough words to stay real "
+            "content. Second segment after the break, also long enough to "
+            "stay in the output."
+        ).strip()
+    },
+    # clean-conditionally's code-ancestor guard fires BEFORE the negative
+    # class weight rule, so div.widget ('widget' = -25) inside <code> is
+    # preserved verbatim.
+    "code-guard": {
+        "text": (
+            S * 12
+            + "widget configuration example, shown verbatim inside the code "
+            "block."
+        ).strip()
+    },
+    # _headerDuplicatesTitle: the h1 whose text matches the <title> (text
+    # similarity > 0.75) is removed from the content.
+    "header-dup-title": {
+        "text": (S * 12).strip(),
+        "title": "Exact Heading Match Example Title",
+    },
 }

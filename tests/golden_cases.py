@@ -149,6 +149,38 @@ CASES: dict[str, tuple[str, str | None]] = {
         "</div></body></html>",
         None,
     ),
+    "data-table-kept": (
+        "<html><body><div id='page'>"
+        + LONG_P * 3
+        + "<table><tr><th>Name </th><th>Value </th></tr>"
+        "<tr><td>Latency </td><td>low </td></tr>"
+        "<tr><td>Cost </td><td>high </td></tr></table>"
+        "</div></body></html>",
+        None,
+    ),
+    "br-p-parent": (
+        "<html><body><div id='page'>"
+        + LONG_P * 3
+        + "<p>First segment before the break, with enough words to stay real content. "
+        "<br><br>Second segment after the break, also long enough to stay in the output.</p>"
+        "</div></body></html>",
+        None,
+    ),
+    "code-guard": (
+        "<html><body><div id='page'>"
+        + LONG_P * 3
+        + "<pre><code><div class='widget'>widget configuration example, "
+        "shown verbatim inside the code block.</div></code></pre>"
+        "</div></body></html>",
+        None,
+    ),
+    "header-dup-title": (
+        "<html><head><title>Exact Heading Match Example Title</title></head>"
+        "<body><div id='page'><h1>Exact Heading Match Example Title</h1>"
+        + LONG_P * 3
+        + "</div></body></html>",
+        None,
+    ),
     "corpus-article-small": (make_article_html(123, n_paragraphs=8), None),
     "corpus-article-big": (make_article_html(777, n_paragraphs=60), None),
     "corpus-article-plain": (make_article_html(55, n_paragraphs=4, boilerplate=False), None),

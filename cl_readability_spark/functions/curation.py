@@ -3,13 +3,29 @@ output — quality gating, exact dedup, MinHash near-dup pruning — as one
 flag-based pass (extract → flags → filter), so the whole curation is a
 single job with a one-row audit report instead of a count() per stage.
 
-Flag semantics (all computed lazily, JVM-side except the fused minhash
-stage):
+Flag semantics (gates attributed HIERARCHICALLY, so the report's per-gate
+drop counts partition ``rows_in`` exactly):
 - ``quality_ok``   — length bounds + stopword ratio + langid gate
-- ``exact_keep``   — first row (by key) of each normalized-text fingerprint
+- ``exact_keep``   — first quality_ok row (by key) of each normalized-text
+                     fingerprint; always False for quality-failed rows
 - ``near_dup_drop``— row is the dropped (higher-key) side of a verified
-                     MinHash near-duplicate pair
+                     MinHash near-duplicate pair, computed over the
+                     quality+exact survivors only
 - ``kept``         — quality_ok AND exact_keep AND NOT near_dup_drop
+
+so  rows_in = dropped_quality + dropped_exact_dup + dropped_near_dup
+            + rows_kept  holds as an identity (asserted in tests).
+
+Plan shape: the expensive extraction subtree feeding ``curate`` is
+referenced on BOTH sides of the near-dup prune (survivors → minhash →
+drops, then drops joined back).  Spark has no cross-branch subplan reuse
+(PLANS.md), so by default the flagged frame is materialized once
+(``materialize="local_checkpoint"``) before the branch — extraction runs
+exactly once per curation (plan-shape-tested: zero MapInArrow in the
+final DAG, the single extraction pass lives in the checkpoint job).  In
+production the equivalent is curating from the committed sink table
+(pipeline/sink.py); pass ``materialize="none"`` when the input is already
+a materialized table.
 
 At 100 TB: the wide ops are one fingerprint window (or groupBy), the
 minhash bucket shuffle, and the pair anti-join — all keyed, all
@@ -70,9 +86,19 @@ def curate(
     max_chars: int = 200_000,
     min_stopword_bp: int = 100,
     langs: tuple[str, ...] = ("en",),
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
-    ``kept`` for the final corpus, aggregate the flags for the report."""
+    ``kept`` for the final corpus, aggregate the flags for the report.
+
+    ``materialize`` controls how the flagged frame is pinned before the
+    near-dup branch references it twice (module doc, "Plan shape"):
+    "local_checkpoint" (default — evaluates the upstream subtree ONCE,
+    eagerly, and stores it on executor-local storage), "persist" (cache,
+    keeps lineage), or "none" (lazy; only correct to pick when the input
+    is already a materialized table, e.g. the committed sink)."""
+    if materialize not in ("local_checkpoint", "persist", "none"):
+        raise ValueError(f"unknown materialize mode: {materialize!r}")
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
     df = extracted.withColumn("_row_key", key)
 
@@ -89,8 +115,24 @@ def curate(
         F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                          "[^a-z0-9]", "")
     )
-    w = Window.partitionBy(fingerprint).orderBy("_row_key")
-    df = df.withColumn("exact_keep", F.row_number().over(w) == 1)
+    # hierarchical attribution: the exact-dup keeper is the first QUALITY
+    # row of each fingerprint, and quality-failed rows are never keepers —
+    # so quality / exact-dup / near-dup / kept partition rows_in exactly
+    w = Window.partitionBy(fingerprint).orderBy(
+        F.col("quality_ok").desc(), F.col("_row_key")
+    )
+    df = df.withColumn(
+        "exact_keep", F.col("quality_ok") & (F.row_number().over(w) == 1)
+    )
+
+    # one materialization of scan → extract → flag window, shared by the
+    # two plan branches below (Spark re-evaluates unshared subtrees per
+    # branch; measured ~2× extraction cost without this — PLANS.md)
+    if materialize == "local_checkpoint":
+        df = df.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        df = df.persist()
+        df.count()
 
     # near-dup pairs over the surviving candidates only (quality+exact
     # gates shrink the minhash input before its bucket shuffle)
@@ -111,11 +153,16 @@ def curate(
 
 
 def curation_report(curated: DataFrame) -> DataFrame:
-    """One-row audit: total rows, per-gate drop counts, final kept count."""
+    """One-row audit: total rows, per-gate drop counts, final kept count.
+    The gates are attributed hierarchically (module doc), so
+    rows_in == dropped_quality + dropped_exact_dup + dropped_near_dup
+    + rows_kept — the four drop columns partition the input exactly."""
     return curated.agg(
         F.count("*").alias("rows_in"),
         F.sum((~F.col("quality_ok")).cast("long")).alias("dropped_quality"),
-        F.sum((~F.col("exact_keep")).cast("long")).alias("dropped_exact_dup"),
+        F.sum((F.col("quality_ok") & ~F.col("exact_keep")).cast("long")).alias(
+            "dropped_exact_dup"
+        ),
         F.sum(F.col("near_dup_drop").cast("long")).alias("dropped_near_dup"),
         F.sum(F.col("kept").cast("long")).alias("rows_kept"),
     )

@@ -145,18 +145,38 @@ def near_dup_params(
     return n_bands, n_planes
 
 
+def _refine_hamming_bound(
+    threshold: float, n_refine: int, miss_prob: float = 1e-3
+) -> int:
+    """Smallest Hamming cutoff h such that a pair at cosine >= threshold
+    disagrees on more than h of the n_refine hyperplane bits with
+    probability <= miss_prob (per-bit disagreement q = arccos(s)/pi is
+    maximal at s = threshold, so the bound holds for every qualifying
+    pair).  Exact binomial tail, pure arithmetic."""
+    import math
+
+    q = math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    cum = 0.0
+    for h in range(n_refine + 1):
+        cum += math.comb(n_refine, h) * (q**h) * ((1 - q) ** (n_refine - h))
+        if 1.0 - cum <= miss_prob:
+            return h
+    return n_refine
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_bands: int = 8,
     n_planes: int = 8,
-    n_refine: int = 16,
+    n_refine: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 512,
     dim: int | None = None,
     return_stats: bool = False,
+    refine_hamming: int | None = None,
 ):
     """All-pairs embedding-cosine near-duplicate detection via banded
     random-hyperplane LSH (OR-construction, same shape as dedup.py's
@@ -176,6 +196,16 @@ def embedding_near_dups(
     if a refined bucket still exceeds ``max_bucket`` is it truncated —
     with the loss surfaced via ``return_stats``.
 
+    Chance-collision candidates are cut BEFORE the verification joins by
+    a refinement-signature prefilter: each candidate pair carries the two
+    packed ``n_refine``-bit signatures (8 bytes each — not the 512-byte
+    vectors) through the bucket shuffle, and only pairs whose signatures
+    agree within ``refine_hamming`` bits reach the vector joins.  The
+    cutoff defaults to the exact binomial bound with miss probability
+    1e-3 per qualifying pair (``_refine_hamming_bound``); a random
+    (cosine~0) pair survives with P[Binom(64, 1/2) <= 19] ~ 1e-3, so
+    ~99.8% of chance collisions never ship a vector.
+
     Returns (id_a, id_b, cosine_sim_x10k) with id_a < id_b and
     sim ≥ threshold; with ``return_stats=True`` returns (pairs, stats)
     where stats is a 1-row DataFrame (n_buckets_raw, n_buckets_refined,
@@ -184,9 +214,14 @@ def embedding_near_dups(
     At 100 TB: per-row cost is one numpy matmul slice (n_bands*n_planes +
     n_refine plane dots) in the signature Arrow stage; the wide ops are
     the groupBy on (band_idx, band_sig, sub) — fan-in bounded by
-    max_bucket — the candidate-pair distinct, and the two verification
-    joins keyed on id feeding the batch-cosine Arrow stage.  No
-    driver-side state, no per-row python dispatch."""
+    max_bucket — the candidate-pair distinct (post-prefilter), and the
+    two verification joins keyed on id over the surviving ~0.2% feeding
+    the batch-cosine Arrow stage.  No driver-side state, no per-row
+    python dispatch."""
+    if not (1 <= n_refine <= 64):
+        raise ValueError("n_refine must be in [1, 64] (packed into one long)")
+    if refine_hamming is None:
+        refine_hamming = _refine_hamming_bound(threshold, n_refine)
     if dim is None:
         head = embeddings.select(vec_col).head(1)
         if not head:
@@ -217,7 +252,8 @@ def embedding_near_dups(
     ] + [_hyperplane(dim, i, seed + 777_000_001) for i in range(n_refine)]
     plane_matrix = np.asarray(planes, dtype=np.float64)  # (B*r + R, dim)
     band_weights = (1 << np.arange(n_planes, dtype=np.int64))
-    refine_weights = (1 << np.arange(n_refine, dtype=np.int64))
+    # uint64 packing so bit 63 wraps to the sign bit instead of overflowing
+    refine_weights = (np.uint64(1) << np.arange(n_refine, dtype=np.uint64))
     nb, npl = n_bands, n_planes
 
     # NB: no type hints — the module's `from __future__ import annotations`
@@ -230,7 +266,9 @@ def embedding_near_dups(
         m = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
         bits = (m @ plane_matrix.T) > 0  # (n, B*r + R)
         band_sigs = bits[:, : nb * npl].reshape(len(m), nb, npl) @ band_weights
-        refine_sigs = bits[:, nb * npl :] @ refine_weights
+        refine_sigs = (
+            bits[:, nb * npl :].astype(np.uint64) @ refine_weights
+        ).astype(np.int64)
         out = np.concatenate([band_sigs, refine_sigs[:, None]], axis=1)
         return pd.Series(list(out))
 
@@ -259,12 +297,41 @@ def embedding_near_dups(
     keyed = keyed.withColumn("oversized", F.col("count") > max_bucket)
     buckets = (
         keyed.groupBy("band_idx", "band_sig", "sub", "oversized")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .withColumn("bsize", F.size("ids"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id"), F.col("refine_sig")))
+            ).alias("items")
+        )
+        .withColumn("bsize", F.size("items"))
     )
+    # pair explode carries the two packed refinement signatures (8 B each);
+    # the Hamming prefilter then drops chance collisions BEFORE the
+    # pair-distinct shuffle and the 512 B/side vector joins
+    items = F.slice(F.col("items"), 1, max_bucket)
     pairs = (
         buckets.filter(F.col("bsize") > 1)
-        .select(_pairs_within(F.slice(F.col("ids"), 1, max_bucket)).alias("p"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        items,
+                        lambda a, i: F.transform(
+                            F.slice(items, i + 2, F.size(items)),
+                            lambda b: F.struct(
+                                a["_id"].alias("id_a"),
+                                b["_id"].alias("id_b"),
+                                a["refine_sig"].alias("ref_a"),
+                                b["refine_sig"].alias("ref_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .filter(
+            F.bit_count(F.col("p.ref_a").bitwiseXOR(F.col("p.ref_b")))
+            <= refine_hamming
+        )
         .select("p.id_a", "p.id_b")
         .distinct()
     )

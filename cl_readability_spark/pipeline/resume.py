@@ -67,9 +67,11 @@ def run_resumable(
         num_partitions=num_partitions,
     )
     handle = sink.write_batch(result)
-    written = (
-        spark.read.parquet(handle) if os.path.isdir(handle) else sink.read(spark)
-    )
+    # batch-scoped read-back via the sink protocol (NOT the cumulative
+    # table): the returned count and the metrics sidecar must cover only
+    # the rows THIS run wrote, for every sink — parquet batch dir here,
+    # Iceberg incremental snapshot read in production
+    written = sink.read_batch(spark, handle)
     if metrics_root is not None:
         metrics_sidecar(written).write.mode("append").parquet(metrics_root)
     return written.count()
@@ -128,6 +130,9 @@ class CheckpointedSink:
         df.write.mode("errorifexists").parquet(batch_path)
         self._last_write = {"path": batch_path, "seconds": time.time() - t0}
         return batch_path
+
+    def read_batch(self, spark: SparkSession, handle: str) -> DataFrame:
+        return spark.read.parquet(handle)
 
     def read(self, spark: SparkSession) -> DataFrame:
         batches = self.committed_batches()

@@ -39,6 +39,13 @@ class KeyedSink(Protocol):
     def write_batch(self, df: DataFrame) -> str:
         """Atomically append one batch; returns a batch/snapshot handle."""
 
+    def read_batch(self, spark: SparkSession, handle: str) -> DataFrame:
+        """The rows of ONE committed batch, by the handle ``write_batch``
+        returned — never the whole table.  The resume job derives its
+        'rows written' count and the metrics sidecar from this, so a
+        full-table implementation would re-append metrics for every
+        previously committed row on every run."""
+
     def read(self, spark: SparkSession) -> DataFrame:
         """The committed table contents."""
 
@@ -97,15 +104,49 @@ class IcebergSink:
 
     def committed_keys(self, spark: SparkSession) -> DataFrame | None:
         self._require(spark)
-        try:
-            return self._table_df(spark).select(*self.key_columns)
-        except Exception:  # table does not exist yet → first run
+        # ONLY a genuinely absent table means "first run".  Auth errors,
+        # catalog outages, bad names etc. must propagate: swallowing them
+        # here would silently skip the resume anti-join and re-append the
+        # whole source (duplicate rows in an idempotence-critical path).
+        if not spark.catalog.tableExists(self.table):
             return None
+        return self._table_df(spark).select(*self.key_columns)
+
+    def _current_snapshot_id(self, spark: SparkSession) -> int | None:
+        """Latest snapshot id from the Iceberg metadata table (None when
+        the table does not exist yet / has no snapshots)."""
+        if not spark.catalog.tableExists(self.table):
+            return None
+        rows = spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else None
 
     def write_batch(self, df: DataFrame) -> str:
-        self._require(df.sparkSession)
+        """One atomic snapshot append.  The handle is batch-scoped: it
+        records the snapshot range (previous, new) so ``read_batch`` can
+        read back exactly this batch via Iceberg's incremental read —
+        never the cumulative table."""
+        spark = df.sparkSession
+        self._require(spark)
+        prev = self._current_snapshot_id(spark)
         df.writeTo(self.table).append()
-        return self.table
+        new = self._current_snapshot_id(spark)
+        return f"{self.table}@{'' if prev is None else prev}..{new}"
+
+    def read_batch(self, spark: SparkSession, handle: str) -> DataFrame:
+        self._require(spark)
+        table, _, rng = handle.partition("@")
+        prev_s, _, new_s = rng.partition("..")
+        if not prev_s:  # first snapshot: the batch IS the table
+            return spark.table(table)
+        return (
+            spark.read.format("iceberg")
+            .option("start-snapshot-id", prev_s)  # exclusive
+            .option("end-snapshot-id", new_s)     # inclusive
+            .load(table)
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
         self._require(spark)

@@ -3,6 +3,8 @@ reduction on the driver embeddings table."""
 
 import math
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from cl_readability_spark.functions.similarity import (
@@ -122,6 +124,59 @@ def test_near_dups_recall_bound(spark):
         for r in embedding_near_dups(df, threshold=0.9, dim=dim).collect()
     }
     assert all(v >= 9000 for v in sims.values())
+
+
+def test_refine_hamming_bound_values():
+    """The prefilter cutoff is the exact binomial tail bound: tighter for
+    higher thresholds (fewer expected disagreements) and ~19 bits for the
+    0.9/64-bit default — wide enough that qualifying pairs pass with
+    P >= 0.999, narrow enough that random pairs (Binom(64, 1/2)) rarely
+    do."""
+    from cl_readability_spark.functions.similarity import _refine_hamming_bound
+
+    h90 = _refine_hamming_bound(0.9, 64)
+    h95 = _refine_hamming_bound(0.95, 64)
+    h99 = _refine_hamming_bound(0.99, 64)
+    assert h99 < h95 < h90 < 32  # strictly below the random-pair mean
+    assert 15 <= h90 <= 23
+    assert _refine_hamming_bound(0.9, 64, miss_prob=1.0) == 0
+
+
+def test_near_dups_prefilter_preserves_verified_output(spark):
+    """The refinement-signature prefilter cuts only chance collisions: the
+    verified pair set with the default Hamming cutoff equals the set with
+    the prefilter disabled (refine_hamming=64 passes everything).  The
+    corpus is the deterministic planted construction, so this is exact,
+    not statistical."""
+    from cl_readability_spark.functions.similarity import (
+        embedding_near_dups,
+        plant_near_dups,
+    )
+
+    base = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.concat_ws(":", F.col("id"), i)), F.lit(2001))
+                - 1000
+            ).cast("float")
+            / 100.0,
+        ).alias("embedding"),
+    )
+    corpus = plant_near_dups(base, every=4, gamma=0.43, seed=3)
+    filtered = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(corpus, threshold=0.9, dim=32).collect()
+    }
+    unfiltered = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(
+            corpus, threshold=0.9, dim=32, refine_hamming=64
+        ).collect()
+    }
+    assert filtered == unfiltered
+    assert len(filtered) > 0
 
 
 def test_near_dups_planted_driver_corpus(spark, embs):

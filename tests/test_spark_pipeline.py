@@ -216,6 +216,41 @@ def test_run_resumable_generic_runner(spark, transcripts, tmp_path):
     )
 
 
+def test_resume_metrics_are_batch_scoped(spark, transcripts, tmp_path):
+    """The metrics sidecar covers only the rows each run wrote (via the
+    sink protocol's batch-scoped read_batch), never the cumulative table —
+    a full-table read-back would re-append every previously committed
+    row's metrics on each run."""
+    from cl_readability_spark.pipeline.resume import run_resumable
+
+    sink = CheckpointedSink(str(tmp_path / "ms"))
+    metrics_root = str(tmp_path / "metrics")
+    n1 = run_resumable(
+        transcripts.filter(F.col("turn_idx") % 2 == 0), sink,
+        metrics_root=metrics_root,
+    )
+    n2 = run_resumable(transcripts, sink, metrics_root=metrics_root)
+    total = transcripts.count()
+    assert n1 + n2 == total
+    # exactly one metrics row per written row across both runs
+    assert spark.read.parquet(metrics_root).count() == total
+
+
+def test_iceberg_batch_handle_is_snapshot_scoped():
+    """The Iceberg handle encodes the (prev, new) snapshot range so the
+    batch read-back is an incremental snapshot read, not the table."""
+    from cl_readability_spark.pipeline.sink import IcebergSink
+
+    sink = IcebergSink("cat.db.extracted")
+    handle = "cat.db.extracted@123..456"
+    table, _, rng = handle.partition("@")
+    prev, _, new = rng.partition("..")
+    assert (table, prev, new) == ("cat.db.extracted", "123", "456")
+    # first-batch handle has an empty prev → read_batch returns the table
+    assert "cat.db.extracted@..789".partition("@")[2].partition("..")[0] == ""
+    assert sink.key_columns == ["conv_id", "turn_idx"]
+
+
 def test_documents_as_transcripts(spark):
     df = documents_as_transcripts(spark, "/root/testdata/sf0.001")
     assert [f.name for f in df.schema.fields] == [

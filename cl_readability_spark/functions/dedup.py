@@ -321,46 +321,52 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 256,
-) -> DataFrame:
+    return_stats: bool = False,
+):
     """SimHash near-duplicate pairs: documents whose 64-bit SimHashes are
     within ``max_hamming`` bits.
 
-    Candidate generation is EXACT (not probabilistic): the signature is
-    split into 4 16-bit blocks, and by pigeonhole any pair within Hamming
-    distance 3 agrees on at least one whole block — so bucketing on
-    (block_idx, block_value) finds every qualifying pair as long as
-    ``max_hamming <= 3``.  Verification is ``bit_count(xor)`` — all JVM.
+    Identical signatures are collapsed FIRST (one row per distinct
+    simhash, carrying its sorted id list), which makes the pipeline exact
+    on the corpora dedup exists for: a million boilerplate-identical
+    documents are ONE row through the block-LSH, their quadratic
+    hamming-0 pair set is emitted directly from the group, and
+    ``max_bucket`` caps only the number of DISTINCT signatures sharing a
+    16-bit block value — chance collisions, not duplication mass.
 
-    Returns (id_a, id_b, hamming) with id_a < id_b.  One groupBy shuffle on
-    the block key (bounded by ``max_bucket``) plus two id-joins for verify
-    — the same scale shape as the MinHash path."""
+    Candidate generation for the cross-signature pairs is pigeonhole-
+    exact: split into 4 16-bit blocks, any pair within Hamming distance 3
+    agrees on at least one whole block, so bucketing distinct signatures
+    on (block_idx, block_value) finds every qualifying signature pair —
+    UNLESS a block bucket holds more than ``max_bucket`` distinct
+    signatures, in which case it is dropped and the loss is surfaced via
+    ``return_stats`` (the exactness claim is conditional on zero dropped
+    buckets; expected bucket fan-in is n_distinct_sigs / 2^16 per block,
+    so the default cap is ~4B distinct signatures of headroom).
+    Verification is ``bit_count(xor)`` on the signatures carried through
+    the shuffle — join-free, all JVM after the signature Arrow stage.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b; with
+    ``return_stats=True`` returns (pairs, stats) where stats is a 1-row
+    DataFrame (n_distinct_sigs, max_group_size, n_buckets_dropped,
+    sigs_in_dropped_buckets).
+
+    Scale shape: one groupBy on simhash (map-side combinable), one block
+    exchange over distinct signatures, pair explode, id-list expansion.
+    Groups of identical documents ride as one id array; their pair output
+    is inherently quadratic in the group size — cap upstream with exact
+    dedup if that is not wanted."""
     if max_hamming > 3:
         raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
     sim = simhash_signature(df, id_col, text_col)
-    blocks = sim.select(
-        F.col(id_col).alias("_id"),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("block_val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("blk"),
-    ).select("_id", "blk.block_idx", "blk.block_val")
-    buckets = (
-        blocks.groupBy("block_idx", "block_val")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    groups = sim.groupBy("simhash").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
-    pairs = (
-        buckets.select(
+
+    # hamming-0 pairs: all pairs within an identical-signature group
+    same = (
+        groups.filter(F.size("ids") > 1)
+        .select(
             F.explode(
                 F.flatten(
                     F.transform(
@@ -373,27 +379,103 @@ def simhash_near_dups(
                 )
             ).alias("p")
         )
-        .select("p.id_a", "p.id_b")
-        .distinct()
+        .select("p.id_a", "p.id_b", F.lit(0).cast("long").alias("hamming"))
     )
-    sigs = sim.select(F.col(id_col), F.col("simhash"))
-    verified = (
-        pairs.join(
-            sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")),
-            "id_a",
+    if max_hamming == 0:
+        pairs = same
+        buckets = None
+    else:
+        blocks = groups.select(
+            F.col("simhash"),
+            F.col("ids"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("block_idx"),
+                            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("block_val"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("blk"),
+        ).select("simhash", "ids", "blk.block_idx", "blk.block_val")
+        buckets = (
+            blocks.groupBy("block_idx", "block_val")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("simhash"), F.col("ids")))
+                ).alias("items")
+            )
+            .withColumn("bsize", F.size("items"))
         )
-        .join(
-            sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b")),
-            "id_b",
+        sig_pairs = (
+            buckets.filter((F.col("bsize") > 1) & (F.col("bsize") <= max_bucket))
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("items"),
+                            lambda a, i: F.transform(
+                                F.slice(F.col("items"), i + 2, F.size("items")),
+                                lambda b: F.struct(
+                                    a["simhash"].alias("sim_a"),
+                                    b["simhash"].alias("sim_b"),
+                                    a["ids"].alias("ids_a"),
+                                    b["ids"].alias("ids_b"),
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .filter(
+                F.bit_count(F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b")))
+                <= max_hamming
+            )
+            .groupBy("p.sim_a", "p.sim_b")
+            .agg(F.first("p.ids_a").alias("ids_a"), F.first("p.ids_b").alias("ids_b"))
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+            )
         )
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+        cross = (
+            sig_pairs.select(
+                F.explode("ids_a").alias("a"), F.col("ids_b"), F.col("hamming")
+            )
+            .select(F.col("a"), F.explode("ids_b").alias("b"), F.col("hamming"))
+            .select(
+                F.least("a", "b").alias("id_a"),
+                F.greatest("a", "b").alias("id_b"),
+                "hamming",
+            )
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        pairs = same.unionByName(cross)
+    if not return_stats:
+        return pairs
+    base = groups.agg(
+        F.count("*").alias("n_distinct_sigs"),
+        F.max(F.size("ids")).alias("max_group_size"),
     )
-    return verified
+    if buckets is None:
+        stats = base.select(
+            "n_distinct_sigs",
+            "max_group_size",
+            F.lit(0).cast("long").alias("n_buckets_dropped"),
+            F.lit(0).cast("long").alias("sigs_in_dropped_buckets"),
+        )
+    else:
+        dropped = buckets.filter(F.col("bsize") > max_bucket).agg(
+            F.count("*").cast("long").alias("n_buckets_dropped"),
+            F.coalesce(F.sum("bsize"), F.lit(0)).cast("long").alias(
+                "sigs_in_dropped_buckets"
+            ),
+        )
+        stats = base.crossJoin(dropped)
+    return pairs, stats
 
 
 def simhash_signature(
@@ -558,3 +640,43 @@ def winnow_fingerprints(
             yield pd.DataFrame({id_col: ids, "pos": poss, "fingerprint": fps})
 
     return df.select(id_col, text_col).mapInPandas(_batches, out_schema)
+
+
+def winnow_candidates(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from winnowing fingerprints: distinct
+    (id_a, id_b) with id_a < id_b that share at least one selected
+    fingerprint — the groupBy-on-fingerprint index join over
+    ``winnow_fingerprints`` output.
+
+    By the winnowing guarantee this candidate set contains every document
+    pair sharing a substring longer than k + window - 1 characters.  One
+    shuffle on fingerprint (a doc's repeated picks of the same value are
+    collapsed by collect_set), pairwise explode bounded by ``max_bucket``
+    (degenerate fingerprints — e.g. whitespace runs — cannot explode
+    quadratically), then the pair-distinct aggregate."""
+    buckets = (
+        fp_df.groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )

@@ -431,6 +431,73 @@ def plant_near_dups(
     return base.unionByName(perturbed)
 
 
+def _hash_centroids(dim: int, n_cells: int, seed: int):
+    """The training-free centroid directions (hash-derived, executor-
+    independent) — the default when no trained centroids are supplied."""
+    import numpy as np
+
+    return np.asarray(
+        [_hyperplane(dim, i, seed + 555_000_007) for i in range(n_cells)],
+        dtype=np.float64,
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+):
+    """Spherical k-means centroids for IVF, fit driver-side on a
+    deterministic sample and broadcast to executors via the UDF closure
+    (a (n_cells × dim) float64 array — a few KB, not a dataset).
+
+    Sampling: rows ordered by xxhash64 of the vector bytes, first
+    ``sample`` taken — deterministic for a given corpus, no RNG state on
+    executors.  At 100 TB you'd swap the orderBy for TABLESAMPLE; the fit
+    itself is unchanged (k-means over ≤ a few thousand rows is driver
+    arithmetic).  Initialization is the hash-direction set (deterministic,
+    no seeds to disagree on), then ``iters`` Lloyd rounds on the unit
+    sphere: assign by max dot, recenter by normalized mean; empty cells
+    fall back to their initial direction.  Returns the centroid ndarray —
+    pass it to ``ivf_assign``/``ivf_topk`` as ``centroids=``."""
+    import numpy as np
+
+    if dim is None:
+        head = embeddings.select(vec_col).head(1)
+        if not head:
+            return _hash_centroids(1, n_cells, seed)
+        dim = len(head[0][0])
+    sampled = (
+        embeddings.select(F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_v").cast("array<float>").cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    if not sampled:
+        return _hash_centroids(dim, n_cells, seed)
+    x = np.asarray([list(r[0]) for r in sampled], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    cents = _hash_centroids(dim, n_cells, seed)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    init = cents.copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                cents[c] = m / n if n > 0 else init[c]
+            else:
+                cents[c] = init[c]
+    return cents
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -438,18 +505,20 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    centroids=None,
 ) -> DataFrame:
     """IVF coarse quantization: adds ``ivf_cell`` = argmax over n_cells
-    hash-derived unit-free centroid directions of v · c_i.
+    centroid directions of v · c_i.
 
-    The "centroids" are deterministic pseudo-random directions (same
-    integer-hash family as the LSH planes) rather than trained k-means
-    centers: training-free, executor-independent, and good enough for the
-    partition-pruning role IVF plays here — each cell holds ~1/n_cells of
-    the corpus (directions in high dim are near-orthogonal).  Assignment
-    is one numpy matmul per Arrow batch; at scale the assigned table is
-    written partitioned by ``ivf_cell`` so a query scans only the probed
-    cells (partition pruning does the rest)."""
+    Default "centroids" are deterministic pseudo-random directions (same
+    integer-hash family as the LSH planes): training-free, executor-
+    independent, and good enough for the partition-pruning role IVF plays
+    here — each cell holds ~1/n_cells of an unclustered corpus.  For
+    corpora with real cluster structure pass ``centroids=ivf_train(...)``
+    (balanced cells, higher recall per probe).  Assignment is one numpy
+    matmul per Arrow batch; at scale the assigned table is written
+    partitioned by ``ivf_cell`` so a query scans only the probed cells
+    (partition pruning does the rest)."""
     if dim is None:
         head = embeddings.select(vec_col).head(1)
         if not head:
@@ -459,9 +528,10 @@ def ivf_assign(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cents = np.asarray(
-        [_hyperplane(dim, i, seed + 555_000_007) for i in range(n_cells)],
-        dtype=np.float64,
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _hash_centroids(dim, n_cells, seed)
     )
 
     @pandas_udf("int")
@@ -483,20 +553,34 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN top-k: score only vectors in the ``n_probe`` cells whose
     centroid direction is most aligned with the query (the standard
     IVF-flat probe).  Exact cosine within the probed cells, then
     TakeOrderedAndProject.  Recall rises monotonically with n_probe and
-    hits 1.0 at n_probe = n_cells (degenerates to brute force)."""
+    hits 1.0 at n_probe = n_cells (degenerates to brute force).
+
+    Probe selection uses the SAME numpy dot products as ``ivf_assign``'s
+    cell assignment, so a vector equal (or positively proportional) to
+    the query is guaranteed to live in the first probed cell — the
+    planted-oracle construction (sqltwins ``ann_ivf_planted``) relies on
+    this."""
+    import numpy as np
+
     dim = len(query_vec)
-    assigned = ivf_assign(embeddings, n_cells, seed, id_col, vec_col, dim)
+    assigned = ivf_assign(
+        embeddings, n_cells, seed, id_col, vec_col, dim, centroids=centroids
+    )
     q = [float(x) for x in query_vec]
-    scores = []
-    for i in range(n_cells):
-        c = _hyperplane(dim, i, seed + 555_000_007)
-        scores.append((sum(a * b for a, b in zip(q, c)), i))
-    probe_cells = [i for _, i in sorted(scores, reverse=True)[:n_probe]]
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _hash_centroids(dim, n_cells, seed)
+    )
+    n_cells = len(cents)
+    scores = cents @ np.asarray(q, dtype=np.float64)
+    probe_cells = [int(i) for i in np.argsort(-scores)[:n_probe]]
     qcol = F.array(*[F.lit(x) for x in q])
     return (
         assigned.filter(F.col("ivf_cell").isin(probe_cells))

@@ -565,6 +565,104 @@ FROM documents a JOIN documents b
 """
 
 
+# --- 18. dedup_winnow_planted — the winnowing fingerprint index
+#     (rolling k-gram hash → window minima → groupBy-on-fingerprint
+#     candidate pairs) over a planted corpus whose collision-pair set is
+#     exactly computable: group = doc_id DIV 10, every doc's text is 45
+#     repeats of the 8-char word "<group zero-padded to 7 digits><space>".
+#     The text is periodic with period 8, so its character 8-grams are
+#     EXACTLY the 8 rotations of that word; two such words are rotations
+#     of each other only if equal (each contains a single space, which
+#     pins the alignment), so cross-group fingerprint sets are disjoint
+#     (up to 2^-64 hash collisions, same caveat as the simhash twin) and
+#     within-group texts are identical → identical fingerprint sets.
+#     Candidate pairs therefore reduce to the group-equality self-join. ---
+def q_dedup_winnow_planted(spark, sf_dir):
+    from cl_readability_spark.functions.dedup import (
+        winnow_candidates,
+        winnow_fingerprints,
+    )
+
+    group = F.floor(F.col("doc_id") / 10).cast("long")
+    word = F.concat(F.lpad(group.cast("string"), 7, "0"), F.lit(" "))
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id", F.repeat(word, 45).alias("text")
+    )
+    fps = winnow_fingerprints(corpus, k=8, window=16)
+    return winnow_candidates(fps)
+
+
+SQL_DEDUP_WINNOW_PLANTED = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b
+  ON a.doc_id // 10 = b.doc_id // 10 AND a.doc_id < b.doc_id
+"""
+
+
+# --- 19. ann_ivf_planted — IVF-flat ANN made hash-verifiable: plant ten
+#     positively-scaled copies of the query vector (cosine exactly 1, and
+#     argmax cell assignment is scale-invariant, so every planted row
+#     provably lives in the query's OWN cell — the one cell probed at
+#     n_probe=1).  The true top-10 of the union corpus is exactly the
+#     planted set (cosine 10000 ≫ any random dim-64 pair), so the oracle
+#     is plain brute force over the same union — a broken cell assignment,
+#     probe selection, or in-cell scoring each flip the hash. ---
+def q_ann_ivf_planted(spark, sf_dir):
+    from cl_readability_spark.functions.similarity import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    query_vec = [float(x) for x in
+                 embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    planted = (
+        embs.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"), "embedding"
+        )
+        .select(
+            (F.lit(2_000_000) + F.col("i")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double")
+                * (F.lit(1.0) + F.col("i").cast("double") / 100.0),
+            ).alias("embedding"),
+        )
+    )
+    corpus = embs.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    topk = ivf_topk(corpus, query_vec, k=10, n_cells=16, n_probe=1)
+    return topk.select(
+        "vec_id",
+        F.round(F.col("cosine_sim") * 10000, 0).cast("long").alias(
+            "cosine_sim_x10k"
+        ),
+    )
+
+
+SQL_ANN_IVF_PLANTED = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+planted AS (
+  SELECT 2000000 + i AS vec_id,
+         list_transform(q.embedding, x -> x * (1.0 + i / 100.0)) AS embedding
+  FROM q, range(1, 11) t(i)
+),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding
+  FROM embeddings WHERE vec_id <> 0
+  UNION ALL
+  SELECT vec_id, embedding FROM planted
+)
+SELECT c.vec_id,
+       CAST(ROUND(list_dot_product(c.embedding, q.embedding) * 10000
+            / (SQRT(list_dot_product(c.embedding, c.embedding))
+               * SQRT(list_dot_product(q.embedding, q.embedding))), 0) AS BIGINT)
+         AS cosine_sim_x10k
+FROM corpus c, q
+ORDER BY cosine_sim_x10k DESC, c.vec_id ASC
+LIMIT 10
+"""
+
+
 # --- TPC-H-style relational twins over the driver tables: the classic scan
 #     → broadcast-join → partial-agg shapes the metrics/lineage rollups use
 #     at scale.  Money math is integerized (×100, bigint) so cross-engine
@@ -777,6 +875,8 @@ SQL_TWINS: dict[str, tuple] = {
     "link_density": (q_link_density, SQL_LINK_DENSITY),
     "dedup_minhash_planted": (q_dedup_minhash_planted, SQL_DEDUP_MINHASH_PLANTED),
     "dedup_simhash_planted": (q_dedup_simhash_planted, SQL_DEDUP_SIMHASH_PLANTED),
+    "dedup_winnow_planted": (q_dedup_winnow_planted, SQL_DEDUP_WINNOW_PLANTED),
+    "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),

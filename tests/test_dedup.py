@@ -144,6 +144,78 @@ def test_simhash_near_dups_pairs(spark, corpus_df):
     assert got == truth  # exact recall AND precision, no probabilistic slack
 
 
+def test_simhash_near_dups_exact_on_heavily_duplicated_corpus(spark):
+    """The ADVICE r2 case: >max_bucket boilerplate-identical documents
+    (all sharing every block) must not lose pairs.  Identical signatures
+    collapse to one row before the block-LSH, so the 300-doc clone group
+    yields all C(300,2) hamming-0 pairs, and a near-miss doc one token
+    away is still paired with every clone via the cross-signature path."""
+    from cl_readability_spark.functions.dedup import (
+        simhash_near_dups,
+        simhash_signature,
+    )
+
+    boiler = "subscribe to our newsletter terms privacy copyright " * 6
+    rows = [(i, boiler) for i in range(300)]
+    rows.append((900, boiler + " extra"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sims = {r.doc_id: r.simhash for r in simhash_signature(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    # exhaustive ground truth straight from the signatures — with >256
+    # docs sharing all four blocks, the old whole-bucket drop lost ALL
+    # of these pairs
+    import itertools
+
+    truth = {
+        (a, b): hamming(sims[a], sims[b])
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if hamming(sims[a], sims[b]) <= 3
+    }
+    assert len(truth) >= 300 * 299 / 2  # the clone group at minimum
+    pairs, stats = simhash_near_dups(df, max_hamming=3, return_stats=True)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got == truth
+    st = stats.collect()[0]
+    assert st.n_distinct_sigs == len(set(sims.values()))
+    assert st.max_group_size == max(
+        sum(1 for v in sims.values() if v == s) for s in set(sims.values())
+    )
+    assert st.n_buckets_dropped == 0
+
+
+def test_simhash_near_dups_cross_signature_groups(spark):
+    """Two large identical-text groups whose signatures differ by a few
+    bits: every cross pair must be found via the distinct-signature block
+    path and expanded through both id lists."""
+    from cl_readability_spark.functions.dedup import (
+        simhash_near_dups,
+        simhash_signature,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    variant = base + "iota"
+    rows = [(i, base) for i in range(40)] + [(100 + i, variant) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sims = {r.doc_id: r.simhash for r in simhash_signature(df).collect()}
+    d = bin((sims[0] ^ sims[100]) & (2**64 - 1)).count("1")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dups(df, max_hamming=3).collect()
+    }
+    within = {(a, b) for a in range(40) for b in range(a + 1, 40)}
+    within |= {(100 + a, 100 + b) for a in range(40) for b in range(a + 1, 40)}
+    assert within <= set(got) and all(got[p] == 0 for p in within)
+    if 1 <= d <= 3:
+        cross = {(a, 100 + b) for a in range(40) for b in range(40)}
+        assert cross <= set(got) and all(got[p] == d for p in cross)
+        assert len(got) == len(within) + len(cross)
+    else:  # construction landed identical or too-far: still exact
+        assert set(got) == within or len(got) == len(within) + 1600
+
+
 def test_simhash_near_dups_rejects_wide_hamming(spark, corpus_df):
     from cl_readability_spark.functions.dedup import simhash_near_dups
 

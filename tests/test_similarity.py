@@ -126,6 +126,52 @@ def test_near_dups_recall_bound(spark):
     assert all(v >= 9000 for v in sims.values())
 
 
+def test_ivf_trained_centroids_beat_hash_directions(spark):
+    """On a corpus with real cluster structure, k-means-trained IVF cells
+    (ivf_train) must beat the training-free hash directions at equal
+    n_probe: the trained cells align with the clusters, so the query's
+    true neighbors land in the probed cell."""
+    import random
+
+    from cl_readability_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_train,
+    )
+
+    rng = random.Random(4)
+    dim, n_clusters = 16, 8
+    centers = []
+    for _ in range(n_clusters):
+        c = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in c))
+        centers.append([x / n for x in c])
+    rows = []
+    for i in range(1600):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = ivf_train(df, n_cells=n_clusters, iters=5, sample=1024, dim=dim)
+    assert cents.shape == (n_clusters, dim)
+
+    def recall(centroids, query):
+        exact = {r.vec_id for r in brute_force_topk(df, query, 10).collect()}
+        got = {
+            r.vec_id
+            for r in ivf_topk(
+                df, query, k=10, n_cells=n_clusters, n_probe=1,
+                centroids=centroids,
+            ).collect()
+        }
+        return len(exact & got) / 10
+
+    queries = [centers[j] for j in range(4)]
+    trained = sum(recall(cents, q) for q in queries) / len(queries)
+    hashed = sum(recall(None, q) for q in queries) / len(queries)
+    assert trained >= 0.9, (trained, hashed)
+    assert trained > hashed, (trained, hashed)
+
+
 def test_refine_hamming_bound_values():
     """The prefilter cutoff is the exact binomial tail bound: tighter for
     higher thresholds (fewer expected disagreements) and ~19 bits for the

@@ -147,6 +147,98 @@ ORDER BY lang
 """
 
 
+# --- 5b. readerable_triage_sql — the isProbablyReaderable pre-filter
+#     (readability.lisp:634-668) as pure JVM expressions over the SAME
+#     deterministic HTML the UDF triage sees (documents_as_transcripts):
+#     <p>-block extraction by regexp, tag-strip, trimmed length >= 140 →
+#     floor(sqrt(len-140)) accumulation, readerable once the sum > 20.
+#     This is the at-scale shape SURVEY §3.3 calls for: at 10^12 rows the
+#     exact DOM-parsing python triage is a second extraction-scale pass,
+#     while this is one scan of JVM regexes (no python workers at all).
+#     Approximation vs the exact UDF, by construction: no div>br parents,
+#     no unlikely-class gate (the synthetic frame has neither), per-block
+#     floor() before the sum (integerized for the cross-engine hash); the
+#     per-turn agreement against the exact DOM triage is pinned in
+#     tests/test_readerable.py. ---
+_TRIAGE_PARA_RE = r"<p>(.*?)</p>"
+_TRIAGE_TAG_RE = r"<[^>]+>"
+
+
+def _triage_score_col(html_col):
+    paras = F.regexp_extract_all(html_col, F.lit(_TRIAGE_PARA_RE), F.lit(1))
+
+    def contrib(p):
+        ln = F.length(F.trim(F.regexp_replace(p, _TRIAGE_TAG_RE, "")))
+        return (
+            F.when(ln >= 140, F.floor(F.sqrt((ln - 140).cast("double"))))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return F.aggregate(
+        F.transform(paras, contrib), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+
+
+def q_readerable_triage_sql(spark, sf_dir):
+    from cl_readability_spark.pipeline.transcripts import documents_as_transcripts
+
+    t = documents_as_transcripts(spark, sf_dir)
+    return (
+        t.select("conv_id", (_triage_score_col(F.col("text")) > 20).alias("r"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum(F.col("r").cast("long")).alias("n_readerable"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+# the identical HTML wrapping (pipeline/transcripts.py documents_as_
+# transcripts) rebuilt in SQL so DuckDB scores byte-identical <p> blocks
+_TRIAGE_HTML_SQL = (
+    "'<html lang=\"' || lang || '\"><head><title>Document ' "
+    "|| CAST(doc_id AS VARCHAR) "
+    "|| ' Synthetic Benchmark Article | Corpus</title></head><body>' "
+    "|| '<div class=\"header\"><ul><li><a href=\"/a\">Home</a></li>' "
+    "|| '<li><a href=\"/b\">About</a></li><li><a href=\"/c\">More</a></li></ul></div>' "
+    "|| '<div id=\"main\" class=\"article-content\"><p>' "
+    "|| regexp_replace(text, '\\. ', '.</p><p>', 'g') || '</p></div>' "
+    "|| '<div class=\"sidebar\"><p><a href=\"/r/1\">related one</a> ' "
+    "|| '<a href=\"/r/2\">related two</a> <a href=\"/r/3\">related three</a></p></div>' "
+    "|| '<div class=\"footer\"><p>Copyright, terms, privacy.</p></div>' "
+    "|| '</body></html>'"
+)
+
+SQL_READERABLE_TRIAGE = f"""
+WITH t AS (
+  SELECT 'conv-' || CAST(doc_id // 25 AS VARCHAR) AS conv_id,
+         {_TRIAGE_HTML_SQL} AS html
+  FROM documents
+),
+scored AS (
+  SELECT conv_id,
+         COALESCE(list_sum(list_transform(
+           regexp_extract_all(html, '<p>(.*?)</p>', 1),
+           p -> CASE
+                  WHEN length(trim(regexp_replace(p, '<[^>]+>', '', 'g'))) >= 140
+                  THEN CAST(FLOOR(SQRT(
+                       length(trim(regexp_replace(p, '<[^>]+>', '', 'g'))) - 140
+                       )) AS BIGINT)
+                  ELSE 0
+                END)), 0) AS score
+  FROM t
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN score > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_readerable
+FROM scored
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+
 # --- 6. turn_order (stable ordering window, SURVEY §2.11) ---
 def q_turn_order(spark, sf_dir):
     w = Window.partitionBy("lang").orderBy("doc_id")
@@ -860,6 +952,7 @@ SQL_TWINS: dict[str, tuple] = {
     "text_len": (q_text_len, SQL_TEXT_LEN),
     "class_weight": (q_class_weight, SQL_CLASS_WEIGHT),
     "readerable_score": (q_readerable_score, SQL_READERABLE_SCORE),
+    "readerable_triage_sql": (q_readerable_triage_sql, SQL_READERABLE_TRIAGE),
     "turn_order": (q_turn_order, SQL_TURN_ORDER),
     "resume_antijoin": (q_resume_antijoin, SQL_RESUME_ANTIJOIN),
     "metrics_rollup": (q_metrics_rollup, SQL_METRICS_ROLLUP),

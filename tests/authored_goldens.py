@@ -60,6 +60,39 @@ AUTHORED: dict[str, dict] = {
         # words >= 3 -> kept (JS _getArticleTitle).
         "title": "The Basic Article Fixture Title",
     },
+    # entity-soup-malformed — derivation chain:
+    # (1) character references decode at parse (dom.py convert_charrefs /
+    #     unescape): &amp;→&, &#8217;→’, &#8211;→–, &mdash;→—, &quot;→".
+    # (2) the unclosed <p>s: a <p> start tag implies closing an open p
+    #     (HTML5 §13.2.6.4.7, dom.py:36), and </article> pops the last one
+    #     (end-tag recovery pops through open children) → three sibling
+    #     <p>s under <article>, exactly basic-article's shape.
+    # (3) the crossed inline run <b>bold <i>then italic</b> crossed</i>:
+    #     </b> pops through the open <i>; the stray </i> is ignored; the
+    #     trailing text lands back in the <p>.  text_content is the
+    #     pre-order text-node concatenation, so the run reads
+    #     "bold then italic crossed inline ..." with single spaces.
+    # (4) selection as in basic-article: <article> is the only scored
+    #     ancestor → top candidate → ONE block = the concatenation of the
+    #     three paragraph texts (each rep ends in one space; no \s{2,}
+    #     runs → normalization is strip only).
+    "entity-soup-malformed": {
+        "text": (
+            "AT&T’s third–quarter report — \"steady growth,\" "
+            "analysts said — came with commas, clauses, and enough length "
+            "to stay scored as article body content. " * 3
+            + "Second paragraph keeps bold then italic crossed inline runs, "
+              "with commas, and plenty of words to remain scored as body "
+              "content in the article, truly. " * 3
+            + "Third paragraph closes nothing before the article ends, yet "
+              "carries commas, clauses, and sufficient length to contribute "
+              "real content to the result. " * 3
+        ).strip(),
+        # <title> "Entity Soup & Markup Recovery | Example Site": split at
+        # the pipe, first part has 5 words >= 3 -> kept (JS
+        # _getArticleTitle), entities already decoded by the parser.
+        "title": "Entity Soup & Markup Recovery",
+    },
     # div.sidebar and div.social-share match the unlikely-candidate regex
     # (regex.lisp:9-10: 'sidebar', 'social') and not the maybe regex ->
     # stripped in the grab pass; remaining: 3 paragraphs in div#page.

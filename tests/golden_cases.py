@@ -23,6 +23,36 @@ CASES: dict[str, tuple[str, str | None]] = {
         f"<body><article id='a'>{LONG_P * 4}</article></body></html>",
         None,
     ),
+    # hand-transcribed real-world pathology (no network: transcribed, not
+    # fetched): wire-service-style copy full of character references plus
+    # the two classic tag-soup failures — paragraphs never closed (HTML5
+    # implied close, dom.py:36) and crossed inline nesting
+    # (<b><i></b></i>: the </b> pops through the open <i>, the stray </i>
+    # is ignored — dom.py handle_endtag recovery).  Selection shape mirrors
+    # basic-article: one <article>, three scoreable paragraphs.
+    "entity-soup-malformed": (
+        "<html lang='en'><head><title>Entity Soup &amp; Markup Recovery | Example Site</title></head>"
+        "<body><article id='wire'>"
+        + (
+            "<p>"
+            + "AT&amp;T&#8217;s third&#8211;quarter report &mdash; &quot;steady growth,&quot; "
+              "analysts said &mdash; came with commas, clauses, and enough length to stay "
+              "scored as article body content. " * 3
+        )  # never closed: the next <p> start tag closes it (HTML5 implied)
+        + (
+            "<p>"
+            + "Second paragraph keeps <b>bold <i>then italic</b> crossed</i> inline runs, "
+              "with commas, and plenty of words to remain scored as body content in the "
+              "article, truly. " * 3
+        )  # crossed </b></i> + still no </p>
+        + (
+            "<p>"
+            + "Third paragraph closes nothing before the article ends, yet carries commas, "
+              "clauses, and sufficient length to contribute real content to the result. " * 3
+        )  # closed implicitly by </article>
+        + "</article></body></html>",
+        None,
+    ),
     "div-soup": (
         "<html><body><div id='outer'><div id='inner'>"
         + "<div>"

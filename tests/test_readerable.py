@@ -60,3 +60,31 @@ def test_pre_and_article_count():
 def test_custom_thresholds():
     cfg = ExtractorConfig(min_content_length=10, min_score=1.0)
     assert is_readerable("<html><body><p>just a couple dozen chars</p></body></html>", cfg)
+
+
+def test_jvm_triage_twin_agrees_with_exact_dom_triage(spark):
+    """The JVM-expression triage twin (sqltwins.readerable_triage_sql) vs
+    the exact DOM-parsing triage, per turn over the driver corpus.  Known
+    approximation gaps (documented at the twin): per-block floor() before
+    the sum and no div>br / unlikely-class handling (absent from this HTML
+    family) — agreement must be near-total, making the JVM version a valid
+    10^12-row pre-filter that avoids a full python pass."""
+    from pyspark.sql import functions as F
+
+    from cl_readability_spark.functions.sqltwins import _triage_score_col
+    from cl_readability_spark.pipeline.transcripts import documents_as_transcripts
+    from cl_readability_spark.pipeline.udfs import make_readerable_udf
+
+    t = documents_as_transcripts(spark, "/root/testdata/sf0.001")
+    both = t.select(
+        "conv_id",
+        "turn_idx",
+        (_triage_score_col(F.col("text")) > 20).alias("jvm_flag"),
+        make_readerable_udf()(F.col("text")).alias("dom_flag"),
+    )
+    rows = both.collect()
+    agree = sum(1 for r in rows if r.jvm_flag == r.dom_flag)
+    assert len(rows) == 500
+    assert agree / len(rows) >= 0.98, (agree, len(rows))
+    # both classes are represented — the comparison is not vacuous
+    assert any(r.dom_flag for r in rows) and any(not r.dom_flag for r in rows)

@@ -276,3 +276,40 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
     assert m, plan
     read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert read_cols == {"conv_id", "turn_idx", "text"}, read_cols
+
+
+def test_arrow_batches_byte_bounded_for_whale_docs(spark):
+    """maxBytesPerBatch (pipeline/session.py) bounds Arrow batches by BYTES,
+    not just rows: a whale-document corpus (12 x ~8 MB) must arrive at the
+    python stage split into multiple batches, each under the 32 MB cap plus
+    slack — the 512-row cap alone would ship it as ONE ~100 MB batch."""
+    import pyarrow as pa
+
+    whale = (
+        spark.range(12)
+        .select(
+            F.col("id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.repeat(F.lit("whale text block. "), 450_000),
+                F.lit("</p></body></html>"),
+            ).alias("text"),
+        )
+        .coalesce(1)  # one partition -> splitting is purely the Arrow writer
+    )
+
+    def probe(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "nbytes": pa.array([b.nbytes], type=pa.int64()),
+                    "rows": pa.array([b.num_rows], type=pa.int64()),
+                }
+            )
+
+    out = whale.mapInArrow(probe, "nbytes long, rows long").collect()
+    sizes = [r.nbytes for r in out]
+    assert sum(r.rows for r in out) == 12
+    assert len(sizes) >= 2, sizes  # byte cap split the partition
+    assert max(sizes) <= 48 * 1024 * 1024, sizes  # 32 MB cap + slack

@@ -363,28 +363,34 @@ def simhash_near_dups(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
 
-    # hamming-0 pairs: all pairs within an identical-signature group
-    same = (
-        groups.filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size("ids")),
-                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b", F.lit(0).cast("long").alias("hamming"))
-    )
     if max_hamming == 0:
-        pairs = same
+        # fast path: only identical signatures qualify — no block LSH
+        pairs = (
+            groups.filter(F.size("ids") > 1)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda a, i: F.transform(
+                                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b", F.lit(0).cast("long").alias("hamming"))
+        )
         buckets = None
     else:
+        # ONE pipeline, no union: Spark has no cross-branch subplan reuse
+        # (PLANS.md), so a same-sig/cross-sig union would run the signature
+        # stage twice.  Instead the hamming-0 "self pair" (sig, sig) of
+        # every multi-doc group is emitted from its block-0 bucket (block 0
+        # partitions ALL signatures exactly once), and oversized buckets
+        # degrade to self-pairs-only instead of vanishing — so duplication
+        # mass can never drop hamming-0 pairs, whatever the bucket sizes.
         blocks = groups.select(
             F.col("simhash"),
             F.col("ids"),
@@ -411,15 +417,27 @@ def simhash_near_dups(
             )
             .withColumn("bsize", F.size("items"))
         )
+
+        def _partner_slice(i):
+            # block 0 includes the item itself (start i+1 → the self pair);
+            # other blocks start after it (i+2).  Oversized buckets keep
+            # ONLY the self pair (length 1 at block 0, 0 elsewhere).
+            start = F.when(F.col("block_idx") == 0, i + 1).otherwise(i + 2)
+            length = F.when(
+                F.col("bsize") <= max_bucket, F.size("items")
+            ).otherwise(
+                F.when(F.col("block_idx") == 0, F.lit(1)).otherwise(F.lit(0))
+            )
+            return F.slice(F.col("items"), start, length)
+
         sig_pairs = (
-            buckets.filter((F.col("bsize") > 1) & (F.col("bsize") <= max_bucket))
-            .select(
+            buckets.select(
                 F.explode(
                     F.flatten(
                         F.transform(
                             F.col("items"),
                             lambda a, i: F.transform(
-                                F.slice(F.col("items"), i + 2, F.size("items")),
+                                _partner_slice(i),
                                 lambda b: F.struct(
                                     a["simhash"].alias("sim_a"),
                                     b["simhash"].alias("sim_b"),
@@ -432,8 +450,14 @@ def simhash_near_dups(
                 ).alias("p")
             )
             .filter(
-                F.bit_count(F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b")))
-                <= max_hamming
+                (
+                    F.bit_count(F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b")))
+                    <= max_hamming
+                )
+                & (
+                    (F.col("p.sim_a") != F.col("p.sim_b"))
+                    | (F.size("p.ids_a") > 1)
+                )
             )
             .groupBy("p.sim_a", "p.sim_b")
             .agg(F.first("p.ids_a").alias("ids_a"), F.first("p.ids_b").alias("ids_b"))
@@ -442,18 +466,31 @@ def simhash_near_dups(
                 F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
             )
         )
-        cross = (
-            sig_pairs.select(
-                F.explode("ids_a").alias("a"), F.col("ids_b"), F.col("hamming")
-            )
-            .select(F.col("a"), F.explode("ids_b").alias("b"), F.col("hamming"))
+        # id expansion: cross-sig pairs take the full ids_a × ids_b product;
+        # the self pair takes only the within-group upper triangle
+        expanded = sig_pairs.select(
+            "sim_a",
+            "sim_b",
+            "hamming",
+            "ids_b",
+            F.posexplode("ids_a").alias("i", "a"),
+        )
+        partner = F.when(
+            F.col("sim_a") == F.col("sim_b"),
+            F.slice(
+                F.col("ids_b"),
+                F.col("i") + 2,
+                F.greatest(F.size("ids_b") - F.col("i") - 1, F.lit(0)),
+            ),
+        ).otherwise(F.col("ids_b"))
+        pairs = (
+            expanded.select("a", "hamming", F.explode(partner).alias("b"))
             .select(
                 F.least("a", "b").alias("id_a"),
                 F.greatest("a", "b").alias("id_b"),
                 "hamming",
             )
         )
-        pairs = same.unionByName(cross)
     if not return_stats:
         return pairs
     base = groups.agg(

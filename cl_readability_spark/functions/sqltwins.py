@@ -164,7 +164,7 @@ _TRIAGE_PARA_RE = r"<p>(.*?)</p>"
 _TRIAGE_TAG_RE = r"<[^>]+>"
 
 
-def _triage_score_col(html_col):
+def triage_score_col(html_col):
     paras = F.regexp_extract_all(html_col, F.lit(_TRIAGE_PARA_RE), F.lit(1))
 
     def contrib(p):
@@ -185,7 +185,7 @@ def q_readerable_triage_sql(spark, sf_dir):
 
     t = documents_as_transcripts(spark, sf_dir)
     return (
-        t.select("conv_id", (_triage_score_col(F.col("text")) > 20).alias("r"))
+        t.select("conv_id", (triage_score_col(F.col("text")) > 20).alias("r"))
         .groupBy("conv_id")
         .agg(
             F.count("*").cast("long").alias("n_turns"),

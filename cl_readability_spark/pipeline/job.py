@@ -56,18 +56,27 @@ def extract_transcripts(
     config: ExtractorConfig = DEFAULT_CONFIG,
     salt_buckets: int = 16,
     num_partitions: int | None = None,
-    prefilter_readerable: bool = False,
+    prefilter_readerable: bool | str = False,
     with_metrics: bool = True,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) →
     extracted(conv_id, turn_idx, extracted_text, content_spans [, metrics…]).
 
-    ``prefilter_readerable`` inserts the cheap is_readerable triage stage
+    ``prefilter_readerable`` inserts the is_readerable triage stage
     (readability.lisp:634-668) before full extraction — a selectivity win
-    when much of the corpus is non-article noise."""
+    when much of the corpus is non-article noise.  Two variants:
+    True/"exact" runs the DOM-parsing triage (a python pass — exact, but
+    at 10^12 rows it is a second extraction-scale cost); "jvm" runs the
+    regexp-expression approximation (sqltwins.readerable_triage_sql's
+    scorer — JVM-only, no python workers, ≥99% per-turn agreement
+    measured) and is the shape to deploy at the 100 TB target."""
     cols = ["conv_id", "turn_idx", "text"]
     src = df.select(*cols)
-    if prefilter_readerable:
+    if prefilter_readerable == "jvm":
+        from cl_readability_spark.functions.sqltwins import triage_score_col
+
+        src = src.filter(triage_score_col(F.col("text")) > 20)
+    elif prefilter_readerable:
         src = src.filter(make_readerable_udf(config)(F.col("text")))
     src = salted_repartition(src, num_partitions, salt_buckets)
     res = src.mapInArrow(make_arrow_extractor(config), EXTRACT_OUTPUT_SCHEMA)

@@ -244,6 +244,23 @@ def test_minhash_plan_shape(spark, corpus_df):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_simhash_plan_shape_join_free(spark, corpus_df):
+    """Physical-plan golden: the restructured simhash pipeline is join-free
+    — signatures and id lists ride the shuffles (signature groupBy → block
+    exchange → pair explode → id expansion); one MapInPandas (the
+    signature stage), zero joins."""
+    from cl_readability_spark.functions.dedup import simhash_near_dups
+
+    plan = (
+        simhash_near_dups(corpus_df, max_hamming=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan[:1500]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_winnow_fingerprints_shared_substring_guarantee(spark):
     """Winnowing guarantee: two docs sharing a substring longer than
     k + window - 1 share at least one selected fingerprint; disjoint-text

@@ -71,7 +71,7 @@ def test_jvm_triage_twin_agrees_with_exact_dom_triage(spark):
     10^12-row pre-filter that avoids a full python pass."""
     from pyspark.sql import functions as F
 
-    from cl_readability_spark.functions.sqltwins import _triage_score_col
+    from cl_readability_spark.functions.sqltwins import triage_score_col
     from cl_readability_spark.pipeline.transcripts import documents_as_transcripts
     from cl_readability_spark.pipeline.udfs import make_readerable_udf
 
@@ -79,7 +79,7 @@ def test_jvm_triage_twin_agrees_with_exact_dom_triage(spark):
     both = t.select(
         "conv_id",
         "turn_idx",
-        (_triage_score_col(F.col("text")) > 20).alias("jvm_flag"),
+        (triage_score_col(F.col("text")) > 20).alias("jvm_flag"),
         make_readerable_udf()(F.col("text")).alias("dom_flag"),
     )
     rows = both.collect()

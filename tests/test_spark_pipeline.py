@@ -121,6 +121,30 @@ def test_readerable_prefilter(spark, transcripts):
     assert 0 < filtered <= full
 
 
+def test_readerable_prefilter_jvm_variant(spark, transcripts):
+    """The 'jvm' triage prefilter (regexp expressions, no python pass) must
+    select nearly the same rows as the exact DOM triage and keep the plan's
+    python stages at ONE (only the extractor itself)."""
+    jvm = extract_transcripts(transcripts, prefilter_readerable="jvm")
+    exact_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in extract_transcripts(transcripts, prefilter_readerable=True)
+        .select("conv_id", "turn_idx")
+        .collect()
+    }
+    jvm_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in jvm.select("conv_id", "turn_idx").collect()
+    }
+    union = exact_keys | jvm_keys
+    assert union  # non-vacuous
+    agree = len(exact_keys & jvm_keys) / len(union)
+    assert agree >= 0.95, (agree, len(exact_keys), len(jvm_keys))
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1  # the extractor
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_resume_idempotent(spark, transcripts, tmp_path):
     """Kill-and-rerun contract: run on half the data, then run on all —
     final table == one-shot run, no dupes, no drops."""

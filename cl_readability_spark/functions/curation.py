@@ -86,18 +86,26 @@ def curate(
     max_chars: int = 200_000,
     min_stopword_bp: int = 100,
     langs: tuple[str, ...] = ("en",),
-    materialize: str = "local_checkpoint",
+    materialize: str = "disk",
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
 
     ``materialize`` controls how the flagged frame is pinned before the
     near-dup branch references it twice (module doc, "Plan shape"):
-    "local_checkpoint" (default — evaluates the upstream subtree ONCE,
-    eagerly, and stores it on executor-local storage), "persist" (cache,
-    keeps lineage), or "none" (lazy; only correct to pick when the input
-    is already a materialized table, e.g. the committed sink)."""
-    if materialize not in ("local_checkpoint", "persist", "none"):
+    - "disk" (default): eager persist at ``StorageLevel.DISK_ONLY`` —
+      rows serialized to executor-local disk, near-zero heap.  The right
+      level for this frame: it carries the full extracted text, so a
+      deserialized on-heap copy of a large corpus is GBs of objects
+      (measured: a 2.7 GB-text corpus OOMs an 8 GB local heap under
+      MEMORY_AND_DISK unrolling, and reads back from disk in seconds).
+    - "local_checkpoint": eager localCheckpoint — additionally truncates
+      lineage (the plan-shape proof uses this: the extraction stage
+      vanishes from the final DAG), but stores deserialized.
+    - "persist": MEMORY_AND_DISK cache (small corpora / interactive).
+    - "none": lazy; only correct when the input is already a materialized
+      table, e.g. the committed sink."""
+    if materialize not in ("disk", "local_checkpoint", "persist", "none"):
         raise ValueError(f"unknown materialize mode: {materialize!r}")
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
     df = extracted.withColumn("_row_key", key)
@@ -130,8 +138,13 @@ def curate(
     # branch; measured ~2× extraction cost without this — PLANS.md)
     if materialize == "local_checkpoint":
         df = df.localCheckpoint(eager=True)
-    elif materialize == "persist":
-        df = df.persist()
+    elif materialize in ("disk", "persist"):
+        from pyspark import StorageLevel
+
+        df = df.persist(
+            StorageLevel.DISK_ONLY if materialize == "disk"
+            else StorageLevel.MEMORY_AND_DISK
+        )
         df.count()
 
     # near-dup pairs over the surviving candidates only (quality+exact

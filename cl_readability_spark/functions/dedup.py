@@ -717,3 +717,78 @@ def winnow_candidates(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over near-dup
+    pairs → (id, cluster_rep) with cluster_rep = the minimum id in the
+    component.  ``kept = (id == cluster_rep)`` is the canonical
+    keep-one-representative dedup policy over any of this module's pair
+    producers (minhash / simhash / winnowing / embedding near-dups).
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round (a) every node takes the min label over itself and its
+    neighbors (one shuffle on id), then (b) labels chase one pointer hop
+    (label := label(label), one self-join).  Pointer jumping makes long
+    chains converge in O(log n) rounds instead of O(diameter); near-dup
+    components are usually cliques and converge in one.  Each round ends
+    with a localCheckpoint (truncated lineage — iterative Spark plans
+    otherwise grow exponentially) and a changed-row count as the driver-
+    side fixpoint test.  At 100 TB the per-round cost is two keyed
+    shuffles over the EDGE set — no collect of nodes or edges."""
+    edges = pairs.select("id_a", "id_b")
+    # checkpoint the adjacency FIRST: both the initial labels and every
+    # propagation round read it, and the upstream pair producer (often a
+    # whole LSH pipeline) must evaluate exactly once
+    adj = (
+        edges.unionByName(
+            edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
+        .localCheckpoint()
+    )
+    labels = (
+        adj.groupBy("id")
+        .agg(F.min("nbr").alias("rep"))
+        .select("id", F.least("id", "rep").alias("rep"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # (a) edge propagation: min over own rep and neighbors' reps
+        nbr_min = (
+            adj.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            .groupBy("id")
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        prop = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))).alias(
+                "rep"
+            ),
+        )
+        # (b) pointer jump: rep := rep(rep)
+        jump = prop.alias("a").join(
+            prop.select(
+                F.col("id").alias("rep"), F.col("rep").alias("rep2")
+            ).alias("b"),
+            "rep",
+            "left",
+        )
+        new_labels = jump.select(
+            "id",
+            F.least(F.col("rep"), F.coalesce(F.col("rep2"), F.col("rep"))).alias(
+                "rep"
+            ),
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("rep", "old"), "id")
+            .filter(F.col("rep") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("rep").alias("cluster_rep"))

@@ -691,6 +691,45 @@ FROM documents a JOIN documents b
 """
 
 
+# --- 18b. dedup_clusters_planted — the full dedup CHAIN (shingle →
+#     minhash → LSH → verified pairs → connected components → cluster
+#     representative) on the planted-group corpus: groups are cliques, so
+#     every doc's component is its group and the representative (min id)
+#     is (doc_id DIV 10) * 10 — exactly computable in SQL.  A regression
+#     anywhere in the chain (hashing, banding, verification, label
+#     propagation, pointer jumping) flips the hash. ---
+def q_dedup_clusters_planted(spark, sf_dir):
+    from cl_readability_spark.functions.dedup import dup_clusters, minhash_near_dups
+
+    group = F.floor(F.col("doc_id") / 10).cast("long")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda j: F.concat(
+                F.lit("w"), group.cast("string"), F.lit("_"), j.cast("string")
+            ),
+        ),
+    )
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select("doc_id", text.alias("text"))
+    clusters = dup_clusters(minhash_near_dups(corpus, jaccard_threshold=0.99))
+    return docs.select("doc_id").join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_rep"), F.col("doc_id")).cast("long").alias(
+            "cluster_rep"
+        ),
+    )
+
+
+SQL_DEDUP_CLUSTERS_PLANTED = """
+SELECT doc_id, CAST((doc_id // 10) * 10 AS BIGINT) AS cluster_rep
+FROM documents
+"""
+
+
 # --- 19. ann_ivf_planted — IVF-flat ANN made hash-verifiable: plant ten
 #     positively-scaled copies of the query vector (cosine exactly 1, and
 #     argmax cell assignment is scale-invariant, so every planted row
@@ -969,6 +1008,7 @@ SQL_TWINS: dict[str, tuple] = {
     "dedup_minhash_planted": (q_dedup_minhash_planted, SQL_DEDUP_MINHASH_PLANTED),
     "dedup_simhash_planted": (q_dedup_simhash_planted, SQL_DEDUP_SIMHASH_PLANTED),
     "dedup_winnow_planted": (q_dedup_winnow_planted, SQL_DEDUP_WINNOW_PLANTED),
+    "dedup_clusters_planted": (q_dedup_clusters_planted, SQL_DEDUP_CLUSTERS_PLANTED),
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),

@@ -51,13 +51,19 @@ def main(argv: list[str]) -> int:
         salt_buckets=args.salt_buckets,
         num_partitions=args.partitions,
     )
+    from pyspark import StorageLevel
+
+    # DISK_ONLY on both pins: the frames carry the full extracted text, and
+    # a deserialized on-heap copy of a large corpus OOMs local-mode heaps
+    # (curation.py materialize doc); one extraction+curation pass feeds
+    # both the write and the report
     curated = curate(
         extracted,
         jaccard_threshold=args.jaccard_threshold,
         min_chars=args.min_chars,
         min_stopword_bp=args.min_stopword_bp,
         langs=tuple(args.langs.split(",")),
-    ).persist()  # one extraction+curation pass feeds both write and report
+    ).persist(StorageLevel.DISK_ONLY)
     (
         curated.filter(F.col("kept"))
         .select("conv_id", "turn_idx", "extracted_text", "content_spans")

@@ -90,12 +90,13 @@ def test_curate_report_partitions_rows_in(spark):
 
 
 def test_curate_plan_single_extraction(spark):
-    """Plan-shape golden (VERDICT r2 #1): the default curation DAG contains
-    ZERO MapInArrow nodes — the extraction subtree is materialized once via
-    localCheckpoint before the near-dup branch references it twice — and
-    exactly one MapInPandas (the minhash signature stage).  The lazy
-    variant (materialize='none') shows the hazard: the extraction stage
-    appears in BOTH plan branches."""
+    """Plan-shape golden (VERDICT r2 #1): the flagged extraction frame is
+    materialized once before the near-dup branch references it twice.
+    local_checkpoint mode proves it structurally (ZERO MapInArrow in the
+    final DAG — the one extraction pass lives in the checkpoint job; one
+    MapInPandas, the minhash signature stage); the default disk mode pins
+    a DISK_ONLY cache both branches read (InMemoryTableScan); the lazy
+    variant shows the hazard: extraction appears in BOTH plan branches."""
     from cl_readability_spark.pipeline.job import extract_transcripts
     from cl_readability_spark.pipeline.transcripts import synthetic_transcripts
 
@@ -109,11 +110,15 @@ def test_curate_plan_single_extraction(spark):
         )
         return curated._jdf.queryExecution().executedPlan().toString()
 
+    # lazy first: the disk mode registers its cache with the session cache
+    # manager, and Spark substitutes matching subtrees in LATER plans
+    lazy = plan_of("none")
+    assert lazy.count("MapInArrow") == 2, lazy[:2000]
     fixed = plan_of("local_checkpoint")
     assert fixed.count("MapInArrow") == 0, fixed[:2000]
     assert fixed.count("MapInPandas") == 1, fixed[:2000]
-    lazy = plan_of("none")
-    assert lazy.count("MapInArrow") == 2, lazy[:2000]
+    disk = plan_of("disk")
+    assert "InMemoryTableScan" in disk, disk[:2000]
 
 
 def test_curate_composes_with_extraction(spark):

@@ -261,6 +261,44 @@ def test_simhash_plan_shape_join_free(spark, corpus_df):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_dup_clusters_path_graph_and_cliques(spark):
+    """Connected components over pairs: a long path (worst case for plain
+    label propagation — pointer jumping must converge), a clique, and a
+    singleton edge; representative = min id per component."""
+    from cl_readability_spark.functions.dedup import dup_clusters
+
+    path = [(i, i + 1) for i in range(20, 40)]         # one 21-node chain
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    lone = [(100, 101)]
+    pairs = spark.createDataFrame(path + clique + lone, ["id_a", "id_b"])
+    got = {r.id: r.cluster_rep for r in dup_clusters(pairs).collect()}
+    assert all(got[i] == 20 for i in range(20, 41))
+    assert all(got[i] == 0 for i in range(5))
+    assert got[100] == 100 and got[101] == 100
+    assert len(got) == 21 + 5 + 2
+
+
+def test_dup_clusters_keep_one_policy_composes(spark):
+    """pairs → clusters → keep-one over the minhash pipeline on a small
+    duplicated corpus: exactly one representative survives per duplicate
+    cluster, and unique docs survive untouched."""
+    from cl_readability_spark.functions.dedup import dup_clusters, minhash_near_dups
+
+    dup_text = "the same long boilerplate body of words repeated across docs " * 4
+    rows = [(i, dup_text) for i in range(6)] + [
+        (10, "a completely different document about spark physical plans " * 4),
+        (11, "yet another unrelated text body concerning arrow batches " * 4),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    clusters = dup_clusters(minhash_near_dups(df, jaccard_threshold=0.9))
+    kept = df.join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).filter(
+        F.coalesce(F.col("cluster_rep"), F.col("doc_id")) == F.col("doc_id")
+    )
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 10, 11]
+
+
 def test_winnow_fingerprints_shared_substring_guarantee(spark):
     """Winnowing guarantee: two docs sharing a substring longer than
     k + window - 1 share at least one selected fingerprint; disjoint-text

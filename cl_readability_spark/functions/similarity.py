@@ -99,21 +99,6 @@ def _sig_of(vec: list[float], n_planes: int, seed: int) -> int:
     return sig
 
 
-def _pairs_within(ids_col):
-    """All ordered pairs (id_a < id_b) from a sorted id array column."""
-    return F.explode(
-        F.flatten(
-            F.transform(
-                ids_col,
-                lambda a, i: F.transform(
-                    F.slice(ids_col, i + 2, F.size(ids_col)),
-                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                ),
-            )
-        )
-    )
-
-
 def near_dup_params(
     corpus_rows: int,
     threshold: float = 0.9,

@@ -37,6 +37,14 @@ def build_spark(
         # (observed FAILED_READ_FILE at 1 GB heap on a 3.5 KB-avg corpus)
         # and would be GBs on whale rows regardless of heap
         .config("spark.sql.parquet.columnarReaderBatchSize", str(arrow_max_records))
+        # ...and for the table-cache columnar builder: persist()/cache()
+        # assembles spark.sql.inMemoryColumnarStorage.batchSize rows per
+        # column batch IN MEMORY before handing it to storage — even at
+        # DISK_ONLY.  The 10,000-row default over multi-KB text cells is
+        # hundreds of MB per concurrent task (observed: 32-task OOM on an
+        # 8 GB heap caching a 2.7 GB-text corpus); bound it to the same
+        # whale-safe row budget as the other batch knobs
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", str(arrow_max_records))
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.warehouse.dir", "/tmp/clrs-spark-warehouse")

@@ -337,3 +337,17 @@ def test_arrow_batches_byte_bounded_for_whale_docs(spark):
     assert sum(r.rows for r in out) == 12
     assert len(sizes) >= 2, sizes  # byte cap split the partition
     assert max(sizes) <= 48 * 1024 * 1024, sizes  # 32 MB cap + slack
+
+
+def test_whale_safe_batch_bounds_configured(spark):
+    """All three row-batch knobs that assemble whole batches in memory are
+    bounded to the whale-safe budget: Arrow python transfer, parquet
+    vectorized reader, and the table-cache columnar builder (persist at
+    ANY storage level builds batchSize-row column batches on-heap first —
+    the 10k default OOMs on multi-KB text corpora)."""
+    for key in (
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        "spark.sql.parquet.columnarReaderBatchSize",
+        "spark.sql.inMemoryColumnarStorage.batchSize",
+    ):
+        assert int(spark.conf.get(key)) <= 512, key

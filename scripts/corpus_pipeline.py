@@ -34,6 +34,13 @@ def main(argv: list[str]) -> int:
                         "(use for non-natural-language corpora)")
     p.add_argument("--langs", default="en",
                    help="comma-separated langid allowlist")
+    p.add_argument("--pin", choices=["sink", "disk", "memory"], default="sink",
+                   help="how the single extraction/flag pass is shared by the "
+                        "near-dup branch and the write/report consumers: "
+                        "'sink' stages through parquet tables (zero executor "
+                        "cache — the 100 TB shape; staging dirs next to the "
+                        "output), 'disk'/'memory' pin via executor storage "
+                        "(curation.py materialize modes; sized heaps only)")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -51,29 +58,55 @@ def main(argv: list[str]) -> int:
         salt_buckets=args.salt_buckets,
         num_partitions=args.partitions,
     )
-    from pyspark import StorageLevel
-
-    # DISK_ONLY on both pins: the frames carry the full extracted text, and
-    # a deserialized on-heap copy of a large corpus OOMs local-mode heaps
-    # (curation.py materialize doc); one extraction+curation pass feeds
-    # both the write and the report
-    curated = curate(
-        extracted,
+    kwargs = dict(
         jaccard_threshold=args.jaccard_threshold,
         min_chars=args.min_chars,
         min_stopword_bp=args.min_stopword_bp,
         langs=tuple(args.langs.split(",")),
-    ).persist(StorageLevel.DISK_ONLY)
-    (
-        curated.filter(F.col("kept"))
-        .select("conv_id", "turn_idx", "extracted_text", "content_spans")
-        .write.mode("overwrite")
-        .parquet(args.output)
     )
-    report = curation_report(curated).collect()[0].asDict()
-    curated.unpersist()
+    if args.pin == "sink":
+        # the 100 TB shape: every expensive pass materializes through a
+        # columnar table instead of executor storage — extraction once
+        # into staging, flags+near-dup once into the flagged table, and
+        # the kept projection + one-row report are cheap pruned scans of
+        # what was already written.  Zero cache, zero heap pinning; in
+        # production staging1/2 are Iceberg tables (pipeline/sink.py).
+        staging1 = args.output.rstrip("/") + ".extracted"
+        staging2 = args.output.rstrip("/") + ".flagged"
+        extracted.write.mode("overwrite").parquet(staging1)
+        curated = curate(spark.read.parquet(staging1), materialize="none",
+                         **kwargs)
+        curated.write.mode("overwrite").parquet(staging2)
+        flagged = spark.read.parquet(staging2)
+        (
+            flagged.filter(F.col("kept"))
+            .select("conv_id", "turn_idx", "extracted_text", "content_spans")
+            .write.mode("overwrite")
+            .parquet(args.output)
+        )
+        report = curation_report(flagged).collect()[0].asDict()
+    else:
+        from pyspark import StorageLevel
+
+        curated = curate(
+            extracted,
+            materialize="disk" if args.pin == "disk" else "persist",
+            **kwargs,
+        ).persist(
+            StorageLevel.DISK_ONLY if args.pin == "disk"
+            else StorageLevel.MEMORY_AND_DISK
+        )
+        (
+            curated.filter(F.col("kept"))
+            .select("conv_id", "turn_idx", "extracted_text", "content_spans")
+            .write.mode("overwrite")
+            .parquet(args.output)
+        )
+        report = curation_report(curated).collect()[0].asDict()
+        curated.unpersist()
     report["seconds"] = round(time.time() - t0, 2)
     report["output"] = args.output
+    report["pin"] = args.pin
     print(json.dumps(report))
     spark.stop()
     return 0

@@ -60,6 +60,24 @@ AUTHORED: dict[str, dict] = {
         # words >= 3 -> kept (JS _getArticleTitle).
         "title": "The Basic Article Fixture Title",
     },
+    # script-decoy — derivation chain: the <script> body is RAW TEXT to
+    # the parser (stdlib CDATA semantics; the fast tokenizer bails to the
+    # stdlib path on unterminated-raw-text ambiguity), so the decoy "<p>"
+    # inside it is never an element; remove-scripts (SURVEY #39,
+    # extract.py) then drops the script node wholesale, and the comment is
+    # dropped at parse (remove-non-elements).  What remains is exactly
+    # basic-article's shape: <article> with 3 paragraphs of S*4 → top
+    # candidate → one block = S*12.
+    "script-decoy": {
+        "text": (S * 12).strip(),
+        # "Script Decoy Soup | Site": the first pipe part has 3 words, and
+        # JS _getArticleTitle REVERTS to the original title when the split
+        # candidate has <= 4 words and the separator is non-hierarchical
+        # (| is not in the \\/>» hierarchical set) — so the untouched
+        # title survives.  (The other title fixtures cover the >=5-word
+        # keep path; this one pins the revert rule.)
+        "title": "Script Decoy Soup | Site",
+    },
     # entity-soup-malformed — derivation chain:
     # (1) character references decode at parse (dom.py convert_charrefs /
     #     unescape): &amp;→&, &#8217;→’, &#8211;→–, &mdash;→—, &quot;→".

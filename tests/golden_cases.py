@@ -23,6 +23,20 @@ CASES: dict[str, tuple[str, str | None]] = {
         f"<body><article id='a'>{LONG_P * 4}</article></body></html>",
         None,
     ),
+    # raw-text decoys: <script> bodies are CDATA (never parsed as markup)
+    # and comments are dropped at parse — paragraph-looking content inside
+    # either must not leak into the article
+    "script-decoy": (
+        "<html lang='en'><head><title>Script Decoy Soup | Site</title></head>"
+        f"<body><article id='a'>{LONG_P * 3}"
+        "<script>document.write(\"<p>decoy paragraph that must never appear, "
+        "with commas, and plenty of length to score well if it ever leaked "
+        "into the DOM as an element, which it must not.</p>\");</script>"
+        "<!-- <p>comment decoy paragraph, equally long and comma-rich, that "
+        "the parser must drop wholesale before scoring ever sees it.</p> -->"
+        "</article></body></html>",
+        None,
+    ),
     # hand-transcribed real-world pathology (no network: transcribed, not
     # fetched): wire-service-style copy full of character references plus
     # the two classic tag-soup failures — paragraphs never closed (HTML5

@@ -77,39 +77,26 @@ def quality_flag(
     )
 
 
-def curate(
+def _row_key(key_cols: tuple[str, ...]):
+    return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+
+
+def curate_flags(
     extracted: DataFrame,
     text_col: str = "extracted_text",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
-    jaccard_threshold: float = 0.8,
     min_chars: int = 100,
     max_chars: int = 200_000,
     min_stopword_bp: int = 100,
     langs: tuple[str, ...] = ("en",),
-    materialize: str = "disk",
 ) -> DataFrame:
-    """Adds the curation flags to ``extracted`` (see module doc); filter on
-    ``kept`` for the final corpus, aggregate the flags for the report.
-
-    ``materialize`` controls how the flagged frame is pinned before the
-    near-dup branch references it twice (module doc, "Plan shape"):
-    - "disk" (default): eager persist at ``StorageLevel.DISK_ONLY`` —
-      rows serialized to executor-local disk, near-zero heap.  The right
-      level for this frame: it carries the full extracted text, so a
-      deserialized on-heap copy of a large corpus is GBs of objects
-      (measured: a 2.7 GB-text corpus OOMs an 8 GB local heap under
-      MEMORY_AND_DISK unrolling, and reads back from disk in seconds).
-    - "local_checkpoint": eager localCheckpoint — additionally truncates
-      lineage (the plan-shape proof uses this: the extraction stage
-      vanishes from the final DAG), but stores deserialized.
-    - "persist": MEMORY_AND_DISK cache (small corpora / interactive).
-    - "none": lazy; only correct when the input is already a materialized
-      table, e.g. the committed sink."""
-    if materialize not in ("disk", "local_checkpoint", "persist", "none"):
-        raise ValueError(f"unknown materialize mode: {materialize!r}")
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-    df = extracted.withColumn("_row_key", key)
-
+    """Stage 1 of curation — adds ``quality_ok`` and ``exact_keep``
+    (hierarchical: the exact-dup keeper is the first QUALITY row of each
+    fingerprint, quality-failed rows are never keepers).  Pure JVM; the
+    only wide op is ONE window over the content fingerprint.  Sink-staged
+    pipelines write this frame to a table and run ``curate_near_dups``
+    over the read-back, so the window is computed exactly once."""
+    df = extracted.withColumn("_row_key", _row_key(key_cols))
     df = df.withColumn(
         "quality_ok",
         F.coalesce(
@@ -118,24 +105,47 @@ def curate(
             F.lit(False),
         ),
     )
-
     fingerprint = F.md5(
         F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                          "[^a-z0-9]", "")
     )
-    # hierarchical attribution: the exact-dup keeper is the first QUALITY
-    # row of each fingerprint, and quality-failed rows are never keepers —
-    # so quality / exact-dup / near-dup / kept partition rows_in exactly
     w = Window.partitionBy(fingerprint).orderBy(
         F.col("quality_ok").desc(), F.col("_row_key")
     )
-    df = df.withColumn(
+    return df.withColumn(
         "exact_keep", F.col("quality_ok") & (F.row_number().over(w) == 1)
-    )
+    ).drop("_row_key")
 
-    # one materialization of scan → extract → flag window, shared by the
-    # two plan branches below (Spark re-evaluates unshared subtrees per
-    # branch; measured ~2× extraction cost without this — PLANS.md)
+
+def curate_near_dups(
+    flagged: DataFrame,
+    text_col: str = "extracted_text",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    jaccard_threshold: float = 0.8,
+    materialize: str = "disk",
+) -> DataFrame:
+    """Stage 2 of curation — adds ``near_dup_drop`` (MinHash near-dup
+    prune over the quality+exact survivors) and ``kept`` to a frame that
+    already carries the stage-1 flags.
+
+    ``materialize`` controls how ``flagged`` is pinned before the two
+    plan branches reference it (module doc, "Plan shape"):
+    - "disk" (default): eager persist at ``StorageLevel.DISK_ONLY`` —
+      rows serialized to executor-local disk, near-zero heap.  The right
+      level for this frame: it carries the full extracted text, so a
+      deserialized on-heap copy of a large corpus is GBs of objects
+      (measured: a 2.7 GB-text corpus OOMs an 8 GB local heap under
+      MEMORY_AND_DISK unrolling, and reads back from disk in seconds).
+    - "local_checkpoint": eager localCheckpoint — additionally truncates
+      lineage (the plan-shape proof uses this: the upstream stages vanish
+      from the final DAG), but stores deserialized.
+    - "persist": MEMORY_AND_DISK cache (small corpora / interactive).
+    - "none": lazy; only correct when ``flagged`` is already a
+      materialized table (e.g. the written flags table — then the double
+      branch costs two pruned columnar scans, no recomputation)."""
+    if materialize not in ("disk", "local_checkpoint", "persist", "none"):
+        raise ValueError(f"unknown materialize mode: {materialize!r}")
+    df = flagged.withColumn("_row_key", _row_key(key_cols))
     if materialize == "local_checkpoint":
         df = df.localCheckpoint(eager=True)
     elif materialize in ("disk", "persist"):
@@ -163,6 +173,31 @@ def curate(
         "kept",
         F.col("quality_ok") & F.col("exact_keep") & ~F.col("near_dup_drop"),
     ).drop("_row_key")
+
+
+def curate(
+    extracted: DataFrame,
+    text_col: str = "extracted_text",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    jaccard_threshold: float = 0.8,
+    min_chars: int = 100,
+    max_chars: int = 200_000,
+    min_stopword_bp: int = 100,
+    langs: tuple[str, ...] = ("en",),
+    materialize: str = "disk",
+) -> DataFrame:
+    """Adds the curation flags to ``extracted`` (see module doc); filter on
+    ``kept`` for the final corpus, aggregate the flags for the report.
+    Composition of ``curate_flags`` → ``curate_near_dups``; see
+    ``curate_near_dups`` for the ``materialize`` modes (the pin covers the
+    whole extract+flags subtree here)."""
+    flagged = curate_flags(
+        extracted, text_col, key_cols, min_chars, max_chars,
+        min_stopword_bp, langs,
+    )
+    return curate_near_dups(
+        flagged, text_col, key_cols, jaccard_threshold, materialize
+    )
 
 
 def curation_report(curated: DataFrame) -> DataFrame:

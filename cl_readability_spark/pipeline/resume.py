@@ -53,6 +53,7 @@ def run_resumable(
     salt_buckets: int = 16,
     num_partitions: int | None = None,
     metrics_root: str | None = None,
+    prefilter_readerable: bool | str = False,
 ) -> int:
     """Extract every not-yet-committed turn into ``sink``; returns rows
     written.  Sink-agnostic: the same call works against parquet
@@ -65,6 +66,7 @@ def run_resumable(
         config=config,
         salt_buckets=salt_buckets,
         num_partitions=num_partitions,
+        prefilter_readerable=prefilter_readerable,
     )
     handle = sink.write_batch(result)
     # batch-scoped read-back via the sink protocol (NOT the cumulative
@@ -148,6 +150,7 @@ class CheckpointedSink:
         salt_buckets: int = 16,
         num_partitions: int | None = None,
         metrics_root: str | None = None,
+        prefilter_readerable: bool | str = False,
     ) -> int:
         spark = transcripts.sparkSession
         n = run_resumable(
@@ -157,6 +160,7 @@ class CheckpointedSink:
             salt_buckets=salt_buckets,
             num_partitions=num_partitions,
             metrics_root=metrics_root,
+            prefilter_readerable=prefilter_readerable,
         )
         last = self._last_write or {}
         batch_path = last.get("path")

@@ -53,10 +53,58 @@ def write_corpus(rows: int) -> None:
     spark.stop()
 
 
+TEXT_CORPUS = "/tmp/clrs-dedup-bench-texts.parquet"
+
+
+def write_text_corpus(rows: int) -> None:
+    """Deterministic text corpus for the minhash stack: ~60-word docs of
+    hash-derived vocabulary; every 5th doc gets a near-identical twin
+    (last 3 words changed → word-5-gram Jaccard ≈ 0.9)."""
+    from pyspark.sql import functions as F
+
+    from cl_readability_spark.pipeline.session import build_spark
+
+    spark = build_spark("dedup-bench-textgen", cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def words(idcol, n, salt):
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.concat_ws(":", idcol, i, F.lit(salt))),
+                        F.lit(5000),
+                    ).cast("string"),
+                ),
+            ),
+        )
+    base = spark.range(0, rows).select(
+        F.col("id").alias("doc_id"), words(F.col("id"), 60, "a").alias("text")
+    )
+    twins = (
+        spark.range(0, rows)
+        .filter(F.col("id") % 5 == 0)
+        .select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", words(F.col("id"), 57, "a"), words(F.col("id"), 3, "b")
+            ).alias("text"),
+        )
+    )
+    base.unionByName(twins).repartition(32).write.mode("overwrite").parquet(
+        TEXT_CORPUS
+    )
+    spark.stop()
+
+
 def run_level(cores: int, reps: int, stack: str, rows: int) -> dict:
     """One JVM at local[cores]; min-of-reps steady state."""
     from pyspark.sql import functions as F  # noqa: F401
 
+    from cl_readability_spark.functions.dedup import minhash_near_dups
     from cl_readability_spark.functions.similarity import (
         embedding_near_dups,
         near_dup_params,
@@ -66,19 +114,25 @@ def run_level(cores: int, reps: int, stack: str, rows: int) -> dict:
     spark = build_spark(f"dedup-bench-{cores}", cores=cores,
                         shuffle_partitions=max(cores * 4, 32))
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.parquet(CORPUS)
+    df = spark.read.parquet(TEXT_CORPUS if stack == "minhash" else CORPUS)
     n = df.count()  # warm scan
-    n_bands, n_planes = near_dup_params(n, threshold=0.9)
+    extra = {}
+    if stack == "minhash":
+        job = lambda: minhash_near_dups(df, jaccard_threshold=0.8).count()  # noqa: E731
+    else:
+        n_bands, n_planes = near_dup_params(n, threshold=0.9)
+        extra = {"n_bands": n_bands, "n_planes": n_planes}
+        job = lambda: embedding_near_dups(  # noqa: E731
+            df, threshold=0.9, n_bands=n_bands, n_planes=n_planes, dim=64
+        ).count()
     times, pairs = [], 0
     for _ in range(reps):
         t0 = time.perf_counter()
-        pairs = embedding_near_dups(
-            df, threshold=0.9, n_bands=n_bands, n_planes=n_planes, dim=64
-        ).count()
+        pairs = job()
         times.append(round(time.perf_counter() - t0, 2))
     spark.stop()
     return {
-        "cores": cores, "rows": n, "n_bands": n_bands, "n_planes": n_planes,
+        "cores": cores, "rows": n, **extra,
         "reps_sec": times, "sec": min(times), "pairs": pairs,
         "rows_per_sec": round(n / min(times), 1),
     }
@@ -98,7 +152,10 @@ def main(argv):
                                                args.stack, args.rows)))
         return 0
 
-    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+    if args.stack == "minhash":
+        if not os.path.exists(os.path.join(TEXT_CORPUS, "_SUCCESS")):
+            write_text_corpus(args.rows)
+    elif not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         write_corpus(args.rows)
     results = []
     for lvl in [int(x) for x in args.levels.split(",")]:

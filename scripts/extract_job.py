@@ -37,6 +37,11 @@ def main(argv: list[str]) -> int:
     p.add_argument("--max-elements", type=int, default=None)
     p.add_argument("--char-threshold", type=int, default=500)
     p.add_argument("--base-url", default=None)
+    p.add_argument("--prefilter-readerable", choices=["off", "jvm", "exact"],
+                   default="off",
+                   help="triage before extraction: 'jvm' = regexp-expression "
+                        "score (no python pass — the at-scale shape), "
+                        "'exact' = DOM-parsing UDF")
     args = p.parse_args(argv)
 
     from cl_readability_spark.core.config import ExtractorConfig
@@ -59,6 +64,10 @@ def main(argv: list[str]) -> int:
         salt_buckets=args.salt_buckets,
         num_partitions=args.partitions,
         metrics_root=args.metrics,
+        prefilter_readerable=(
+            False if args.prefilter_readerable == "off"
+            else ("jvm" if args.prefilter_readerable == "jvm" else True)
+        ),
     )
     dt = time.time() - t0
     print(

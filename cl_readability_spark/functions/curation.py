@@ -166,13 +166,29 @@ def curate_near_dups(
     drops = pairs.select(F.col("id_b").alias("_row_key")).distinct().withColumn(
         "near_dup_drop", F.lit(True)
     )
+    pinned = df if materialize in ("disk", "persist") else None
     df = df.join(drops, "_row_key", "left").withColumn(
         "near_dup_drop", F.coalesce(F.col("near_dup_drop"), F.lit(False))
     )
-    return df.withColumn(
+    out = df.withColumn(
         "kept",
         F.col("quality_ok") & F.col("exact_keep") & ~F.col("near_dup_drop"),
     ).drop("_row_key")
+    # the persisted frame stays registered with the session cache manager
+    # until unpersisted — hand the caller the release handle (long-lived
+    # sessions curating several corpora should call release_curated(out)
+    # once done with the result)
+    out._clrs_pinned = pinned
+    return out
+
+
+def release_curated(curated: DataFrame) -> None:
+    """Unpersist the executor-storage pin a ``curate``/``curate_near_dups``
+    call created (no-op for local_checkpoint/none modes or frames that
+    never came from curate)."""
+    pinned = getattr(curated, "_clrs_pinned", None)
+    if pinned is not None:
+        pinned.unpersist()
 
 
 def curate(

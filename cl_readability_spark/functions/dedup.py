@@ -362,6 +362,15 @@ def simhash_near_dups(
     groups = sim.groupBy("simhash").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
+    if return_stats:
+        # the stats aggregates reference groups/buckets alongside the pair
+        # pipeline; pin the shared frame so the signature Arrow stage and
+        # the simhash groupBy run once, not once per branch (caller holds
+        # the returned frames; the cache is released with the session or
+        # an explicit unpersist)
+        from pyspark import StorageLevel
+
+        groups = groups.persist(StorageLevel.DISK_ONLY)
 
     if max_hamming == 0:
         # fast path: only identical signatures qualify — no block LSH
@@ -417,6 +426,10 @@ def simhash_near_dups(
             )
             .withColumn("bsize", F.size("items"))
         )
+        if return_stats:  # shared by the pair pipeline AND the drop counter
+            from pyspark import StorageLevel
+
+            buckets = buckets.persist(StorageLevel.DISK_ONLY)
 
         def _partner_slice(i):
             # block 0 includes the item itself (start i+1 → the self pair);
@@ -763,11 +776,18 @@ def dup_clusters(
             .groupBy("id")
             .agg(F.min("rep").alias("nbr_rep"))
         )
-        prop = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))).alias(
-                "rep"
-            ),
+        prop = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
+                ).alias("rep"),
+            )
+            # pinned: the pointer-jump self-join below references prop on
+            # BOTH sides — without this the edge-propagation join would
+            # evaluate twice per round (no cross-branch subplan reuse)
+            .localCheckpoint()
         )
         # (b) pointer jump: rep := rep(rep)
         jump = prop.alias("a").join(

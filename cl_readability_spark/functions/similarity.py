@@ -273,10 +273,17 @@ def embedding_near_dups(
     from pyspark.sql.window import Window
 
     bucket_w = Window.partitionBy("band_idx", "band_sig")
+    # oversized buckets sub-split on a 16-BIT PREFIX of the refinement
+    # signature, never the full n_refine bits: a qualifying pair at
+    # cosine 0.9 (per-bit disagreement ~0.144) shares a 16-bit prefix
+    # with P ~ 0.856^16 ~ 8%, but a full 64-bit signature with P ~ 5e-5
+    # — full-signature equality would silently split almost every true
+    # pair whose only colliding band is oversized
+    sub_prefix = F.col("refine_sig").bitwiseAND(F.lit(0xFFFF))
     keyed = banded.withColumn("count", F.count("*").over(bucket_w)).withColumn(
         "sub",
         F.when(F.col("count") <= max_bucket, F.lit(0).cast("long")).otherwise(
-            F.col("refine_sig")
+            sub_prefix
         ),
     )
     keyed = keyed.withColumn("oversized", F.col("count") > max_bucket)
@@ -289,6 +296,13 @@ def embedding_near_dups(
         )
         .withColumn("bsize", F.size("items"))
     )
+    if return_stats:
+        # buckets feed both the pair pipeline and the stats aggregate; pin
+        # so the signature Arrow stage + band shuffle run once per action,
+        # not once per branch (no cross-branch subplan reuse)
+        from pyspark import StorageLevel
+
+        buckets = buckets.persist(StorageLevel.DISK_ONLY)
     # pair explode carries the two packed refinement signatures (8 B each);
     # the Hamming prefilter then drops chance collisions BEFORE the
     # pair-distinct shuffle and the 512 B/side vector joins

@@ -160,8 +160,13 @@ ORDER BY lang
 #     floor() before the sum (integerized for the cross-engine hash); the
 #     per-turn agreement against the exact DOM triage is pinned in
 #     tests/test_readerable.py. ---
-_TRIAGE_PARA_RE = r"<p>(.*?)</p>"
-_TRIAGE_TAG_RE = r"<[^>]+>"
+# (?i) case-insensitive, (?s) dot-matches-newline, \b + [^>]* for
+# attributes — real-world <P CLASS=...> paragraphs spanning lines must
+# score, not silently extract zero blocks (a bare '<p>(.*?)</p>' would
+# filter virtually any non-synthetic corpus to nothing).  The same
+# literal works in Java regex and DuckDB RE2, so both twin sides share it.
+_TRIAGE_PARA_RE = r"(?is)<p\b[^>]*>(.*?)</p>"
+_TRIAGE_TAG_RE = r"(?s)<[^>]+>"
 
 
 def triage_score_col(html_col):
@@ -220,11 +225,11 @@ WITH t AS (
 scored AS (
   SELECT conv_id,
          COALESCE(list_sum(list_transform(
-           regexp_extract_all(html, '<p>(.*?)</p>', 1),
+           regexp_extract_all(html, '{_TRIAGE_PARA_RE}', 1),
            p -> CASE
-                  WHEN length(trim(regexp_replace(p, '<[^>]+>', '', 'g'))) >= 140
+                  WHEN length(trim(regexp_replace(p, '{_TRIAGE_TAG_RE}', '', 'g'))) >= 140
                   THEN CAST(FLOOR(SQRT(
-                       length(trim(regexp_replace(p, '<[^>]+>', '', 'g'))) - 140
+                       length(trim(regexp_replace(p, '{_TRIAGE_TAG_RE}', '', 'g'))) - 140
                        )) AS BIGINT)
                   ELSE 0
                 END)), 0) AS score

@@ -70,6 +70,13 @@ def extract_transcripts(
     regexp-expression approximation (sqltwins.readerable_triage_sql's
     scorer — JVM-only, no python workers, ≥99% per-turn agreement
     measured) and is the shape to deploy at the 100 TB target."""
+    if prefilter_readerable not in (False, True, "exact", "jvm"):
+        # strict: any other truthy string would silently fall through to
+        # the expensive exact python pass ("JVM", "off", a typo...)
+        raise ValueError(
+            f"prefilter_readerable must be False/True/'exact'/'jvm', "
+            f"got {prefilter_readerable!r}"
+        )
     cols = ["conv_id", "turn_idx", "text"]
     src = df.select(*cols)
     if prefilter_readerable == "jvm":

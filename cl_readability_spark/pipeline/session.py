@@ -63,12 +63,18 @@ def get_or_build_session(app_name: str) -> SparkSession:
     from pyspark import SparkConf
 
     if SparkConf().contains("spark.master"):
-        return (
-            SparkSession.builder.appName(app_name)
-            .config(
-                "spark.sql.parquet.columnarReaderBatchSize",
-                SparkConf().get("spark.sql.parquet.columnarReaderBatchSize", "512"),
-            )
-            .getOrCreate()
-        )
+        conf = SparkConf()
+        builder = SparkSession.builder.appName(app_name)
+        # ALL the whale-safe batch knobs (they are SQL confs — settable on
+        # attach), deferring to anything the deployment set explicitly;
+        # forwarding only some of them re-opens the cache-builder OOM the
+        # build_spark comments document
+        for key, default in (
+            ("spark.sql.parquet.columnarReaderBatchSize", "512"),
+            ("spark.sql.inMemoryColumnarStorage.batchSize", "512"),
+            ("spark.sql.execution.arrow.maxRecordsPerBatch", "512"),
+            ("spark.sql.execution.arrow.maxBytesPerBatch", "32m"),
+        ):
+            builder = builder.config(key, conf.get(key, default))
+        return builder.getOrCreate()
     return build_spark(app_name=app_name)

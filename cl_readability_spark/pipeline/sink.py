@@ -114,12 +114,13 @@ class IcebergSink:
 
     def _current_snapshot_id(self, spark: SparkSession) -> int | None:
         """Latest snapshot id from the Iceberg metadata table (None when
-        the table does not exist yet / has no snapshots)."""
+        the table does not exist yet / has no snapshots).  snapshot_id is
+        the tie-break for equal commit timestamps."""
         if not spark.catalog.tableExists(self.table):
             return None
         rows = spark.sql(
             f"SELECT snapshot_id FROM {self.table}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
+            "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
         ).collect()
         return int(rows[0][0]) if rows else None
 
@@ -127,7 +128,17 @@ class IcebergSink:
         """One atomic snapshot append.  The handle is batch-scoped: it
         records the snapshot range (previous, new) so ``read_batch`` can
         read back exactly this batch via Iceberg's incremental read —
-        never the cumulative table."""
+        never the cumulative table.
+
+        CONSTRAINT — single writer per table: the range is derived from
+        before/after reads of the latest snapshot, so a concurrent
+        writer's snapshot landing inside the window would be attributed
+        to this batch (DataFrame.writeTo exposes no commit-returned
+        snapshot id; lifting the constraint needs the Java/REST catalog
+        API).  The resume contract itself (anti-join on committed keys)
+        is already single-writer-per-key, so this adds no new
+        restriction; it is documented here because the metrics sidecar
+        derives from this handle."""
         spark = df.sparkSession
         self._require(spark)
         prev = self._current_snapshot_id(spark)
@@ -139,8 +150,14 @@ class IcebergSink:
         self._require(spark)
         table, _, rng = handle.partition("@")
         prev_s, _, new_s = rng.partition("..")
-        if not prev_s:  # first snapshot: the batch IS the table
-            return spark.table(table)
+        if not prev_s:
+            # first snapshot: pin to the written snapshot id — a live
+            # spark.table() read could already include later commits
+            return (
+                spark.read.option("snapshot-id", new_s)
+                .format("iceberg")
+                .load(table)
+            )
         return (
             spark.read.format("iceberg")
             .option("start-snapshot-id", prev_s)  # exclusive

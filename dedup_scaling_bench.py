@@ -26,7 +26,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-CORPUS = "/tmp/clrs-dedup-bench-vectors.parquet"
+# corpus paths encode the row count: a stale corpus from a previous --rows
+# must never be silently reused (the bench would report the wrong scale)
+def corpus_path(rows: int) -> str:
+    return f"/tmp/clrs-dedup-bench-vectors-{rows}.parquet"
+
+
+def text_corpus_path(rows: int) -> str:
+    return f"/tmp/clrs-dedup-bench-texts-{rows}.parquet"
 
 
 def write_corpus(rows: int) -> None:
@@ -49,11 +56,8 @@ def write_corpus(rows: int) -> None:
         ).alias("embedding"),
     )
     corpus = plant_near_dups(base, every=5, gamma=0.43, seed=7)
-    corpus.repartition(32).write.mode("overwrite").parquet(CORPUS)
+    corpus.repartition(32).write.mode("overwrite").parquet(corpus_path(rows))
     spark.stop()
-
-
-TEXT_CORPUS = "/tmp/clrs-dedup-bench-texts.parquet"
 
 
 def write_text_corpus(rows: int) -> None:
@@ -95,7 +99,7 @@ def write_text_corpus(rows: int) -> None:
         )
     )
     base.unionByName(twins).repartition(32).write.mode("overwrite").parquet(
-        TEXT_CORPUS
+        text_corpus_path(rows)
     )
     spark.stop()
 
@@ -114,7 +118,9 @@ def run_level(cores: int, reps: int, stack: str, rows: int) -> dict:
     spark = build_spark(f"dedup-bench-{cores}", cores=cores,
                         shuffle_partitions=max(cores * 4, 32))
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.parquet(TEXT_CORPUS if stack == "minhash" else CORPUS)
+    df = spark.read.parquet(
+        text_corpus_path(rows) if stack == "minhash" else corpus_path(rows)
+    )
     n = df.count()  # warm scan
     extra = {}
     if stack == "minhash":
@@ -153,9 +159,9 @@ def main(argv):
         return 0
 
     if args.stack == "minhash":
-        if not os.path.exists(os.path.join(TEXT_CORPUS, "_SUCCESS")):
+        if not os.path.exists(os.path.join(text_corpus_path(args.rows), "_SUCCESS")):
             write_text_corpus(args.rows)
-    elif not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+    elif not os.path.exists(os.path.join(corpus_path(args.rows), "_SUCCESS")):
         write_corpus(args.rows)
     results = []
     for lvl in [int(x) for x in args.levels.split(",")]:

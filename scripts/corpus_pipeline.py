@@ -95,6 +95,8 @@ def main(argv: list[str]) -> int:
     else:
         from pyspark import StorageLevel
 
+        from cl_readability_spark.functions.curation import release_curated
+
         curated = curate(
             extracted,
             materialize="disk" if args.pin == "disk" else "persist",
@@ -111,6 +113,7 @@ def main(argv: list[str]) -> int:
         )
         report = curation_report(curated).collect()[0].asDict()
         curated.unpersist()
+        release_curated(curated)  # the inner flags pin curate() created
     report["seconds"] = round(time.time() - t0, 2)
     report["output"] = args.output
     report["pin"] = args.pin

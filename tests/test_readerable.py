@@ -88,3 +88,36 @@ def test_jvm_triage_twin_agrees_with_exact_dom_triage(spark):
     assert agree / len(rows) >= 0.98, (agree, len(rows))
     # both classes are represented — the comparison is not vacuous
     assert any(r.dom_flag for r in rows) and any(not r.dom_flag for r in rows)
+
+
+def test_jvm_triage_handles_real_world_p_tags(spark):
+    """The triage regex must score paragraphs written the way the wild
+    writes them — attributes, uppercase tags, newlines inside the block —
+    and agree with the exact DOM triage on each (a bare '<p>(.*?)</p>'
+    pattern scores all of these as zero and filters the corpus away)."""
+    from pyspark.sql import functions as F
+
+    from cl_readability_spark.core.readerable import is_readerable
+    from cl_readability_spark.functions.sqltwins import triage_score_col
+
+    long = (
+        "Paragraph text with commas, clauses, and plenty of length to "
+        "clear the one hundred forty character floor comfortably, truly. "
+    ) * 5  # ~630 chars: sqrt(630-140) ~ 22 > 20, one paragraph suffices
+    cases = [
+        f'<html><body><p class="body" id="p1">{long}</p></body></html>',
+        f"<html><body><P>{long}</P></body></html>",
+        f"<html><body><p>{long[:100]}\n{long[100:]}</p></body></html>",
+        f"<html><body><p data-x='1'>{long}</p><p>{long}</p></body></html>",
+        "<html><body><p>too short</p></body></html>",
+    ]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(cases)], ["i", "text"])
+    got = {
+        r.i: r.flag
+        for r in df.select(
+            "i", (triage_score_col(F.col("text")) > 20).alias("flag")
+        ).collect()
+    }
+    for i, html in enumerate(cases):
+        assert got[i] == is_readerable(html), (i, got[i])
+    assert got[0] and got[1] and got[2] and got[3] and not got[4]

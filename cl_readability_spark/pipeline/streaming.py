@@ -156,3 +156,49 @@ def streaming_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "1 hour",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup: the batch pipeline's content-fingerprint
+    dedup (curation.py stage 1 / sqltwins ``dedup_exact``) as a stateful
+    streaming operator — ``dropDuplicatesWithinWatermark`` keeps one row
+    per normalized-content fingerprint across micro-batches, with the
+    watermark bounding how long a fingerprint stays in the dedup state
+    (Spark evicts state older than the watermark, so memory is bounded by
+    the duplicate-arrival horizon, not the stream's lifetime — the only
+    viable contract at 10^12 turns).
+
+    Duplicates arriving LATER than the watermark horizon are re-emitted by
+    construction; downstream exact dedup at rest (the batch gate) remains
+    the backstop, exactly like late data in the windowed rollup."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(input_path)
+    fingerprint = F.md5(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]", ""
+        )
+    )
+    deduped = (
+        stream.withColumn("_fp", fingerprint)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -336,3 +336,28 @@ def test_winnow_density(spark, corpus_df):
     n_fp = fp.count()
     total_chars = corpus_df.select(F.sum(F.length("text"))).collect()[0][0]
     assert 0 < n_fp < total_chars * 0.2  # far below one-per-position
+
+
+def test_minhash_scan_pruning_reaches_parquet(spark, tmp_path):
+    """The minhash pipeline over a wide parquet table must read ONLY
+    (doc_id, text) — column pruning through the mapInPandas stage's
+    explicit select must reach the scan's ReadSchema."""
+    path = str(tmp_path / "wide.parquet")
+    spark.createDataFrame(
+        [(i, f"text body {i} " * 20, "en", "src", 260, 99) for i in range(50)],
+        ["doc_id", "text", "lang", "source", "n_chars", "extra_col"],
+    ).write.parquet(path)
+    plan = (
+        minhash_near_dups(spark.read.parquet(path), jaccard_threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m, plan[:1000]
+    schema = m.group(1)
+    assert "doc_id" in schema and "text" in schema
+    for col in ("lang", "source", "n_chars", "extra_col"):
+        assert col not in schema, (col, schema)

@@ -10,7 +10,10 @@ from cl_readability_spark.pipeline.multimodal import (
     synthetic_media,
 )
 from cl_readability_spark.pipeline.streaming import streaming_extract
-from cl_readability_spark.pipeline.transcripts import synthetic_transcripts
+from cl_readability_spark.pipeline.transcripts import (
+    TRANSCRIPTS_SCHEMA,
+    synthetic_transcripts,
+)
 
 pytestmark = pytest.mark.spark
 
@@ -264,3 +267,40 @@ def test_resize_images_plumbing(spark):
     with pytest.raises(Exception) as e:
         resize_images(media, fake=False).collect()
     assert "NotImplementedError" in str(e.value) or "PIL" in str(e.value)
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per content fingerprint
+    ACROSS restarts/micro-batches (state lives in the checkpoint): batch 2
+    re-sends batch 1's text and adds a fresh one — only the fresh row
+    lands."""
+    import datetime
+
+    from cl_readability_spark.pipeline.streaming import streaming_exact_dedup
+
+    inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    ts = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows1 = [
+        ("c1", 0, "assistant", "the same text body", None, ts),
+        ("c1", 1, "assistant", "the same text body", None, ts),  # intra-batch dup
+        ("c2", 0, "assistant", "a different text", None, ts),
+    ]
+    spark.createDataFrame(rows1, TRANSCRIPTS_SCHEMA).write.parquet(inp + "/b1")
+    q = streaming_exact_dedup(spark, inp + "/*", out, cp, watermark="2 hours")
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 2  # one per fingerprint
+
+    rows2 = [
+        ("c3", 0, "assistant", "the same text body", None,
+         ts + datetime.timedelta(minutes=10)),  # cross-batch dup -> dropped
+        ("c4", 0, "assistant", "a brand new text", None,
+         ts + datetime.timedelta(minutes=10)),
+    ]
+    spark.createDataFrame(rows2, TRANSCRIPTS_SCHEMA).write.parquet(inp + "/b2")
+    q2 = streaming_exact_dedup(spark, inp + "/*", out, cp, watermark="2 hours")
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 3
+    texts = sorted(r.text for r in final.select("text").collect())
+    assert texts == ["a brand new text", "a different text", "the same text body"]

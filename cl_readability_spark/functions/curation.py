@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from cl_readability_spark.functions.dedup import minhash_near_dups
+from cl_readability_spark.functions.pins import attach_pins, release_pinned
 from cl_readability_spark.functions.sqltwins import LANG_MARKERS, STOPWORDS
 
 
@@ -176,19 +177,13 @@ def curate_near_dups(
     ).drop("_row_key")
     # the persisted frame stays registered with the session cache manager
     # until unpersisted — hand the caller the release handle (long-lived
-    # sessions curating several corpora should call release_curated(out)
-    # once done with the result)
-    out._clrs_pinned = pinned
-    return out
+    # sessions curating several corpora should call release_curated on the
+    # EXACT frame returned here, once done with the result — see pins.py)
+    return attach_pins(out, pinned)
 
 
-def release_curated(curated: DataFrame) -> None:
-    """Unpersist the executor-storage pin a ``curate``/``curate_near_dups``
-    call created (no-op for local_checkpoint/none modes or frames that
-    never came from curate)."""
-    pinned = getattr(curated, "_clrs_pinned", None)
-    if pinned is not None:
-        pinned.unpersist()
+# the generic release helper (pins.py) under the curation-specific name
+release_curated = release_pinned
 
 
 def curate(

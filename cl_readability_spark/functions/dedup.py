@@ -525,7 +525,11 @@ def simhash_near_dups(
             ),
         )
         stats = base.crossJoin(dropped)
-    return pairs, stats
+    from cl_readability_spark.functions.pins import attach_pins
+
+    # hand back the release handle for the stats-path pins (pins.py:
+    # release on the EXACT returned pairs frame)
+    return attach_pins(pairs, groups, buckets), stats
 
 
 def simhash_signature(

@@ -176,10 +176,14 @@ def embedding_near_dups(
     (planes control bucket sizes, bands restore recall) — the defaults
     suit corpora up to ~30k rows.
 
-    Oversized buckets are NOT dropped: they are sub-divided by an
-    ``n_refine``-bit refinement signature (shared across bands), and only
-    if a refined bucket still exceeds ``max_bucket`` is it truncated —
-    with the loss surfaced via ``return_stats``.
+    Oversized buckets are NOT dropped: they are sub-divided on a 16-BIT
+    PREFIX of the refinement signature (a qualifying pair shares the
+    prefix with P ~ (1-q)^16 ~ 8% at cosine 0.9; full-signature equality
+    would retain ~5e-5 of true pairs, i.e. drop essentially all of them),
+    and only if a refined bucket still exceeds ``max_bucket`` is it
+    truncated — with the loss surfaced via ``return_stats``.  Recall for
+    pairs whose every colliding band is oversized is therefore prefix-
+    limited; the banding (``near_dup_params``) keeps that event rare.
 
     Chance-collision candidates are cut BEFORE the verification joins by
     a refinement-signature prefilter: each candidate pair carries the two
@@ -382,7 +386,10 @@ def embedding_near_dups(
             "rows_truncated"
         ),
     )
-    return verified, stats
+    from cl_readability_spark.functions.pins import attach_pins
+
+    # release handle for the pinned buckets (pins.py)
+    return attach_pins(verified, buckets), stats
 
 
 def plant_near_dups(

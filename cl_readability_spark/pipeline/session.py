@@ -10,6 +10,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+# the whale-safe batch budget: every knob that assembles whole row batches
+# in memory (Arrow python transfer, parquet vectorized reader, table-cache
+# columnar builder) is bounded here, ONCE — build_spark and the
+# spark-submit attach path both read this mapping, so the budget cannot
+# drift between the two session constructors
+def whale_safe_batch_confs(arrow_max_records: int = 512) -> dict[str, str]:
+    return {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_max_records),
+        "spark.sql.execution.arrow.maxBytesPerBatch": "32m",
+        "spark.sql.parquet.columnarReaderBatchSize": str(arrow_max_records),
+        "spark.sql.inMemoryColumnarStorage.batchSize": str(arrow_max_records),
+    }
+
 
 def build_spark(
     app_name: str = "cl-readability-spark",
@@ -26,31 +39,23 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # big HTML cells: bound the Arrow batch by rows AND bytes — a batch of
-        # whale documents must not blow Python-worker memory (512 rows × 10 MB
-        # would be 5 GB; the byte cap splits it)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
-        .config("spark.sql.execution.arrow.maxBytesPerBatch", "32m")
-        # ...and the same bound for the JVM-side parquet vectorized reader:
-        # its default 4096-row column vectors over multi-KB text cells need
-        # contiguous on-heap reservations that fail on small-heap drivers
-        # (observed FAILED_READ_FILE at 1 GB heap on a 3.5 KB-avg corpus)
-        # and would be GBs on whale rows regardless of heap
-        .config("spark.sql.parquet.columnarReaderBatchSize", str(arrow_max_records))
-        # ...and for the table-cache columnar builder: persist()/cache()
-        # assembles spark.sql.inMemoryColumnarStorage.batchSize rows per
-        # column batch IN MEMORY before handing it to storage — even at
-        # DISK_ONLY.  The 10,000-row default over multi-KB text cells is
-        # hundreds of MB per concurrent task (observed: 32-task OOM on an
-        # 8 GB heap caching a 2.7 GB-text corpus); bound it to the same
-        # whale-safe row budget as the other batch knobs
-        .config("spark.sql.inMemoryColumnarStorage.batchSize", str(arrow_max_records))
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.warehouse.dir", "/tmp/clrs-spark-warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # big HTML cells must not blow any in-memory row-batch assembly:
+    # - Arrow python transfer: bounded by rows AND bytes (512 × 10 MB docs
+    #   would be 5 GB; the byte cap splits it)
+    # - parquet vectorized reader: default 4096-row column vectors need
+    #   contiguous on-heap reservations (observed FAILED_READ_FILE at 1 GB
+    #   heap on a 3.5 KB-avg corpus; GBs on whale rows at any heap)
+    # - table-cache columnar builder: persist()/cache() at ANY storage
+    #   level assembles batchSize rows on-heap first (observed 32-task OOM
+    #   at 8 GB caching a 2.7 GB-text corpus with the 10,000-row default)
+    for key, value in whale_safe_batch_confs(arrow_max_records).items():
+        builder = builder.config(key, value)
     return builder.getOrCreate()
 
 
@@ -65,16 +70,11 @@ def get_or_build_session(app_name: str) -> SparkSession:
     if SparkConf().contains("spark.master"):
         conf = SparkConf()
         builder = SparkSession.builder.appName(app_name)
-        # ALL the whale-safe batch knobs (they are SQL confs — settable on
-        # attach), deferring to anything the deployment set explicitly;
-        # forwarding only some of them re-opens the cache-builder OOM the
-        # build_spark comments document
-        for key, default in (
-            ("spark.sql.parquet.columnarReaderBatchSize", "512"),
-            ("spark.sql.inMemoryColumnarStorage.batchSize", "512"),
-            ("spark.sql.execution.arrow.maxRecordsPerBatch", "512"),
-            ("spark.sql.execution.arrow.maxBytesPerBatch", "32m"),
-        ):
+        # the SAME whale-safe batch knobs as build_spark (SQL confs —
+        # settable on attach), deferring to anything the deployment set
+        # explicitly; forwarding only some of them re-opens the
+        # cache-builder OOM documented in build_spark
+        for key, default in whale_safe_batch_confs().items():
             builder = builder.config(key, conf.get(key, default))
         return builder.getOrCreate()
     return build_spark(app_name=app_name)

@@ -114,13 +114,24 @@ class IcebergSink:
 
     def _current_snapshot_id(self, spark: SparkSession) -> int | None:
         """Latest snapshot id from the Iceberg metadata table (None when
-        the table does not exist yet / has no snapshots).  snapshot_id is
-        the tie-break for equal commit timestamps."""
+        the table does not exist yet / has no snapshots)."""
         if not spark.catalog.tableExists(self.table):
             return None
         rows = spark.sql(
             f"SELECT snapshot_id FROM {self.table}.snapshots "
-            "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else None
+
+    def _snapshot_after(self, spark: SparkSession, prev: int | None) -> int | None:
+        """The snapshot whose PARENT is ``prev`` — correct by construction
+        under the single-writer contract, unlike a committed_at ordering
+        (Iceberg snapshot ids are random 64-bit values, so timestamps can
+        tie with no valid tie-break)."""
+        pred = "parent_id IS NULL" if prev is None else f"parent_id = {prev}"
+        rows = spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            f"WHERE {pred} ORDER BY committed_at DESC LIMIT 1"
         ).collect()
         return int(rows[0][0]) if rows else None
 
@@ -143,7 +154,9 @@ class IcebergSink:
         self._require(spark)
         prev = self._current_snapshot_id(spark)
         df.writeTo(self.table).append()
-        new = self._current_snapshot_id(spark)
+        new = self._snapshot_after(spark, prev)
+        if new is None:  # defensive: the append must have created a child
+            new = self._current_snapshot_id(spark)
         return f"{self.table}@{'' if prev is None else prev}..{new}"
 
     def read_batch(self, spark: SparkSession, handle: str) -> DataFrame:

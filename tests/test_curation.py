@@ -139,3 +139,21 @@ def test_curate_composes_with_extraction(spark):
     assert set(curated.columns) >= {
         "quality_ok", "exact_keep", "near_dup_drop", "kept",
     }
+
+
+def test_release_curated_unpersists_the_pin(spark, planted):
+    """curate() pins the flagged frame in executor storage; release_curated
+    on the EXACT returned frame must unpersist it (pins do not survive
+    further transformations — documented contract in functions/pins.py)."""
+    from cl_readability_spark.functions.curation import release_curated
+
+    before = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    curated = curate(planted, jaccard_threshold=0.7)
+    curated.count()
+    during = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    assert during - before, "curate() should have pinned a frame"
+    release_curated(curated)
+    after = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    assert not (after - before), "release_curated must drop the pin"
+    # a frame that never came from curate is a no-op
+    release_curated(planted)

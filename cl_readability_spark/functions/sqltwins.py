@@ -799,6 +799,48 @@ LIMIT 10
 """
 
 
+# --- 20. ann_lsh_planted — hyperplane-LSH ANN made hash-verifiable by the
+#     same scaled-copy construction as ann_ivf_planted: sign(c·q · plane)
+#     = sign(q · plane) for c > 0, so every planted copy shares the
+#     query's signature EXACTLY and lives in the probe's primary bucket
+#     (multiprobe never needed).  True top-10 = the planted copies
+#     (cosine 10000); oracle = brute force over the same union. ---
+def q_ann_lsh_planted(spark, sf_dir):
+    from cl_readability_spark.functions.similarity import lsh_bucketed_topk
+
+    embs = _embs(spark, sf_dir)
+    query_vec = [float(x) for x in
+                 embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    planted = (
+        embs.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"), "embedding"
+        )
+        .select(
+            (F.lit(2_000_000) + F.col("i")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double")
+                * (F.lit(1.0) + F.col("i").cast("double") / 100.0),
+            ).alias("embedding"),
+        )
+    )
+    corpus = embs.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    topk = lsh_bucketed_topk(corpus, query_vec, k=10, n_planes=6,
+                             multiprobe_bits=2)
+    return topk.select(
+        "vec_id",
+        F.round(F.col("cosine_sim") * 10000, 0).cast("long").alias(
+            "cosine_sim_x10k"
+        ),
+    )
+
+
+SQL_ANN_LSH_PLANTED = SQL_ANN_IVF_PLANTED  # identical union + brute force
+
+
 # --- TPC-H-style relational twins over the driver tables: the classic scan
 #     → broadcast-join → partial-agg shapes the metrics/lineage rollups use
 #     at scale.  Money math is integerized (×100, bigint) so cross-engine
@@ -1015,6 +1057,7 @@ SQL_TWINS: dict[str, tuple] = {
     "dedup_winnow_planted": (q_dedup_winnow_planted, SQL_DEDUP_WINNOW_PLANTED),
     "dedup_clusters_planted": (q_dedup_clusters_planted, SQL_DEDUP_CLUSTERS_PLANTED),
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
+    "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),

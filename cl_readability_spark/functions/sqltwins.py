@@ -799,6 +799,39 @@ LIMIT 10
 """
 
 
+# --- 19b. dedup_embedding_planted — the FULL banded-LSH embedding
+#     near-dup pipeline (signature Arrow stage → band buckets → refinement
+#     Hamming prefilter → exact-cosine verify) on a corpus whose expected
+#     output is exactly computable: vectors are a deterministic hash
+#     function of group = vec_id DIV 10, so group members are IDENTICAL —
+#     identical signatures in every band (guaranteed candidacy, no
+#     probabilistic recall in the gate), hamming-0 refinement signatures
+#     (prefilter passes), cosine exactly 1 (→ 10000).  Cross-group chance
+#     bucket collisions are killed by the prefilter and, failing that, the
+#     0.99 threshold.  The oracle reduces to the group self-join. ---
+def q_dedup_embedding_planted(spark, sf_dir):
+    from cl_readability_spark.functions.similarity import embedding_near_dups
+
+    group = F.floor(F.col("vec_id") / 10).cast("long")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.concat_ws(":", group, i)), F.lit(2001)) - 1000
+        ).cast("double")
+        / 100.0,
+    )
+    corpus = _embs(spark, sf_dir).select("vec_id", vec.alias("embedding"))
+    return embedding_near_dups(corpus, threshold=0.99, dim=64)
+
+
+SQL_DEDUP_EMBEDDING_PLANTED = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(10000 AS BIGINT) AS cosine_sim_x10k
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id // 10 = b.vec_id // 10 AND a.vec_id < b.vec_id
+"""
+
+
 # --- 20. ann_lsh_planted — hyperplane-LSH ANN made hash-verifiable by the
 #     same scaled-copy construction as ann_ivf_planted: sign(c·q · plane)
 #     = sign(q · plane) for c > 0, so every planted copy shares the
@@ -1058,6 +1091,7 @@ SQL_TWINS: dict[str, tuple] = {
     "dedup_clusters_planted": (q_dedup_clusters_planted, SQL_DEDUP_CLUSTERS_PLANTED),
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
+    "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),

@@ -736,9 +736,99 @@ def winnow_candidates(
     )
 
 
+class _RoundPinner:
+    """Per-round materialization strategy for iterative plans (the
+    lineage of an iterative DataFrame loop otherwise grows exponentially
+    and any frame referenced on two join sides re-evaluates per branch).
+
+    Modes, by deployment target:
+
+    - ``"local"`` — ``localCheckpoint()``: blocks live on executor block
+      managers with lineage TRUNCATED, so on a real cluster losing one
+      executor mid-loop makes the frame unrecoverable and fails the job
+      (documented localCheckpoint semantics).  Fastest; correct ONLY for
+      single-JVM / local-mode runs (this sandbox).
+    - ``"reliable"`` — ``DataFrame.checkpoint()`` against the session's
+      reliable checkpoint directory (HDFS/S3/...): executor loss only
+      recomputes lost partitions from the checkpoint files.  Requires
+      ``checkpoint_dir`` (set on the SparkContext here) or a context
+      with one already configured.  Spark garbage-collects checkpoint
+      files with ``spark.cleaner.referenceTracking.cleanCheckpoints``;
+      otherwise the caller owns the directory lifecycle.
+    - ``"table"`` — stage each round through a parquet table under
+      ``checkpoint_dir`` and read it back (the ``--pin sink`` pattern):
+      fully fault-tolerant, zero executor-storage footprint, and the
+      round boundary is a plain columnar scan — the 100 TB shape when a
+      lakehouse path is available.  Superseded rounds are deleted
+      best-effort as the loop advances; the FINAL round's table backs
+      the returned DataFrame, so the directory must outlive consumption.
+    """
+
+    def __init__(self, spark, mode: str, checkpoint_dir: str | None):
+        if mode not in ("local", "reliable", "table"):
+            raise ValueError(
+                f"checkpoint_mode must be local|reliable|table, got {mode!r}"
+            )
+        self.mode = mode
+        self.spark = spark
+        self._n = 0
+        self._prev_round_paths: list[str] = []
+        self._this_round_paths: list[str] = []
+        if mode == "reliable":
+            sc = spark.sparkContext
+            if checkpoint_dir is not None:
+                sc.setCheckpointDir(checkpoint_dir)
+            elif sc.getCheckpointDir() is None:
+                raise ValueError(
+                    "checkpoint_mode='reliable' needs checkpoint_dir (or "
+                    "SparkContext.setCheckpointDir called beforehand)"
+                )
+        elif mode == "table":
+            if checkpoint_dir is None:
+                raise ValueError("checkpoint_mode='table' needs checkpoint_dir")
+            import uuid
+
+            self.base = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex[:12]}"
+
+    def pin(self, df: DataFrame, name: str, persistent: bool = False) -> DataFrame:
+        """Materialize ``df`` per the mode.  ``persistent`` pins (the
+        adjacency, read by every round) are excluded from the
+        superseded-round cleanup in table mode."""
+        if self.mode == "local":
+            return df.localCheckpoint()
+        if self.mode == "reliable":
+            return df.checkpoint()
+        path = f"{self.base}/{name}-{self._n}"
+        self._n += 1
+        df.write.mode("overwrite").parquet(path)
+        if not persistent:
+            self._this_round_paths.append(path)
+        return self.spark.read.parquet(path)
+
+    def end_round(self) -> None:
+        """A round only reads the round directly before it, so once round
+        k's pins (and its fixpoint count) have materialized, round k-1 is
+        dead weight — delete it best-effort (local filesystem only;
+        object-store paths are left to bucket lifecycle rules).  The
+        final round is never deleted: its table backs the returned
+        DataFrame."""
+        if self.mode != "table":
+            return
+        import shutil
+
+        for p in self._prev_round_paths:
+            if "://" not in p:
+                shutil.rmtree(p, ignore_errors=True)
+        self._prev_round_paths = self._this_round_paths
+        self._this_round_paths = []
+
+
 def dup_clusters(
     pairs: DataFrame,
     max_iters: int = 25,
+    checkpoint_mode: str = "local",
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Duplicate-cluster resolution: connected components over near-dup
     pairs → (id, cluster_rep) with cluster_rep = the minimum id in the
@@ -752,27 +842,47 @@ def dup_clusters(
     (label := label(label), one self-join).  Pointer jumping makes long
     chains converge in O(log n) rounds instead of O(diameter); near-dup
     components are usually cliques and converge in one.  Each round ends
-    with a localCheckpoint (truncated lineage — iterative Spark plans
+    with a materialization (see ``_RoundPinner`` — iterative Spark plans
     otherwise grow exponentially) and a changed-row count as the driver-
     side fixpoint test.  At 100 TB the per-round cost is two keyed
-    shuffles over the EDGE set — no collect of nodes or edges."""
+    shuffles over the EDGE set — no collect of nodes or edges.
+
+    ``checkpoint_mode`` selects the round materialization:
+    ``"local"`` (default — single-JVM only), ``"reliable"``
+    (``DataFrame.checkpoint()``, executor-loss-tolerant; the cluster
+    default), or ``"table"`` (parquet-staged rounds, the lakehouse
+    shape); modes and their failure semantics in ``_RoundPinner``.
+    On a multi-executor cluster DO NOT run the default: pass
+    ``checkpoint_mode="reliable"`` with a durable ``checkpoint_dir``.
+
+    If the fixpoint is not reached within ``max_iters`` rounds the labels
+    are WRONG (some nodes still carry a non-minimal representative), so
+    by default this raises; ``on_nonconverged="warn"`` downgrades to a
+    warning and returns the unconverged labels (diagnostic use only)."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"on_nonconverged must be raise|warn, got {on_nonconverged!r}"
+        )
+    pinner = _RoundPinner(pairs.sparkSession, checkpoint_mode, checkpoint_dir)
     edges = pairs.select("id_a", "id_b")
     # checkpoint the adjacency FIRST: both the initial labels and every
     # propagation round read it, and the upstream pair producer (often a
     # whole LSH pipeline) must evaluate exactly once
-    adj = (
+    adj = pinner.pin(
         edges.unionByName(
             edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-        )
-        .select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
-        .localCheckpoint()
+        ).select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr")),
+        "adj",
+        persistent=True,
     )
-    labels = (
+    labels = pinner.pin(
         adj.groupBy("id")
         .agg(F.min("nbr").alias("rep"))
-        .select("id", F.least("id", "rep").alias("rep"))
-        .localCheckpoint()
+        .select("id", F.least("id", "rep").alias("rep")),
+        "labels",
     )
+    pinner.end_round()
+    converged = False
     for _ in range(max_iters):
         # (a) edge propagation: min over own rep and neighbors' reps
         nbr_min = (
@@ -780,18 +890,17 @@ def dup_clusters(
             .groupBy("id")
             .agg(F.min("rep").alias("nbr_rep"))
         )
-        prop = (
-            labels.join(nbr_min, "id", "left")
-            .select(
+        # pinned: the pointer-jump self-join below references prop on
+        # BOTH sides — without this the edge-propagation join would
+        # evaluate twice per round (no cross-branch subplan reuse)
+        prop = pinner.pin(
+            labels.join(nbr_min, "id", "left").select(
                 "id",
                 F.least(
                     F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
                 ).alias("rep"),
-            )
-            # pinned: the pointer-jump self-join below references prop on
-            # BOTH sides — without this the edge-propagation join would
-            # evaluate twice per round (no cross-branch subplan reuse)
-            .localCheckpoint()
+            ),
+            "prop",
         )
         # (b) pointer jump: rep := rep(rep)
         jump = prop.alias("a").join(
@@ -801,18 +910,35 @@ def dup_clusters(
             "rep",
             "left",
         )
-        new_labels = jump.select(
-            "id",
-            F.least(F.col("rep"), F.coalesce(F.col("rep2"), F.col("rep"))).alias(
-                "rep"
+        new_labels = pinner.pin(
+            jump.select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("rep2"), F.col("rep"))
+                ).alias("rep"),
             ),
-        ).localCheckpoint()
+            "labels",
+        )
         changed = (
             new_labels.join(labels.withColumnRenamed("rep", "old"), "id")
             .filter(F.col("rep") != F.col("old"))
             .count()
         )
         labels = new_labels
+        pinner.end_round()
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"dup_clusters did not reach its fixpoint in {max_iters} rounds — "
+            "the returned cluster labels are NOT final (some nodes carry a "
+            "non-minimal representative); raise max_iters (rounds needed is "
+            "O(log component-diameter))"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("rep").alias("cluster_rep"))

@@ -299,6 +299,83 @@ def test_dup_clusters_keep_one_policy_composes(spark):
     assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 10, 11]
 
 
+def _cc_case(spark):
+    path = [(i, i + 1) for i in range(20, 40)]
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(path + clique, ["id_a", "id_b"])
+    expected = {i: 20 for i in range(20, 41)} | {i: 0 for i in range(5)}
+    return pairs, expected
+
+
+def test_dup_clusters_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_mode='reliable' (the multi-executor-safe mode: rounds
+    materialize through DataFrame.checkpoint, recoverable on executor
+    loss) produces the identical labels as local mode and actually writes
+    checkpoint files to the supplied directory."""
+    from cl_readability_spark.functions.dedup import dup_clusters
+
+    pairs, expected = _cc_case(spark)
+    ckpt = tmp_path / "ckpt"
+    got = {
+        r.id: r.cluster_rep
+        for r in dup_clusters(
+            pairs, checkpoint_mode="reliable", checkpoint_dir=str(ckpt)
+        ).collect()
+    }
+    assert got == expected
+    written = list(ckpt.rglob("*"))
+    assert written, "reliable mode must write checkpoint files"
+
+
+def test_dup_clusters_table_staged_mode_and_cleanup(spark, tmp_path):
+    """checkpoint_mode='table' (the lakehouse shape: every round staged
+    through parquet, zero executor-storage state) produces identical
+    labels, keeps the final round's table alive for the returned frame,
+    and deletes superseded rounds as the loop advances."""
+    from cl_readability_spark.functions.dedup import dup_clusters
+
+    pairs, expected = _cc_case(spark)
+    out = dup_clusters(
+        pairs, checkpoint_mode="table", checkpoint_dir=str(tmp_path)
+    )
+    got = {r.id: r.cluster_rep for r in out.collect()}
+    assert got == expected
+    # the path graph needs several rounds; superseded label rounds are
+    # deleted, so far fewer staged tables remain than rounds ran
+    staged = [p for p in tmp_path.rglob("labels-*") if p.is_dir()]
+    assert 1 <= len(staged) <= 2, sorted(p.name for p in tmp_path.iterdir())
+    # the returned frame stays readable (backed by the surviving table)
+    assert out.count() == len(expected)
+
+
+def test_dup_clusters_mode_validation(spark, tmp_path):
+    from cl_readability_spark.functions.dedup import dup_clusters
+
+    pairs, _ = _cc_case(spark)
+    with pytest.raises(ValueError, match="checkpoint_mode"):
+        dup_clusters(pairs, checkpoint_mode="bogus")
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        dup_clusters(pairs, checkpoint_mode="table")
+
+
+def test_dup_clusters_nonconvergence_raises_and_warns(spark):
+    """An exhausted round budget means the labels are not final — the
+    default is a hard error (silent wrong labels would feed a keep-one
+    dedup that drops the wrong rows); 'warn' downgrades for diagnostics."""
+    from cl_readability_spark.functions.dedup import dup_clusters
+
+    # a 21-node path cannot converge in one round even with pointer
+    # jumping (min label must travel ~20 hops; one round covers ≤3)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 40)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dup_clusters(pairs, max_iters=1)
+    with pytest.warns(RuntimeWarning, match="fixpoint"):
+        got = dup_clusters(pairs, max_iters=1, on_nonconverged="warn")
+        assert got.count() == 21
+
+
 def test_winnow_fingerprints_shared_substring_guarantee(spark):
     """Winnowing guarantee: two docs sharing a substring longer than
     k + window - 1 share at least one selected fingerprint; disjoint-text

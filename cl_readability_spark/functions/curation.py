@@ -8,8 +8,12 @@ drop counts partition ``rows_in`` exactly):
 - ``quality_ok``   — length bounds + stopword ratio + langid gate
 - ``exact_keep``   — first quality_ok row (by key) of each normalized-text
                      fingerprint; always False for quality-failed rows
-- ``near_dup_drop``— row is the dropped (higher-key) side of a verified
-                     MinHash near-duplicate pair, computed over the
+- ``near_dup_drop``— row is a non-representative member of a verified
+                     MinHash near-duplicate cluster (``policy="clusters"``,
+                     the default: connected components over the verified
+                     pairs, keep the minimum-key representative), or the
+                     higher-key side of each verified pair
+                     (``policy="pairwise"``); computed over the
                      quality+exact survivors only
 - ``kept``         — quality_ok AND exact_keep AND NOT near_dup_drop
 
@@ -37,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from cl_readability_spark.functions.dedup import minhash_near_dups
+from cl_readability_spark.functions.dedup import dup_clusters, minhash_near_dups
 from cl_readability_spark.functions.pins import attach_pins, release_pinned
 from cl_readability_spark.functions.sqltwins import LANG_MARKERS, STOPWORDS
 
@@ -124,10 +128,31 @@ def curate_near_dups(
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     jaccard_threshold: float = 0.8,
     materialize: str = "disk",
+    policy: str = "clusters",
+    cluster_opts: dict | None = None,
 ) -> DataFrame:
     """Stage 2 of curation — adds ``near_dup_drop`` (MinHash near-dup
     prune over the quality+exact survivors) and ``kept`` to a frame that
     already carries the stage-1 flags.
+
+    ``policy`` selects which side of a verified near-dup relation drops:
+
+    - ``"clusters"`` (default): connected components over the verified
+      pairs (``dup_clusters``), drop everything but the minimum-key
+      representative of each duplicate cluster — the standard corpus-
+      dedup policy (deterministic, exactly one survivor per duplicate
+      equivalence class, independent of pair enumeration order).  Costs
+      the O(log n)-round label propagation over the pair set — tiny
+      next to the minhash stage, since pairs ≪ corpus.  ``cluster_opts``
+      forwards to ``dup_clusters`` (e.g. ``{"checkpoint_mode":
+      "reliable", "checkpoint_dir": ...}`` on a real cluster).
+    - ``"pairwise"``: drop the higher-key side of every verified pair
+      (the round-2/3 behavior).  Cheaper by one small iterative job but
+      key-order-dependent: two docs that are both near-dups of a third
+      (but not of each other) BOTH survive or not depending only on key
+      layout — e.g. pairs (A,C),(B,C) keep {A,B} while a cluster sees
+      one duplicate class and keeps {A}.  Kept for pipelines that want
+      maximal retention over canonical keep-one.
 
     ``materialize`` controls how ``flagged`` is pinned before the two
     plan branches reference it (module doc, "Plan shape"):
@@ -146,6 +171,8 @@ def curate_near_dups(
       branch costs two pruned columnar scans, no recomputation)."""
     if materialize not in ("disk", "local_checkpoint", "persist", "none"):
         raise ValueError(f"unknown materialize mode: {materialize!r}")
+    if policy not in ("clusters", "pairwise"):
+        raise ValueError(f"unknown near-dup policy: {policy!r}")
     df = flagged.withColumn("_row_key", _row_key(key_cols))
     if materialize == "local_checkpoint":
         df = df.localCheckpoint(eager=True)
@@ -164,9 +191,19 @@ def curate_near_dups(
         F.col("_row_key").alias("doc_id"), F.col(text_col).alias("text")
     )
     pairs = minhash_near_dups(survivors, jaccard_threshold=jaccard_threshold)
-    drops = pairs.select(F.col("id_b").alias("_row_key")).distinct().withColumn(
-        "near_dup_drop", F.lit(True)
-    )
+    if policy == "clusters":
+        clusters = dup_clusters(pairs, **(cluster_opts or {}))
+        drops = (
+            clusters.filter(F.col("id") != F.col("cluster_rep"))
+            .select(F.col("id").alias("_row_key"))
+            .withColumn("near_dup_drop", F.lit(True))
+        )
+    else:
+        drops = (
+            pairs.select(F.col("id_b").alias("_row_key"))
+            .distinct()
+            .withColumn("near_dup_drop", F.lit(True))
+        )
     pinned = df if materialize in ("disk", "persist") else None
     df = df.join(drops, "_row_key", "left").withColumn(
         "near_dup_drop", F.coalesce(F.col("near_dup_drop"), F.lit(False))
@@ -196,18 +233,21 @@ def curate(
     min_stopword_bp: int = 100,
     langs: tuple[str, ...] = ("en",),
     materialize: str = "disk",
+    policy: str = "clusters",
+    cluster_opts: dict | None = None,
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
     Composition of ``curate_flags`` → ``curate_near_dups``; see
     ``curate_near_dups`` for the ``materialize`` modes (the pin covers the
-    whole extract+flags subtree here)."""
+    whole extract+flags subtree here) and the near-dup drop ``policy``."""
     flagged = curate_flags(
         extracted, text_col, key_cols, min_chars, max_chars,
         min_stopword_bp, langs,
     )
     return curate_near_dups(
-        flagged, text_col, key_cols, jaccard_threshold, materialize
+        flagged, text_col, key_cols, jaccard_threshold, materialize,
+        policy, cluster_opts,
     )
 
 

@@ -747,7 +747,11 @@ class _RoundPinner:
       managers with lineage TRUNCATED, so on a real cluster losing one
       executor mid-loop makes the frame unrecoverable and fails the job
       (documented localCheckpoint semantics).  Fastest; correct ONLY for
-      single-JVM / local-mode runs (this sandbox).
+      single-JVM / local-mode runs (this sandbox).  Superseded rounds'
+      blocks are reclaimed asynchronously by the ContextCleaner once
+      their DataFrames are garbage-collected (no unpersist API exists
+      for localCheckpoint storage); the frames are compact (id, rep)
+      pairs, not text.
     - ``"reliable"`` — ``DataFrame.checkpoint()`` against the session's
       reliable checkpoint directory (HDFS/S3/...): executor loss only
       recomputes lost partitions from the checkpoint files.  Requires

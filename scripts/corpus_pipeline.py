@@ -34,6 +34,13 @@ def main(argv: list[str]) -> int:
                         "(use for non-natural-language corpora)")
     p.add_argument("--langs", default="en",
                    help="comma-separated langid allowlist")
+    p.add_argument("--policy", choices=["clusters", "pairwise"],
+                   default="clusters",
+                   help="near-dup drop policy: 'clusters' keeps one "
+                        "representative per duplicate component (connected "
+                        "components over the verified pairs — the principled "
+                        "default), 'pairwise' drops the higher-key side of "
+                        "each pair (cheaper, key-order-dependent)")
     p.add_argument("--pin", choices=["sink", "disk", "memory"], default="sink",
                    help="how the single extraction/flag pass is shared by the "
                         "near-dup branch and the write/report consumers: "
@@ -63,7 +70,15 @@ def main(argv: list[str]) -> int:
         min_chars=args.min_chars,
         min_stopword_bp=args.min_stopword_bp,
         langs=tuple(args.langs.split(",")),
+        policy=args.policy,
     )
+    if args.policy == "clusters" and args.pin == "sink":
+        # match the sink philosophy: the CC rounds stage through parquet
+        # too (fault-tolerant, zero executor storage — dedup._RoundPinner)
+        kwargs["cluster_opts"] = {
+            "checkpoint_mode": "table",
+            "checkpoint_dir": args.output.rstrip("/") + ".cc",
+        }
     if args.pin == "sink":
         # the 100 TB shape: the expensive passes materialize through
         # columnar tables instead of executor storage — extraction once
@@ -117,6 +132,7 @@ def main(argv: list[str]) -> int:
     report["seconds"] = round(time.time() - t0, 2)
     report["output"] = args.output
     report["pin"] = args.pin
+    report["policy"] = args.policy
     print(json.dumps(report))
     spark.stop()
     return 0

@@ -103,10 +103,16 @@ def test_curate_plan_single_extraction(spark):
     transcripts = synthetic_transcripts(spark, 2, seed=5)
 
     def plan_of(materialize):
+        # policy="pairwise": the drops branch stays inside THIS plan (the
+        # clusters policy routes drops through dup_clusters, whose rounds
+        # checkpoint — the extraction/minhash stages then live in those
+        # checkpoint jobs and the MapInArrow counts below would trivially
+        # pass without proving the single-extraction property)
         curated = curate(
             extract_transcripts(transcripts, salt_buckets=4),
             min_stopword_bp=0,
             materialize=materialize,
+            policy="pairwise",
         )
         return curated._jdf.queryExecution().executedPlan().toString()
 
@@ -141,6 +147,78 @@ def test_curate_composes_with_extraction(spark):
     }
 
 
+# A deterministic "star" near-dup corpus: C is a near-dup of BOTH A and B
+# (C = A's text + B's text, word-5-gram Jaccard ≈ 0.47/0.48, found by the
+# fixed blake2b hash family — verified by direct minhash_near_dups run at
+# threshold 0.35, which returns exactly {(a,c),(b,c)}), while A vs B share
+# only incidental stopword grams (J ≈ 0.03, no pair).  The vocabulary
+# suffix "4" is part of the derivation: it was searched over suffixes until
+# BOTH star edges fall into LSH candidate buckets under the fixed hash
+# family (candidacy at J≈0.48 is ~40% per 8-band family; the family is
+# deterministic, so this corpus is stable across runs and platforms).
+_W1 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambada mu "
+       "nu xi omicron pi rho sigma tau upsilon phi chi psi omega").split()
+_W2 = ("apple banana cherry durian elderberry fig grape honeydew kiwi lemon "
+       "mango nectarine orange papaya quince raspberry strawberry tangerine "
+       "ugli vanilla walnut xigua yam zucchini").split()
+STAR_A = " ".join(
+    "the report and the schedule is ready for the rollout of it".split()
+    + [f"{w}4" for w in _W1] * 2
+)
+STAR_B = " ".join(
+    "it was noted that the plan is safe to run in the fleet".split()
+    + [f"{w}4" for w in _W2] * 2
+)
+STAR_C = STAR_A + " " + STAR_B
+
+
+@pytest.fixture()
+def star(spark):
+    return spark.createDataFrame(
+        [("a", 0, STAR_A), ("b", 0, STAR_B), ("c", 0, STAR_C)],
+        "conv_id string, turn_idx int, extracted_text string",
+    )
+
+
+def test_curate_policy_clusters_vs_pairwise(spark, star):
+    """Where the two near-dup drop policies differ: pairs {(a,c),(b,c)}
+    with a ≁ b.  policy='pairwise' drops only the higher-key pair sides
+    ({c} — a and b both survive although they belong to one duplicate
+    component), policy='clusters' keeps exactly ONE representative of the
+    connected component ({a}).  Both reports keep the partition identity."""
+    for policy, expect_kept in (("pairwise", {"a", "b"}), ("clusters", {"a"})):
+        curated = curate(star, jaccard_threshold=0.35, policy=policy)
+        kept = {r.conv_id for r in curated.filter(F.col("kept")).collect()}
+        assert kept == expect_kept, policy
+        rep = curation_report(curated).collect()[0]
+        assert (
+            rep.dropped_quality + rep.dropped_exact_dup + rep.dropped_near_dup
+            + rep.rows_kept
+            == rep.rows_in
+            == 3
+        ), policy
+
+
+def test_curate_policy_validation(spark, star):
+    with pytest.raises(ValueError, match="policy"):
+        curate(star, policy="bogus")
+
+
+def test_curate_cluster_opts_forwarding(spark, star, tmp_path):
+    """cluster_opts reaches dup_clusters: a table-staged run (the
+    cluster-grade mode) produces the same kept set as the default."""
+    curated = curate(
+        star,
+        jaccard_threshold=0.35,
+        policy="clusters",
+        cluster_opts={"checkpoint_mode": "table",
+                      "checkpoint_dir": str(tmp_path)},
+    )
+    kept = {r.conv_id for r in curated.filter(F.col("kept")).collect()}
+    assert kept == {"a"}
+    assert any(tmp_path.iterdir()), "table mode must stage rounds on disk"
+
+
 def test_release_curated_unpersists_the_pin(spark, planted):
     """curate() pins the flagged frame in executor storage; release_curated
     on the EXACT returned frame must unpersist it (pins do not survive
@@ -148,7 +226,11 @@ def test_release_curated_unpersists_the_pin(spark, planted):
     from cl_readability_spark.functions.curation import release_curated
 
     before = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
-    curated = curate(planted, jaccard_threshold=0.7)
+    # policy="pairwise" isolates the pin under test: the clusters policy
+    # additionally runs dup_clusters, whose local-mode round checkpoints
+    # appear in storage info until the ContextCleaner reclaims them
+    # asynchronously (tiny (id, rep) frames — documented in dup_clusters)
+    curated = curate(planted, jaccard_threshold=0.7, policy="pairwise")
     curated.count()
     during = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     assert during - before, "curate() should have pinned a frame"

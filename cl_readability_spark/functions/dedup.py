@@ -321,6 +321,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 256,
+    max_group: int | None = None,
     return_stats: bool = False,
 ):
     """SimHash near-duplicate pairs: documents whose 64-bit SimHashes are
@@ -349,15 +350,27 @@ def simhash_near_dups(
     Returns (id_a, id_b, hamming) with id_a < id_b; with
     ``return_stats=True`` returns (pairs, stats) where stats is a 1-row
     DataFrame (n_distinct_sigs, max_group_size, n_buckets_dropped,
-    sigs_in_dropped_buckets).
+    sigs_in_dropped_buckets, n_groups_capped, ids_in_capped_groups).
 
     Scale shape: one groupBy on simhash (map-side combinable), one block
     exchange over distinct signatures, pair explode, id-list expansion.
     Groups of identical documents ride as one id array; their pair output
-    is inherently quadratic in the group size — cap upstream with exact
-    dedup if that is not wanted."""
+    is inherently quadratic in the group size.  ``max_group`` bounds that:
+    a clone group larger than the cap emits STAR pairs only — its minimum
+    id paired with every other member, linear output that still connects
+    the whole group for downstream ``dup_clusters`` keep-one — and a
+    capped group participates in cross-signature pairs through its
+    representative alone (other members stay transitively connected via
+    the star).  Capping is surfaced via ``return_stats``
+    (n_groups_capped / ids_in_capped_groups), mirroring the bucket-drop
+    accounting.  NOTE the id array of a mega-group is still ONE
+    collect_list row (~id_size × group bytes on a single task); the
+    principled upstream fix for clone-dominated corpora remains exact
+    dedup before simhash (curation.py runs exactly that order)."""
     if max_hamming > 3:
         raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
+    if max_group is not None and max_group < 2:
+        raise ValueError("max_group must be >= 2 (a pair needs both sides)")
     sim = simhash_signature(df, id_col, text_col)
     groups = sim.groupBy("simhash").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
@@ -372,23 +385,35 @@ def simhash_near_dups(
 
         groups = groups.persist(StorageLevel.DISK_ONLY)
 
+    def _triangle(ids):
+        return F.flatten(
+            F.transform(
+                ids,
+                lambda a, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+            )
+        )
+
+    def _star(ids):
+        # min-id representative paired with every other member: linear
+        # output, same connected component as the full triangle
+        return F.transform(
+            F.slice(ids, 2, F.size(ids) - 1),
+            lambda b: F.struct(ids[0].alias("id_a"), b.alias("id_b")),
+        )
+
     if max_hamming == 0:
         # fast path: only identical signatures qualify — no block LSH
+        emit = _triangle(F.col("ids"))
+        if max_group is not None:
+            emit = F.when(
+                F.size("ids") > max_group, _star(F.col("ids"))
+            ).otherwise(emit)
         pairs = (
             groups.filter(F.size("ids") > 1)
-            .select(
-                F.explode(
-                    F.flatten(
-                        F.transform(
-                            F.col("ids"),
-                            lambda a, i: F.transform(
-                                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                            ),
-                        )
-                    )
-                ).alias("p")
-            )
+            .select(F.explode(emit).alias("p"))
             .select("p.id_a", "p.id_b", F.lit(0).cast("long").alias("hamming"))
         )
         buckets = None
@@ -480,22 +505,43 @@ def simhash_near_dups(
             )
         )
         # id expansion: cross-sig pairs take the full ids_a × ids_b product;
-        # the self pair takes only the within-group upper triangle
+        # the self pair takes only the within-group upper triangle.  With
+        # max_group set, an oversized group degrades to linear output: its
+        # self pair becomes the star (rep × rest), and it meets other
+        # signatures through its representative only (the star keeps the
+        # rest transitively connected)
+        a_src = F.col("ids_a")
+        if max_group is not None:
+            a_src = F.when(
+                (F.size("ids_a") > max_group) & (F.col("sim_a") != F.col("sim_b")),
+                F.slice("ids_a", 1, 1),
+            ).otherwise(a_src)
         expanded = sig_pairs.select(
             "sim_a",
             "sim_b",
             "hamming",
             "ids_b",
-            F.posexplode("ids_a").alias("i", "a"),
+            F.posexplode(a_src).alias("i", "a"),
         )
+        same_sig_partner = F.slice(
+            F.col("ids_b"),
+            F.col("i") + 2,
+            F.greatest(F.size("ids_b") - F.col("i") - 1, F.lit(0)),
+        )
+        cross_sig_partner = F.col("ids_b")
+        if max_group is not None:
+            empty = F.slice("ids_b", 1, 0)
+            same_sig_partner = F.when(
+                F.size("ids_b") > max_group,
+                F.when(F.col("i") == 0, F.slice("ids_b", 2, F.size("ids_b") - 1))
+                .otherwise(empty),
+            ).otherwise(same_sig_partner)
+            cross_sig_partner = F.when(
+                F.size("ids_b") > max_group, F.slice("ids_b", 1, 1)
+            ).otherwise(cross_sig_partner)
         partner = F.when(
-            F.col("sim_a") == F.col("sim_b"),
-            F.slice(
-                F.col("ids_b"),
-                F.col("i") + 2,
-                F.greatest(F.size("ids_b") - F.col("i") - 1, F.lit(0)),
-            ),
-        ).otherwise(F.col("ids_b"))
+            F.col("sim_a") == F.col("sim_b"), same_sig_partner
+        ).otherwise(cross_sig_partner)
         pairs = (
             expanded.select("a", "hamming", F.explode(partner).alias("b"))
             .select(
@@ -506,9 +552,16 @@ def simhash_near_dups(
         )
     if not return_stats:
         return pairs
+    capped_pred = (
+        F.size("ids") > max_group if max_group is not None else F.lit(False)
+    )
     base = groups.agg(
         F.count("*").alias("n_distinct_sigs"),
         F.max(F.size("ids")).alias("max_group_size"),
+        F.sum(capped_pred.cast("long")).alias("n_groups_capped"),
+        F.sum(
+            F.when(capped_pred, F.size("ids")).otherwise(0).cast("long")
+        ).alias("ids_in_capped_groups"),
     )
     if buckets is None:
         stats = base.select(
@@ -516,6 +569,8 @@ def simhash_near_dups(
             "max_group_size",
             F.lit(0).cast("long").alias("n_buckets_dropped"),
             F.lit(0).cast("long").alias("sigs_in_dropped_buckets"),
+            "n_groups_capped",
+            "ids_in_capped_groups",
         )
     else:
         dropped = buckets.filter(F.col("bsize") > max_bucket).agg(
@@ -524,7 +579,14 @@ def simhash_near_dups(
                 "sigs_in_dropped_buckets"
             ),
         )
-        stats = base.crossJoin(dropped)
+        stats = base.crossJoin(dropped).select(
+            "n_distinct_sigs",
+            "max_group_size",
+            "n_buckets_dropped",
+            "sigs_in_dropped_buckets",
+            "n_groups_capped",
+            "ids_in_capped_groups",
+        )
     from cl_readability_spark.functions.pins import attach_pins
 
     # hand back the release handle for the stats-path pins (pins.py:

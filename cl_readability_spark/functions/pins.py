@@ -3,27 +3,82 @@
 Several operators persist an internal frame so a branching plan evaluates
 the expensive subtree once (curation's flagged frame, the dedup stats
 paths).  The persisted frame is function-local, so the release handle is
-attached to the RETURNED DataFrame as a python-side attribute.
+attached to the RETURNED DataFrame as a python-side attribute AND
+registered in a module-level registry keyed by the owning SparkSession —
+attributes do not survive ``.filter()``/``.select()`` (each returns a new
+DataFrame object), so without the registry a derived-then-released frame
+would silently leak its DISK_ONLY pin for the session's lifetime, the
+exact failure mode of the long-lived sessions pins exist for.
 
-Contract: call ``release_pinned`` on exactly the object the operator
-returned — python attributes do not survive ``.filter()``/``.select()``
-etc. (each returns a new DataFrame object), so release first, then derive,
-or keep a reference to the original.  Pins are also dropped with the
-session; the handle only matters for long-lived sessions processing many
-corpora."""
+Contract:
+- ``release_pinned(df)`` — unpersist the pins attached to EXACTLY this
+  returned object; returns how many pins it dropped (0 = the object
+  carried none, e.g. because it was derived from the pinned frame —
+  check the return value, or use the registry calls below).
+- ``pins_outstanding(spark)`` — how many operator pins are still
+  registered for this session (leak detector for tests/monitoring).
+- ``release_all_pins(spark)`` — unpersist every registered pin for the
+  session (end-of-corpus cleanup when individual handles were lost);
+  returns the count dropped.
+
+Pins are also dropped with the session; the registry holds weak refs to
+nothing — entries leave it only via the release calls (an unpersisted
+frame is harmless to unpersist again, so double-release is safe).
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+# session-id → list of pinned DataFrames not yet released
+_REGISTRY: dict[str, list[DataFrame]] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    return str(id(spark))
 
 
 def attach_pins(df: DataFrame, *pinned: DataFrame) -> DataFrame:
-    df._clrs_pinned = [p for p in pinned if p is not None]
+    pins = [p for p in pinned if p is not None]
+    df._clrs_pinned = pins
+    if pins:
+        _REGISTRY.setdefault(_session_key(df.sparkSession), []).extend(pins)
     return df
 
 
-def release_pinned(df: DataFrame) -> None:
-    """Unpersist every pin an operator attached to this returned frame
-    (no-op for frames without pins)."""
-    for p in getattr(df, "_clrs_pinned", []) or []:
+def _drop_from_registry(pins: list[DataFrame]) -> None:
+    ids = {id(p) for p in pins}
+    for key, entries in list(_REGISTRY.items()):
+        kept = [p for p in entries if id(p) not in ids]
+        if kept:
+            _REGISTRY[key] = kept
+        else:
+            _REGISTRY.pop(key, None)
+
+
+def release_pinned(df: DataFrame) -> int:
+    """Unpersist every pin an operator attached to this returned frame;
+    returns the number dropped (0 for frames without pins — a derived
+    frame returns 0 even while its parent's pins are still live, so
+    callers wanting certainty should check ``pins_outstanding``)."""
+    pins = getattr(df, "_clrs_pinned", []) or []
+    for p in pins:
         p.unpersist()
+    if pins:
+        _drop_from_registry(pins)
+        df._clrs_pinned = []
+    return len(pins)
+
+
+def pins_outstanding(spark: SparkSession) -> int:
+    """Operator pins registered for this session and not yet released."""
+    return len(_REGISTRY.get(_session_key(spark), []))
+
+
+def release_all_pins(spark: SparkSession) -> int:
+    """Unpersist every outstanding operator pin of this session (recovers
+    handles lost to derivation); returns the count dropped."""
+    pins = _REGISTRY.pop(_session_key(spark), [])
+    for p in pins:
+        p.unpersist()
+    return len(pins)

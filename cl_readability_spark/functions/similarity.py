@@ -193,12 +193,16 @@ def embedding_near_dups(
     cutoff defaults to the exact binomial bound with miss probability
     1e-3 per qualifying pair (``_refine_hamming_bound``); a random
     (cosine~0) pair survives with P[Binom(64, 1/2) <= 19] ~ 1e-3, so
-    ~99.8% of chance collisions never ship a vector.
+    ~99.8% of chance collisions never ship a vector.  NOTE (since r3):
+    the prefilter is ON by default, so verification is no longer exact
+    over all bucket candidates — callers needing the r2 exhaustive-verify
+    semantics pass ``refine_hamming=n_refine`` (disables the cut).
 
     Returns (id_a, id_b, cosine_sim_x10k) with id_a < id_b and
     sim ≥ threshold; with ``return_stats=True`` returns (pairs, stats)
     where stats is a 1-row DataFrame (n_buckets_raw, n_buckets_refined,
-    n_buckets_final, rows_truncated) — or None for an empty input.
+    n_buckets_final, rows_truncated, refine_hamming_cutoff — the applied
+    prefilter bound) — or None for an empty input.
 
     At 100 TB: per-row cost is one numpy matmul slice (n_bands*n_planes +
     n_refine plane dots) in the signature Arrow stage; the wide ops are
@@ -385,6 +389,11 @@ def embedding_near_dups(
         F.sum(F.greatest(F.col("bsize") - max_bucket, F.lit(0))).alias(
             "rows_truncated"
         ),
+        # the Hamming prefilter cutoff actually applied (resolved from the
+        # threshold when the caller passed None) — candidates beyond it
+        # never reached exact verification; pass refine_hamming=n_refine
+        # to disable the prefilter and verify every bucket candidate
+        F.lit(int(refine_hamming)).alias("refine_hamming_cutoff"),
     )
     from cl_readability_spark.functions.pins import attach_pins
 
@@ -461,15 +470,21 @@ def ivf_train(
     deterministic sample and broadcast to executors via the UDF closure
     (a (n_cells × dim) float64 array — a few KB, not a dataset).
 
-    Sampling: rows ordered by xxhash64 of the vector bytes, first
-    ``sample`` taken — deterministic for a given corpus, no RNG state on
-    executors.  At 100 TB you'd swap the orderBy for TABLESAMPLE; the fit
-    itself is unchanged (k-means over ≤ a few thousand rows is driver
-    arithmetic).  Initialization is the hash-direction set (deterministic,
-    no seeds to disagree on), then ``iters`` Lloyd rounds on the unit
-    sphere: assign by max dot, recenter by normalized mean; empty cells
-    fall back to their initial direction.  Returns the centroid ndarray —
-    pass it to ``ivf_assign``/``ivf_topk`` as ``centroids=``."""
+    Sampling: a deterministic hash-mod filter — keep rows where
+    ``pmod(xxhash64(vector), stride) == 0`` with the stride sized from a
+    cheap count() so the filter passes ~2×``sample`` rows, then sort the
+    FILTERED residue by the same hash and take ``sample``.  Deterministic
+    for a given corpus with no RNG state on executors, and — unlike the
+    round-3 ``orderBy(hash).limit(n)`` — never maintains a top-k heap
+    over the full corpus: the plan is scan → count (aggregate), then
+    scan → Filter (pushed ahead of the sort) → TakeOrdered over only the
+    ~2×sample surviving rows.  The fit itself is driver arithmetic over
+    ≤ a few thousand rows.  Initialization is the hash-direction set
+    (deterministic, no seeds to disagree on), then ``iters`` Lloyd rounds
+    on the unit sphere: assign by max dot, recenter by normalized mean;
+    empty cells fall back to their initial direction.  Returns the
+    centroid ndarray — pass it to ``ivf_assign``/``ivf_topk`` as
+    ``centroids=``."""
     import numpy as np
 
     if dim is None:
@@ -477,10 +492,16 @@ def ivf_train(
         if not head:
             return _hash_centroids(1, n_cells, seed)
         dim = len(head[0][0])
+    vecs = embeddings.select(F.col(vec_col).alias("_v"))
+    n_rows = vecs.count()
+    stride = max(1, n_rows // (2 * sample))
+    h = F.xxhash64(F.col("_v").cast("array<float>").cast("string"))
     sampled = (
-        embeddings.select(F.col(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_v").cast("array<float>").cast("string")))
+        vecs.withColumn("_h", h)
+        .filter(F.pmod("_h", F.lit(stride)) == 0)
+        .orderBy("_h")
         .limit(sample)
+        .select("_v")
         .collect()
     )
     if not sampled:

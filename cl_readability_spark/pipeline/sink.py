@@ -155,14 +155,33 @@ class IcebergSink:
         prev = self._current_snapshot_id(spark)
         df.writeTo(self.table).append()
         new = self._snapshot_after(spark, prev)
-        if new is None:  # defensive: the append must have created a child
-            new = self._current_snapshot_id(spark)
+        # the append MUST have committed a child snapshot of prev; a
+        # missing or unchanged snapshot would produce a degenerate handle
+        # ('t@X..X' / 't@..None') that read_batch would feed to the
+        # incremental read as an empty-or-invalid range, silently
+        # misreporting the batch in the metrics sidecar — fail loudly
+        # instead (ADVICE r3: also guards the single-writer contract,
+        # since a concurrent writer's interleaved commit breaks the
+        # parent_id == prev resolution)
+        if new is None or new == prev:
+            raise RuntimeError(
+                f"append to {self.table} did not resolve to a new snapshot "
+                f"with parent_id == {prev!r} (got {new!r}); possible "
+                "concurrent writer or failed commit — the batch handle "
+                "would be degenerate"
+            )
         return f"{self.table}@{'' if prev is None else prev}..{new}"
 
     def read_batch(self, spark: SparkSession, handle: str) -> DataFrame:
         self._require(spark)
         table, _, rng = handle.partition("@")
         prev_s, _, new_s = rng.partition("..")
+        if not new_s.lstrip("-").isdigit() or new_s == prev_s:
+            raise ValueError(
+                f"degenerate batch handle {handle!r}: the snapshot range "
+                "must end in a real snapshot id distinct from its start "
+                "(write_batch guarantees this for handles it returns)"
+            )
         if not prev_s:
             # first snapshot: pin to the written snapshot id — a live
             # spark.table() read could already include later commits

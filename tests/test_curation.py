@@ -238,4 +238,32 @@ def test_release_curated_unpersists_the_pin(spark, planted):
     after = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     assert not (after - before), "release_curated must drop the pin"
     # a frame that never came from curate is a no-op
-    release_curated(planted)
+    assert release_curated(planted) == 0
+
+
+def test_pin_registry_recovers_lost_handles(spark, planted):
+    """A pinned frame derived with .filter() loses the attribute handle;
+    the session registry still knows the pin, so leaks are detectable
+    (pins_outstanding) and recoverable (release_all_pins)."""
+    from cl_readability_spark.functions.pins import (
+        pins_outstanding,
+        release_all_pins,
+        release_pinned,
+    )
+
+    release_all_pins(spark)  # clean slate
+    curated = curate(planted, jaccard_threshold=0.7, policy="pairwise")
+    assert pins_outstanding(spark) == 1
+    derived = curated.filter(F.col("kept"))     # handle lost here
+    assert release_pinned(derived) == 0         # the documented gotcha
+    assert pins_outstanding(spark) == 1         # ...but the leak is visible
+    before = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    assert release_all_pins(spark) == 1
+    after = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    assert len(after) < len(before)
+    assert pins_outstanding(spark) == 0
+    # releasing through the exact handle also deregisters
+    curated2 = curate(planted, jaccard_threshold=0.7, policy="pairwise")
+    assert pins_outstanding(spark) == 1
+    assert release_pinned(curated2) == 1
+    assert pins_outstanding(spark) == 0

@@ -216,6 +216,74 @@ def test_simhash_near_dups_cross_signature_groups(spark):
         assert set(got) == within or len(got) == len(within) + 1600
 
 
+def test_simhash_max_group_caps_clone_pair_explosion(spark):
+    """max_group: oversized clone groups emit linear STAR pairs (min id ×
+    rest) instead of the quadratic triangle, meet other signatures through
+    their representative only, stay one connected component for keep-one
+    dedup, and the capping is surfaced in the stats frame."""
+    from cl_readability_spark.functions.dedup import (
+        dup_clusters,
+        simhash_near_dups,
+        simhash_signature,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    variant = base + "iota"
+    rows = [(i, base) for i in range(40)] + [(100 + i, variant) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sims = {r.doc_id: r.simhash for r in simhash_signature(df).collect()}
+    d = bin((sims[0] ^ sims[100]) & (2**64 - 1)).count("1")
+
+    pairs, stats = simhash_near_dups(
+        df, max_hamming=3, max_group=10, return_stats=True
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    star_a = {(0, i) for i in range(1, 40)}
+    star_b = {(100, 100 + i) for i in range(1, 40)}
+    if sims[0] == sims[100]:  # construction slack: one 80-clone group
+        assert set(got) == {(0, i) for i in list(range(1, 40)) + list(range(100, 140))}
+        expected_capped = 1
+    elif 1 <= d <= 3:
+        assert set(got) == star_a | star_b | {(0, 100)}
+        assert got[(0, 100)] == d
+        expected_capped = 2
+    else:
+        assert set(got) == star_a | star_b
+        expected_capped = 2
+    st = stats.collect()[0]
+    assert st.n_groups_capped == expected_capped
+    assert st.ids_in_capped_groups == 80
+    # connectivity is preserved: capped pairs give the same components as
+    # the uncapped triangle+product pairs
+    full = simhash_near_dups(df, max_hamming=3)
+    comp_capped = {
+        r.id: r.cluster_rep for r in dup_clusters(pairs.select("id_a", "id_b")).collect()
+    }
+    comp_full = {
+        r.id: r.cluster_rep for r in dup_clusters(full.select("id_a", "id_b")).collect()
+    }
+    assert comp_capped == comp_full
+
+
+def test_simhash_max_group_fast_path_hamming0(spark):
+    """max_group on the max_hamming=0 fast path: the clone triangle
+    degrades to the star; small groups keep the full triangle."""
+    from cl_readability_spark.functions.dedup import simhash_near_dups
+
+    rows = [(i, "clone body text " * 8) for i in range(20)]
+    rows += [(200 + i, "another different document entirely " * 6) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dups(df, max_hamming=0, max_group=5).collect()
+    }
+    assert got == {(0, i) for i in range(1, 20)} | {
+        (200, 201), (200, 202), (201, 202),
+    }
+    with pytest.raises(ValueError, match="max_group"):
+        simhash_near_dups(df, max_hamming=0, max_group=1)
+
+
 def test_simhash_near_dups_rejects_wide_hamming(spark, corpus_df):
     from cl_readability_spark.functions.dedup import simhash_near_dups
 

@@ -220,6 +220,107 @@ def minhash_stage(
     return df.select(id_col, text_col).mapInPandas(_batches, out_schema)
 
 
+def band_signature_stage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Fused Arrow stage emitting the exploded LSH band rows directly:
+    (id, *passthrough, band_idx, band_sig) — ``bands`` rows per input row,
+    band_sig = keyed blake2b-64 of the band's minhash-signature slice.
+
+    STATELESS per input row, which is the property the streaming near-dup
+    gate needs (``pipeline/streaming.py:streaming_near_dup_flags``): the
+    stage runs unchanged under ``readStream`` per micro-batch, with
+    ``passthrough`` carrying the event-time column for the watermark.
+    Two equal texts produce equal band signatures by construction (same
+    shingle set → same minhash vector → same slice bytes), and band
+    collisions follow the standard (bands, rows-per-band) LSH curve, the
+    same structure as ``minhash_near_dups``' JVM banding (hash family
+    differs; collision structure is what matters)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    if n_hashes % bands:
+        raise ValueError("n_hashes must be divisible by bands")
+    rows_per_band = n_hashes // bands
+    coeffs = []
+    for j in range(n_hashes):
+        hd = hashlib.sha256(f"mh:{seed}:{j}".encode()).digest()
+        coeffs.append(
+            (int.from_bytes(hd[:8], "big") | 1, int.from_bytes(hd[8:16], "big"))
+        )
+    a_vec = np.array([c[0] for c in coeffs], dtype=np.uint64)
+    b_vec = np.array([c[1] for c in coeffs], dtype=np.uint64)
+    key = str(seed).encode()
+    out_schema = StructType(
+        [df.schema[id_col]]
+        + [df.schema[c] for c in passthrough]
+        + [
+            StructField("band_idx", IntegerType(), False),
+            StructField("band_sig", LongType(), False),
+        ]
+    )
+    cols = [id_col, *passthrough]
+
+    def _batches(iterator):
+        blake = hashlib.blake2b
+        for pdf in iterator:
+            out = {c: [] for c in cols}
+            out["band_idx"], out["band_sig"] = [], []
+            for row in pdf[cols + [text_col]].itertuples(index=False):
+                text = row[-1]
+                words = (text or "").strip().lower().split()
+                if len(words) >= k:
+                    grams = {
+                        " ".join(words[i : i + k])
+                        for i in range(len(words) - k + 1)
+                    }
+                else:
+                    grams = {" ".join(words)}
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            blake(g.encode(), digest_size=8, key=key).digest(),
+                            "big",
+                        )
+                        for g in grams
+                    ),
+                    dtype=np.uint64,
+                    count=len(grams),
+                )
+                sig = (hs[:, None] * a_vec[None, :] + b_vec[None, :]).min(axis=0)
+                for b in range(bands):
+                    for c, v in zip(cols, row):
+                        out[c].append(v)
+                    out["band_idx"].append(b)
+                    out["band_sig"].append(
+                        np.uint64(
+                            int.from_bytes(
+                                blake(
+                                    sig[
+                                        b * rows_per_band : (b + 1) * rows_per_band
+                                    ].tobytes(),
+                                    digest_size=8,
+                                    key=key,
+                                ).digest(),
+                                "big",
+                            )
+                        ).astype(np.int64)
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(*cols, text_col).mapInPandas(_batches, out_schema)
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -158,6 +158,94 @@ def streaming_extract(
     return writer.start()
 
 
+def streaming_near_dup_flags(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "1 hour",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MinHash near-dup gate: the batch LSH's band signatures
+    are computed per micro-batch by the STATELESS fused Arrow stage
+    (``dedup.band_signature_stage``), and
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST claimant of every
+    (band_idx, band_sig) bucket across micro-batches.  The sink receives
+    the surviving band rows; reduce them with ``near_dup_kept_ids`` —
+    a doc is kept iff it claimed ALL of its ``bands`` buckets, i.e. no
+    earlier-arrived document collided with it on any band.
+
+    Semantics — candidate-level, deliberately: this is the streaming
+    twin of the LSH candidate generation, so recall of true near-dups
+    follows the (bands, rows/band) LSH curve and a chance band collision
+    false-drops at the same (tiny) rate the batch pipeline would pay in
+    candidate verification.  The batch ``minhash_near_dups`` + keep-one
+    over the corpus at rest remains the exact backstop (the pytest
+    replays a corpus through both and asserts the kept sets agree).
+    State is bounded by the watermark horizon exactly as in
+    ``streaming_exact_dedup``: duplicates arriving later than the
+    horizon re-claim buckets and are re-emitted, and the at-rest batch
+    dedup catches them — the only viable contract at 10^12 turns.
+
+    The input schema is taken from a static read of ``input_path`` (the
+    streaming source requires an explicit schema)."""
+    from cl_readability_spark.functions.dedup import band_signature_stage
+
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    banded = band_signature_stage(
+        stream,
+        id_col=id_col,
+        text_col=text_col,
+        passthrough=(ts_col,),
+        k=k,
+        n_hashes=n_hashes,
+        bands=bands,
+    )
+    survivors = banded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band_idx", "band_sig"]
+    )
+    writer = (
+        survivors.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def near_dup_kept_ids(
+    spark: SparkSession,
+    bands_path: str,
+    bands: int = 8,
+    id_col: str = "doc_id",
+):
+    """Batch reduction of ``streaming_near_dup_flags`` output: the ids
+    that claimed all their band buckets first (kept set).  One pruned
+    two-column scan + one groupBy."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(bands_path)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_owned"))
+        .filter(F.col("n_owned") == bands)
+        .select(id_col)
+    )
+
+
 def streaming_exact_dedup(
     spark: SparkSession,
     input_path: str,

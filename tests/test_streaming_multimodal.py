@@ -74,6 +74,75 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert stream_rows == batch_rows
 
 
+def _ndup_doc(i: int) -> str:
+    # per-doc vocabulary → zero shared word 5-grams between originals
+    return " ".join(f"w{i}x{j}" for j in range(30))
+
+
+def _ndup_df(spark, rows):
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    return spark.createDataFrame(
+        [(i, t, ts) for i, t in rows],
+        "doc_id long, text string, ts timestamp",
+    )
+
+
+def test_streaming_near_dup_matches_batch_keep_one(spark, tmp_path):
+    """Replay a planted corpus (distinct originals, later exact copies)
+    through the streaming near-dup gate and through the batch pipeline
+    (minhash_near_dups → dup_clusters keep-one): the kept sets agree.
+    Copies arriving in a LATER trigger run against the same checkpoint
+    are still dropped — the bucket-claim state survives restarts."""
+    from cl_readability_spark.functions.dedup import dup_clusters, minhash_near_dups
+    from cl_readability_spark.pipeline.streaming import (
+        near_dup_kept_ids,
+        streaming_near_dup_flags,
+    )
+
+    inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    originals = [(i, _ndup_doc(i)) for i in range(10)]
+    copies = [(100 + i, _ndup_doc(i)) for i in range(5)]
+    late = [(200, _ndup_doc(0)), (207, _ndup_doc(7)),
+            (20, _ndup_doc(20)), (21, _ndup_doc(21))]
+
+    # run 1: originals only (arrival order = key order, the batch tiebreak)
+    _ndup_df(spark, originals).write.parquet(inp + "/b1")
+    streaming_near_dup_flags(spark, inp + "/*", out, cp).awaitTermination(120)
+    # run 2: exact copies — all 8 band buckets already claimed
+    _ndup_df(spark, copies).write.parquet(inp + "/b2")
+    streaming_near_dup_flags(spark, inp + "/*", out, cp).awaitTermination(120)
+
+    kept = {r.doc_id for r in near_dup_kept_ids(spark, out).collect()}
+    all_docs = _ndup_df(spark, originals + copies)
+    clusters = dup_clusters(
+        minhash_near_dups(all_docs, jaccard_threshold=0.9).select("id_a", "id_b")
+    )
+    batch_dropped = {
+        r.id for r in clusters.filter(F.col("id") != F.col("cluster_rep")).collect()
+    }
+    batch_kept = {i for i, _ in originals + copies} - batch_dropped
+    assert kept == batch_kept == {i for i, _ in originals}
+
+    # run 3 (restart): late copies of docs 0 and 7 + genuinely new docs —
+    # the claim state persisted in the checkpoint, so only the new
+    # originals join the kept set
+    _ndup_df(spark, late).write.parquet(inp + "/b3")
+    streaming_near_dup_flags(spark, inp + "/*", out, cp).awaitTermination(120)
+    kept3 = {r.doc_id for r in near_dup_kept_ids(spark, out).collect()}
+    assert kept3 == {i for i, _ in originals} | {20, 21}
+
+    all3 = _ndup_df(spark, originals + copies + late)
+    clusters3 = dup_clusters(
+        minhash_near_dups(all3, jaccard_threshold=0.9).select("id_a", "id_b")
+    )
+    dropped3 = {
+        r.id for r in clusters3.filter(F.col("id") != F.col("cluster_rep")).collect()
+    }
+    assert kept3 == {i for i, _ in originals + copies + late} - dropped3
+
+
 def test_media_schema_and_fake_features(spark):
     media = synthetic_media(spark, n=30)
     assert media.count() == 30

@@ -65,6 +65,25 @@ def _q_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_rollup(extract_transcripts(transcripts, salt_buckets=8))
 
 
+def _q_extract_triaged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction behind the JVM regexp readerable gate (rows-only:
+    the triage expression is oracle-checked as readerable_triage_sql; the
+    DOM extraction it feeds is not SQL-expressible).  The 100 TB shape for
+    low-readerable corpora: the gate is whole-stage-codegen, so rejected
+    rows never reach a python worker."""
+    transcripts = documents_as_transcripts(spark, sf_dir)
+    return extract_transcripts(
+        transcripts, salt_buckets=8, prefilter_readerable="jvm"
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        F.size("content_spans").alias("n_spans"),
+        "status",
+        "text_length",
+    )
+
+
 def _q_readerable_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = documents_as_transcripts(spark, sf_dir)
     flag = make_readerable_udf()(F.col("text"))
@@ -83,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: builder for name, (builder, _sql) in SQL_TWINS.items()
     }
     out["extract_documents"] = _q_extract_documents
+    out["extract_documents_triaged"] = _q_extract_triaged
     out["extract_metrics_rollup"] = _q_extract_rollup
     out["readerable_triage"] = _q_readerable_triage
     out["dedup_minhash"] = lambda spark, sf_dir: minhash_near_dups(

@@ -89,6 +89,22 @@ def main() -> None:
         lambda: corpus.filter(make_readerable_udf()(F.col("text"))).count(),
     )
 
+    # 3b. triaged extraction: the JVM regexp triage gates the corpus ahead
+    # of the python extraction stage (the 100 TB shape for low-readerable
+    # corpora — the gate is codegen'd, no python workers touch the rows it
+    # rejects).  Same result aggregation as extract_corpus so the rows
+    # saved are directly visible in the timing delta.
+    run(
+        "extract_corpus_triaged",
+        lambda: extract_transcripts(
+            corpus, salt_buckets=16, prefilter_readerable="jvm"
+        )
+        .select("status")
+        .groupBy("status")
+        .count()
+        .count(),
+    )
+
     # 4. SQL twins
     for name, (builder, _sql) in sorted(SQL_TWINS.items()):
         run(f"sql_{name}", lambda b=builder: builder_count(b, spark, sf_dir))

@@ -29,6 +29,7 @@ def build_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     arrow_max_records: int = 512,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
@@ -55,6 +56,10 @@ def build_spark(
     #   level assembles batchSize rows on-heap first (observed 32-task OOM
     #   at 8 GB caching a 2.7 GB-text corpus with the 10,000-row default)
     for key, value in whale_safe_batch_confs(arrow_max_records).items():
+        builder = builder.config(key, value)
+    # applied LAST so callers can override any default (e.g. the skew
+    # bench re-enables the UI for the per-task REST status API)
+    for key, value in (extra_confs or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
 

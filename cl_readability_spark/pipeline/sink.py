@@ -173,15 +173,17 @@ class IcebergSink:
         return f"{self.table}@{'' if prev is None else prev}..{new}"
 
     def read_batch(self, spark: SparkSession, handle: str) -> DataFrame:
-        self._require(spark)
         table, _, rng = handle.partition("@")
         prev_s, _, new_s = rng.partition("..")
+        # validate BEFORE the catalog check: degenerate handles are a
+        # caller bug regardless of environment (unit-testable in-sandbox)
         if not new_s.lstrip("-").isdigit() or new_s == prev_s:
             raise ValueError(
                 f"degenerate batch handle {handle!r}: the snapshot range "
                 "must end in a real snapshot id distinct from its start "
                 "(write_batch guarantees this for handles it returns)"
             )
+        self._require(spark)
         if not prev_s:
             # first snapshot: pin to the written snapshot id — a live
             # spark.table() read could already include later commits

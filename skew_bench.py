@@ -27,8 +27,51 @@ def main() -> None:
     from cl_readability_spark.pipeline.session import build_spark
     from cl_readability_spark.pipeline.transcripts import TRANSCRIPTS_SCHEMA
 
-    spark = build_spark(app_name="skew-bench", cores=16, shuffle_partitions=32)
+    spark = build_spark(
+        app_name="skew-bench", cores=16, shuffle_partitions=32,
+        # the per-task percentiles come from the REST status API
+        extra_confs={"spark.ui.enabled": "true", "spark.ui.port": "4901"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    import urllib.request
+
+    def _api(path: str):
+        with urllib.request.urlopen(f"http://localhost:4901/api/v1{path}") as r:
+            return json.load(r)
+
+    app_id = _api("/applications")[0]["id"]
+
+    def _completed_stages() -> dict:
+        return {
+            (s["stageId"], s["attemptId"]): s
+            for s in _api(f"/applications/{app_id}/stages?status=complete")
+        }
+
+    def _task_percentiles(before: dict) -> dict:
+        """p50/p99/max task duration (ms) of the heaviest NEW stage (by
+        executorRunTime — the extraction stage) completed since ``before``."""
+        new = [s for k, s in _completed_stages().items() if k not in before]
+        if not new:
+            return {}
+        stage = max(new, key=lambda s: s.get("executorRunTime", 0))
+        tasks = _api(
+            f"/applications/{app_id}/stages/{stage['stageId']}/"
+            f"{stage['attemptId']}/taskList?length=2000"
+        )
+        durs = sorted(t["duration"] for t in tasks if "duration" in t)
+        if not durs:
+            return {}
+
+        def pct(p: float) -> int:
+            return durs[min(len(durs) - 1, int(p * (len(durs) - 1) + 0.5))]
+
+        return {
+            "n_tasks": len(durs),
+            "task_p50_ms": pct(0.50),
+            "task_p99_ms": pct(0.99),
+            "task_max_ms": durs[-1],
+        }
 
     rows = []
     # the whale: one conversation, 240 giant documents
@@ -53,13 +96,15 @@ def main() -> None:
 
     def run(salt_buckets: int) -> dict:
         extract_transcripts(df.limit(32), salt_buckets=salt_buckets).count()  # warm
+        before = _completed_stages()
         t0 = time.perf_counter()
         extract_transcripts(df, salt_buckets=salt_buckets, num_partitions=32).filter(
             F.col("status") == "ok"
         ).count()
         dt = time.perf_counter() - t0
         return {"salt_buckets": salt_buckets, "seconds": round(dt, 2),
-                "turns_per_sec": round(n / dt, 1)}
+                "turns_per_sec": round(n / dt, 1),
+                **_task_percentiles(before)}
 
     unsalted = run(1)
     salted = run(16)
@@ -74,19 +119,27 @@ def main() -> None:
     }
     print(json.dumps(out))
 
+    def _row(r: dict) -> str:
+        return (
+            f"| salt_buckets={r['salt_buckets']} | {r['seconds']} | "
+            f"{r['turns_per_sec']} | {r.get('task_p50_ms', '—')} | "
+            f"{r.get('task_p99_ms', '—')} | {r.get('task_max_ms', '—')} |"
+        )
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n## Skew run — 1 whale conversation (240 giant docs) + 600 small "
             f"({n} turns, 16 cores, 32 partitions)\n\n"
-            f"| variant | seconds | turns/sec |\n|---|---|---|\n"
-            f"| salt_buckets=1 (conv-only partitioning) | {unsalted['seconds']} | "
-            f"{unsalted['turns_per_sec']} |\n"
-            f"| salt_buckets=16 (turn-hash salt) | {salted['seconds']} | "
-            f"{salted['turns_per_sec']} |\n\n"
+            f"Task percentiles are per-task durations of the extraction stage "
+            f"from the Spark status API (BASELINE.md protocol step 3).\n\n"
+            f"| variant | seconds | turns/sec | task p50 ms | task p99 ms | "
+            f"task max ms |\n|---|---|---|---|---|---|\n"
+            f"{_row(unsalted)}\n{_row(salted)}\n\n"
             f"**Salting speedup on the skewed corpus: {speedup}×** — the whale "
             f"conversation spreads over up to 16 partitions instead of pinning "
-            f"one straggler task.\n"
+            f"one straggler task (the unsalted p99≈max straggler vs the "
+            f"salted tail).\n"
         )
     spark.stop()
 

@@ -130,6 +130,48 @@ AUTHORED: dict[str, dict] = {
     # ul.tags: 'tags' matches the negative regex -> weight -25 < 0 ->
     # removed outright by clean-conditionally (weight + 0 < 0).
     "clean-conditional": {"text": (S * 12).strip()},
+    # nested-table-lazy-img — derivation chain (written BEFORE running):
+    # 1. strip-unlikelys does NOT remove td.nav ('nav' is not in
+    #    REGEXPS.unlikelyCandidates, regexes.py:14-21), so the nav cell is
+    #    present at scoring time.
+    # 2. Scoring: the 4 paragraphs score div.story in full (init +5, class
+    #    'story' positive -> +25), inner td at half, deeper ancestors at
+    #    /(3·level); div.story is the clear top candidate and no
+    #    alternative reaches the 0.75 ratio (inner td ≈ (3 + sum/2) ≪
+    #    (30 + sum)), so no common-ancestor override; the parent-climb
+    #    stops immediately (parent scores are all lower).
+    # 3. JS single-child climb: div.story is the ONLY element child of its
+    #    td, which is the only child of its tr -> table -> outer td; the
+    #    climb stops at the outer td (its parent tr has TWO children:
+    #    td.nav and the content td).  Top candidate := outer content td.
+    # 4. Sibling merge over the outer tr: td.nav was never scored (it
+    #    contains no <p>) and is not a <p> itself -> NOT appended; the nav
+    #    links stay out of the article.  One block: the outer td.
+    # 5. prep-article: both layout tables inside the content are
+    #    single-cell (1×1) -> unwrapped (same rule the single-cell-table
+    #    fixture pins); div.story survives clean-conditionally (weight
+    #    +25, linkDensity 0, img=1 ≤ p=4).
+    # 6. fix-lazy-images (extract.py:728): the src is a base64 data URL
+    #    with payload < 133 chars and data-src matches the image-ext
+    #    regex -> placeholder src REMOVED; class contains 'lazy' and
+    #    data-src matches the single-image pattern -> data-src copied to
+    #    src.  fix-relative-urls then absolutizes src/data-src against the
+    #    page URL: photos/hero.jpg -> .../stories/2026/photos/hero.jpg.
+    # 7. Text: inner texts of the 4 paragraphs concatenate (each ends in
+    #    '. '), the img contributes nothing -> S*12 + caption, stripped.
+    #    Title: 'A | B' split, first part has 5 words >= 4 -> kept.
+    "nested-table-lazy-img": {
+        "text": (
+            S * 12
+            + "Lazy caption sentence with commas, context, and length to "
+            "stay with the story, naturally."
+        ).strip(),
+        "title": "Nested Table Layout Rescue Story",
+        "html_contains": [
+            "https://news.example.org/stories/2026/photos/hero.jpg",
+        ],
+        "html_excludes": ["base64", "Home"],
+    },
     # the 4th <p>'s text nodes: "See " + "the other page" + " and " +
     # " inline for more of the story, truly." -> the img contributes
     # nothing, the double space collapses to one under \s{2,} -> " ".

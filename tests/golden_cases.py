@@ -193,6 +193,27 @@ CASES: dict[str, tuple[str, str | None]] = {
         "</div></body></html>",
         None,
     ),
+    # hand-transcribed real-world pathology (transcribed, not fetched):
+    # 2000s-portal layout — the article buried in nested layout TABLEs
+    # (outer 1×2 with a nav cell, inner 1×1 holding the story div) plus a
+    # lazy-loaded hero image: base64 placeholder src + the real URL in
+    # data-src, relative to the page URL.
+    "nested-table-lazy-img": (
+        "<html lang='en'><head><title>Nested Table Layout Rescue Story | "
+        "Example Host</title></head><body>"
+        "<table width='100%'><tr>"
+        "<td class='nav'><a href='/'>Home</a> <a href='/world'>World</a> "
+        "<a href='/sport'>Sport</a></td>"
+        "<td><table><tr><td><div class='story'>"
+        + LONG_P * 3
+        + "<p>Lazy caption sentence with commas, context, and length to stay "
+        "with the story, naturally.</p>"
+        "<img class='lazyload' src='data:image/gif;base64,R0lGODlhAQABAIAAAP"
+        "///wAAACH5BAEAAAAALAAAAAABAAEAAAICRAEAOw==' data-src='photos/hero.jpg'>"
+        "</div></td></tr></table></td>"
+        "</tr></table></body></html>",
+        "https://news.example.org/stories/2026/index.html",
+    ),
     "data-table-kept": (
         "<html><body><div id='page'>"
         + LONG_P * 3

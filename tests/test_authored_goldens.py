@@ -51,6 +51,26 @@ def test_extraction_matches_authored_metadata(name):
         assert result.byline == meta["byline"]
 
 
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n for n, e in AUTHORED.items()
+        if "html_contains" in e or "html_excludes" in e
+    ),
+)
+def test_extraction_matches_authored_html_properties(name):
+    """Hand-derived properties of the serialized article HTML (the text
+    channel cannot pin attribute rewrites like the lazy-image data-src
+    promotion or URL absolutization)."""
+    html, url = CASES[name]
+    result = extract(html, url=url)
+    assert result.status == "ok"
+    for needle in AUTHORED[name].get("html_contains", []):
+        assert needle in result.extracted_html, needle
+    for needle in AUTHORED[name].get("html_excludes", []):
+        assert needle not in result.extracted_html, needle
+
+
 def test_generator_cannot_write_authored_dir():
     """make_goldens.py targets fixtures/, never fixtures-authored/; assert
     the guard exists so a refactor can't silently re-couple them."""

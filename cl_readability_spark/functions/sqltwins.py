@@ -1065,6 +1065,81 @@ FROM (
 """
 
 
+# --- 18c. curation_planted — the COMPOSED curate() chain (quality gate →
+#     exact-dedup window → minhash near-dups → dup_clusters keep-one →
+#     hierarchical flags) hash-checked end to end on a planted corpus
+#     with closed-form expected flags.  Per 10-doc group (role = doc_id
+#     mod 10), all texts built from a 10-word cycle containing 3 English
+#     stopwords + 7 group-specific words:
+#     - roles 0,1,2: ROTATIONS of the cycle (×3 repeats).  A rotation has
+#       a different character sequence (distinct exact-dedup fingerprint)
+#       but the IDENTICAL word-5-gram set (every window of a repeated
+#       cycle is a cyclic window), so minhash signatures are equal —
+#       candidacy in every LSH band is guaranteed, verification Jaccard
+#       is exactly 1, and the three docs form a near-dup clique whose
+#       cluster representative is the minimum key (role 0).
+#     - role 3: EXACT copy of role 0 → dropped by the exact-dedup window
+#       (same fingerprint, higher key), never reaches the near-dup stage
+#       (hierarchical attribution).
+#     - role 4: "tiny" → fails the length gate.
+#     - roles 5-9: unique-vocabulary fillers → kept untouched.
+#     Any regression in gating, fingerprinting, windowing, hashing,
+#     banding, verification, label propagation, or the keep-one policy
+#     flips the hash. ---
+def q_curation_planted(spark, sf_dir):
+    from cl_readability_spark.functions.curation import curate
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    g = (F.col("doc_id") / 10).cast("long").cast("string")
+    role = F.pmod(F.col("doc_id"), F.lit(10))
+    cycle = [F.lit("the"), F.lit("and"), F.lit("is")] + [
+        F.concat(F.lit("w"), g, F.lit(f"x{j}")) for j in range(7)
+    ]
+
+    def rot(s: int):
+        words = (cycle[s:] + cycle[:s]) * 3
+        return F.concat_ws(" ", *words)
+
+    filler = F.concat_ws(
+        " ",
+        F.lit("the"),
+        F.lit("and"),
+        F.lit("is"),
+        *[
+            F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit(f"x{j}"))
+            for j in range(27)
+        ],
+    )
+    text = (
+        F.when(role == 4, F.lit("tiny"))
+        .when(role == 1, rot(1))
+        .when(role == 2, rot(2))
+        .when(role >= 5, filler)
+        .otherwise(rot(0))
+    )
+    corpus = docs.select("doc_id", text.alias("text"))
+    curated = curate(
+        corpus, text_col="text", key_cols=("doc_id",), policy="clusters"
+    )
+    return curated.select(
+        "doc_id",
+        F.col("quality_ok").cast("int").alias("quality_ok"),
+        F.col("exact_keep").cast("int").alias("exact_keep"),
+        F.col("near_dup_drop").cast("int").alias("near_dup_drop"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+SQL_CURATION_PLANTED = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id % 10 != 4 AS INTEGER)                 AS quality_ok,
+       CAST(doc_id % 10 NOT IN (3, 4) AS INTEGER)        AS exact_keep,
+       CAST(doc_id % 10 IN (1, 2) AS INTEGER)            AS near_dup_drop,
+       CAST(doc_id % 10 IN (0, 5, 6, 7, 8, 9) AS INTEGER) AS kept
+FROM documents
+"""
+
+
 SQL_TWINS: dict[str, tuple] = {
     "normalize_ws": (q_normalize_ws, SQL_NORMALIZE_WS),
     "word_count": (q_word_count, SQL_WORD_COUNT),
@@ -1089,6 +1164,7 @@ SQL_TWINS: dict[str, tuple] = {
     "dedup_simhash_planted": (q_dedup_simhash_planted, SQL_DEDUP_SIMHASH_PLANTED),
     "dedup_winnow_planted": (q_dedup_winnow_planted, SQL_DEDUP_WINNOW_PLANTED),
     "dedup_clusters_planted": (q_dedup_clusters_planted, SQL_DEDUP_CLUSTERS_PLANTED),
+    "curation_planted": (q_curation_planted, SQL_CURATION_PLANTED),
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),

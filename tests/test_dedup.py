@@ -416,6 +416,28 @@ def test_dup_clusters_table_staged_mode_and_cleanup(spark, tmp_path):
     assert out.count() == len(expected)
 
 
+def test_dup_clusters_evaluates_pair_producer_once(spark):
+    """The adjacency union references the pair set on both branches; the
+    pinned edge staging must keep the upstream producer at ONE evaluation
+    (no cross-branch subplan reuse in Spark — unpinned, a full LSH
+    pipeline would run twice; measured +79 s at 1M turns)."""
+    from cl_readability_spark.functions.dedup import dup_clusters
+
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], ["id_a", "id_b"]
+    )
+
+    def _counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    pairs = base.repartition(2).mapInPandas(_counting, base.schema)
+    assert dup_clusters(pairs).count() == 51
+    assert acc.value == 50, "pair producer must evaluate exactly once"
+
+
 def test_dup_clusters_mode_validation(spark, tmp_path):
     from cl_readability_spark.functions.dedup import dup_clusters
 

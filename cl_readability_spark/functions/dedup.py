@@ -129,6 +129,52 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def _minhash_coeffs(seed: int, n_hashes: int):
+    """The multiply-shift hash family shared by every minhash stage (the
+    batch ``minhash_stage`` and the streaming ``band_signature_stage`` —
+    ONE derivation so the two can never silently desynchronize).
+    Returns (a_vec, b_vec) uint64 arrays; a_j odd."""
+    import hashlib
+
+    import numpy as np
+
+    coeffs = []
+    for j in range(n_hashes):
+        h = hashlib.sha256(f"mh:{seed}:{j}".encode()).digest()
+        coeffs.append(
+            (int.from_bytes(h[:8], "big") | 1, int.from_bytes(h[8:16], "big"))
+        )
+    return (
+        np.array([c[0] for c in coeffs], dtype=np.uint64),
+        np.array([c[1] for c in coeffs], dtype=np.uint64),
+    )
+
+
+def _shingle_hashes(text, k: int, key: bytes):
+    """Keyed blake2b-64 hashes of a text's distinct word k-grams (the
+    short-text fallback hashes the whole word run) — the shared per-text
+    shingling of ``minhash_stage`` and ``band_signature_stage``.
+    Returns a uint64 ndarray."""
+    import hashlib
+
+    import numpy as np
+
+    blake = hashlib.blake2b
+    words = (text or "").strip().lower().split()
+    if len(words) >= k:
+        grams = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+    else:
+        grams = {" ".join(words)}
+    return np.fromiter(
+        (
+            int.from_bytes(blake(g.encode(), digest_size=8, key=key).digest(), "big")
+            for g in grams
+        ),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+
+
 def minhash_stage(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -154,20 +200,11 @@ def minhash_stage(
     re-evaluated per plan branch — measured 2.2 s per materialization at
     sf0.1 (5k docs), ×3 branches.  Downstream stays JVM: banding/bucketing
     on the signature, exact Jaccard on the hashed-shingle long arrays."""
-    import hashlib
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    coeffs = []
-    for j in range(n_hashes):
-        h = hashlib.sha256(f"mh:{seed}:{j}".encode()).digest()
-        a = int.from_bytes(h[:8], "big") | 1  # odd multiplier
-        b = int.from_bytes(h[8:16], "big")
-        coeffs.append((a, b))
-    a_vec = np.array([c[0] for c in coeffs], dtype=np.uint64)
-    b_vec = np.array([c[1] for c in coeffs], dtype=np.uint64)
+    a_vec, b_vec = _minhash_coeffs(seed, n_hashes)
     key = str(seed).encode()
 
     if include not in ("both", "signature", "hashes"):
@@ -182,27 +219,10 @@ def minhash_stage(
     out_schema = StructType(fields)
 
     def _batches(iterator):
-        blake = hashlib.blake2b
         for pdf in iterator:
             ids, sh_col, sig_col = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                words = (text or "").strip().lower().split()
-                if len(words) >= k:
-                    grams = {
-                        " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
-                    }
-                else:
-                    grams = {" ".join(words)}
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            blake(g.encode(), digest_size=8, key=key).digest(), "big"
-                        )
-                        for g in grams
-                    ),
-                    dtype=np.uint64,
-                    count=len(grams),
-                )
+                hs = _shingle_hashes(text, k, key)
                 ids.append(doc_id)
                 if want_hashes:
                     sh_col.append(hs.astype(np.int64))
@@ -252,14 +272,7 @@ def band_signature_stage(
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
     rows_per_band = n_hashes // bands
-    coeffs = []
-    for j in range(n_hashes):
-        hd = hashlib.sha256(f"mh:{seed}:{j}".encode()).digest()
-        coeffs.append(
-            (int.from_bytes(hd[:8], "big") | 1, int.from_bytes(hd[8:16], "big"))
-        )
-    a_vec = np.array([c[0] for c in coeffs], dtype=np.uint64)
-    b_vec = np.array([c[1] for c in coeffs], dtype=np.uint64)
+    a_vec, b_vec = _minhash_coeffs(seed, n_hashes)
     key = str(seed).encode()
     out_schema = StructType(
         [df.schema[id_col]]
@@ -278,25 +291,7 @@ def band_signature_stage(
             out["band_idx"], out["band_sig"] = [], []
             for row in pdf[cols + [text_col]].itertuples(index=False):
                 text = row[-1]
-                words = (text or "").strip().lower().split()
-                if len(words) >= k:
-                    grams = {
-                        " ".join(words[i : i + k])
-                        for i in range(len(words) - k + 1)
-                    }
-                else:
-                    grams = {" ".join(words)}
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            blake(g.encode(), digest_size=8, key=key).digest(),
-                            "big",
-                        )
-                        for g in grams
-                    ),
-                    dtype=np.uint64,
-                    count=len(grams),
-                )
+                hs = _shingle_hashes(text, k, key)
                 sig = (hs[:, None] * a_vec[None, :] + b_vec[None, :]).min(axis=0)
                 for b in range(bands):
                     for c, v in zip(cols, row):
@@ -941,9 +936,15 @@ class _RoundPinner:
         self._n = 0
         self._prev_round_paths: list[str] = []
         self._this_round_paths: list[str] = []
+        self._prior_ckpt_dir: str | None = None
+        self._set_ckpt_dir = False
         if mode == "reliable":
             sc = spark.sparkContext
             if checkpoint_dir is not None:
+                # session-global setting — remember the prior dir so
+                # restore() can undo the side effect after the loop
+                self._prior_ckpt_dir = sc.getCheckpointDir()
+                self._set_ckpt_dir = True
                 sc.setCheckpointDir(checkpoint_dir)
             elif sc.getCheckpointDir() is None:
                 raise ValueError(
@@ -971,6 +972,18 @@ class _RoundPinner:
         if not persistent:
             self._this_round_paths.append(path)
         return self.spark.read.parquet(path)
+
+    def restore(self) -> None:
+        """Undo the reliable-mode checkpoint-dir override (a library call
+        must not permanently redirect the session's checkpoint dir).  The
+        checkpointed data itself stays valid — the dir setting only
+        affects FUTURE checkpoint() calls.  Spark resolves each set dir
+        to a fresh UUID subdirectory, so 'restore' re-points at the
+        previously RESOLVED dir: later checkpoints land back under the
+        caller's original root (one UUID level deeper — the exact
+        original setting is not observable through the public API)."""
+        if self._set_ckpt_dir and self._prior_ckpt_dir is not None:
+            self.spark.sparkContext.setCheckpointDir(self._prior_ckpt_dir)
 
     def end_round(self) -> None:
         """A round only reads the round directly before it, so once round
@@ -1031,6 +1044,18 @@ def dup_clusters(
             f"on_nonconverged must be raise|warn, got {on_nonconverged!r}"
         )
     pinner = _RoundPinner(pairs.sparkSession, checkpoint_mode, checkpoint_dir)
+    try:
+        return _dup_clusters_rounds(pinner, pairs, max_iters, on_nonconverged)
+    finally:
+        pinner.restore()
+
+
+def _dup_clusters_rounds(
+    pinner: _RoundPinner,
+    pairs: DataFrame,
+    max_iters: int,
+    on_nonconverged: str,
+) -> DataFrame:
     # pin the EDGE SET first, before the both-directions union references
     # it twice: Spark has no cross-branch subplan reuse (PLANS.md), so
     # building the adjacency straight off `pairs` evaluates the upstream

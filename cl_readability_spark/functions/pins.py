@@ -21,9 +21,14 @@ Contract:
   session (end-of-corpus cleanup when individual handles were lost);
   returns the count dropped.
 
-Pins are also dropped with the session; the registry holds weak refs to
-nothing — entries leave it only via the release calls (an unpersisted
-frame is harmless to unpersist again, so double-release is safe).
+Pins are also dropped with the session; registry entries leave only via
+the release calls (an unpersisted frame is harmless to unpersist again,
+so double-release is safe).  The registry holds STRONG references — the
+price of recoverability; a long-lived driver that never releases
+accumulates python-side plan objects too, which is exactly the signal
+``pins_outstanding`` exposes for monitoring.  Releasing against a
+stopped session is safe: the executor storage died with the context, so
+unpersist failures are swallowed and the entries dropped.
 """
 
 from __future__ import annotations
@@ -56,6 +61,14 @@ def _drop_from_registry(pins: list[DataFrame]) -> None:
             _REGISTRY.pop(key, None)
 
 
+def _unpersist_quietly(p: DataFrame) -> None:
+    # a stopped SparkContext raises here; the storage is already gone
+    try:
+        p.unpersist()
+    except Exception:
+        pass
+
+
 def release_pinned(df: DataFrame) -> int:
     """Unpersist every pin an operator attached to this returned frame;
     returns the number dropped (0 for frames without pins — a derived
@@ -63,7 +76,7 @@ def release_pinned(df: DataFrame) -> int:
     callers wanting certainty should check ``pins_outstanding``)."""
     pins = getattr(df, "_clrs_pinned", []) or []
     for p in pins:
-        p.unpersist()
+        _unpersist_quietly(p)
     if pins:
         _drop_from_registry(pins)
         df._clrs_pinned = []
@@ -77,8 +90,10 @@ def pins_outstanding(spark: SparkSession) -> int:
 
 def release_all_pins(spark: SparkSession) -> int:
     """Unpersist every outstanding operator pin of this session (recovers
-    handles lost to derivation); returns the count dropped."""
+    handles lost to derivation); returns the count dropped.  Safe to call
+    during teardown after ``spark.stop()`` — dead-context unpersists are
+    swallowed, the registry entries are dropped regardless."""
     pins = _REGISTRY.pop(_session_key(spark), [])
     for p in pins:
-        p.unpersist()
+        _unpersist_quietly(p)
     return len(pins)

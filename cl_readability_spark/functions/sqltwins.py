@@ -1118,8 +1118,15 @@ def q_curation_planted(spark, sf_dir):
         .otherwise(rot(0))
     )
     corpus = docs.select("doc_id", text.alias("text"))
+    # materialize="none": this corpus is pure JVM expressions over the
+    # documents scan (no Arrow extraction upstream), so the branch
+    # re-evaluation the pin exists to prevent costs two cheap window
+    # passes — while the default DISK_ONLY pin would leak executor
+    # storage per bench/oracle invocation (nobody releases the handle
+    # in those harnesses)
     curated = curate(
-        corpus, text_col="text", key_cols=("doc_id",), policy="clusters"
+        corpus, text_col="text", key_cols=("doc_id",), policy="clusters",
+        materialize="none",
     )
     return curated.select(
         "doc_id",

@@ -61,6 +61,13 @@ def run_resumable(
     spark = transcripts.sparkSession
     sink.prepare(spark)
     remaining = pending_rows(transcripts, sink.committed_keys(spark))
+    # fully-resumed rerun: nothing pending → do not append an empty batch
+    # (IcebergSink.write_batch REQUIRES each append to commit a child
+    # snapshot and raises otherwise; an empty append may legitimately
+    # commit nothing).  take(1) stops at the first pending row, so a
+    # normal run pays at most one extra partial anti-join pass.
+    if not remaining.take(1):
+        return 0
     result = extract_transcripts(
         remaining,
         config=config,

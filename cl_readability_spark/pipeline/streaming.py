@@ -163,39 +163,56 @@ def streaming_near_dup_flags(
     input_path: str,
     output_path: str,
     checkpoint_path: str,
-    watermark: str = "1 hour",
     id_col: str = "doc_id",
+    id_type: str = "bigint",
     text_col: str = "text",
-    ts_col: str = "ts",
     k: int = 5,
     n_hashes: int = 32,
     bands: int = 8,
+    state_ttl_ms: int | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming MinHash near-dup gate: the batch LSH's band signatures
     are computed per micro-batch by the STATELESS fused Arrow stage
-    (``dedup.band_signature_stage``), and
-    ``dropDuplicatesWithinWatermark`` keeps the FIRST claimant of every
-    (band_idx, band_sig) bucket across micro-batches.  The sink receives
-    the surviving band rows; reduce them with ``near_dup_kept_ids`` —
-    a doc is kept iff it claimed ALL of its ``bands`` buckets, i.e. no
-    earlier-arrived document collided with it on any band.
+    (``dedup.band_signature_stage``), then a custom stateful operator
+    keyed on (band_idx, band_sig) assigns each LSH bucket a permanent
+    OWNER — the first-arrived document, minimum-key within a micro-batch
+    — and emits every band row flagged ``owned`` (doc == bucket owner).
+    Reduce the sink with ``near_dup_kept_ids``: a doc is kept iff it
+    owns ALL of its ``bands`` buckets, i.e. no earlier (or same-batch
+    lower-key) document collided with it on any band.
 
-    Semantics — candidate-level, deliberately: this is the streaming
-    twin of the LSH candidate generation, so recall of true near-dups
+    Why explicit ownership state instead of
+    ``dropDuplicatesWithinWatermark`` on the bucket key: per-key
+    dedup keeps an ARBITRARY winner within a micro-batch, so two copies
+    arriving together could split the bucket wins and then NEITHER owns
+    all its bands — both copies dropped, the document lost from the
+    corpus entirely.  The min-key tie-break makes ownership
+    deterministic and identical to the batch keep-one (minimum key per
+    duplicate group): same-batch copies share every bucket, the minimum
+    key wins each one, exactly one representative survives.
+
+    Semantics — candidate-level, deliberately: recall of true near-dups
     follows the (bands, rows/band) LSH curve and a chance band collision
     false-drops at the same (tiny) rate the batch pipeline would pay in
     candidate verification.  The batch ``minhash_near_dups`` + keep-one
     over the corpus at rest remains the exact backstop (the pytest
     replays a corpus through both and asserts the kept sets agree).
-    State is bounded by the watermark horizon exactly as in
-    ``streaming_exact_dedup``: duplicates arriving later than the
-    horizon re-claim buckets and are re-emitted, and the at-rest batch
-    dedup catches them — the only viable contract at 10^12 turns.
 
-    The input schema is taken from a static read of ``input_path`` (the
-    streaming source requires an explicit schema)."""
+    ``state_ttl_ms`` bounds bucket-owner state by a processing-time
+    horizon (the TTL twin of ``streaming_exact_dedup``'s watermark):
+    duplicates arriving after their bucket's owner expired re-claim the
+    bucket and are re-emitted — the at-rest batch dedup catches them.
+    None (default) keeps owners forever — fine for bounded corpora; SET
+    IT in production, state is otherwise proportional to distinct
+    buckets seen.  The input schema is taken from a static read of
+    ``input_path`` (the streaming source requires an explicit schema)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
     from cl_readability_spark.functions.dedup import band_signature_stage
 
     schema = spark.read.parquet(input_path).schema
@@ -207,16 +224,44 @@ def streaming_near_dup_flags(
         stream,
         id_col=id_col,
         text_col=text_col,
-        passthrough=(ts_col,),
         k=k,
         n_hashes=n_hashes,
         bands=bands,
     )
-    survivors = banded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        ["band_idx", "band_sig"]
+    out_schema = f"{id_col} {id_type}, band_idx INT, owned BOOLEAN"
+    state_schema = f"owner {id_type}"
+
+    def claim(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            (owner,) = state.get
+        else:
+            owner = rows[id_col].min()  # deterministic same-batch tie-break
+        state.update((owner,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {
+                id_col: rows[id_col],
+                "band_idx": rows["band_idx"].astype("int32"),
+                "owned": rows[id_col] == owner,
+            }
+        )
+
+    flagged = banded.groupBy(F.col("band_idx"), F.col("band_sig")).applyInPandasWithState(
+        claim,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
     writer = (
-        survivors.writeStream.format("parquet")
+        flagged.writeStream.format("parquet")
         .option("path", output_path)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
@@ -233,14 +278,21 @@ def near_dup_kept_ids(
     id_col: str = "doc_id",
 ):
     """Batch reduction of ``streaming_near_dup_flags`` output: the ids
-    that claimed all their band buckets first (kept set).  One pruned
-    two-column scan + one groupBy."""
+    owning all their band buckets (kept set).  countDistinct over owned
+    band indexes — NOT a raw row count, so a doc legitimately re-emitted
+    after bucket-state expiry (its rows appear twice in the append-mode
+    sink) still reduces to ``bands`` owned buckets.  One pruned
+    three-column scan + one groupBy."""
     from pyspark.sql import functions as F
 
     return (
         spark.read.parquet(bands_path)
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_owned"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("owned"), F.col("band_idx"))
+            ).alias("n_owned")
+        )
         .filter(F.col("n_owned") == bands)
         .select(id_col)
     )

@@ -107,6 +107,15 @@ def main(argv: list[str]) -> int:
             .parquet(args.output)
         )
         report = curation_report(flagged).collect()[0].asDict()
+        # the CC staging dir has served its purpose once the flagged
+        # table (which embeds the drops) is written — clean it up so
+        # repeated runs don't accumulate dead parquet next to the output
+        if args.policy == "clusters":
+            import shutil
+
+            cc_dir = args.output.rstrip("/") + ".cc"
+            if "://" not in cc_dir:
+                shutil.rmtree(cc_dir, ignore_errors=True)
     else:
         from pyspark import StorageLevel
 

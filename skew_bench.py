@@ -36,8 +36,12 @@ def main() -> None:
 
     import urllib.request
 
+    # the requested port may be taken (Spark then binds 4902+); read the
+    # ACTUAL bound UI address so the percentiles come from THIS app
+    ui_base = spark.sparkContext.uiWebUrl
+
     def _api(path: str):
-        with urllib.request.urlopen(f"http://localhost:4901/api/v1{path}") as r:
+        with urllib.request.urlopen(f"{ui_base}/api/v1{path}") as r:
             return json.load(r)
 
     app_id = _api("/applications")[0]["id"]

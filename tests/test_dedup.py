@@ -438,6 +438,30 @@ def test_dup_clusters_evaluates_pair_producer_once(spark):
     assert acc.value == 50, "pair producer must evaluate exactly once"
 
 
+def test_dup_clusters_restores_session_checkpoint_dir(spark, tmp_path):
+    """reliable mode must not permanently redirect the session's
+    checkpoint dir (a library call overriding session-global config is a
+    side effect the caller never asked to keep)."""
+    from cl_readability_spark.functions.dedup import dup_clusters
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "prior"))
+    prior = sc.getCheckpointDir()
+    pairs, expected = _cc_case(spark)
+    got = {
+        r.id: r.cluster_rep
+        for r in dup_clusters(
+            pairs, checkpoint_mode="reliable",
+            checkpoint_dir=str(tmp_path / "cc"),
+        ).collect()
+    }
+    assert got == expected
+    # Spark resolves a set dir to a UUID subdirectory, so exact identity
+    # is unobservable; restored means future checkpoints land back under
+    # the prior root, not under dup_clusters' dir
+    assert sc.getCheckpointDir().startswith(prior)
+
+
 def test_dup_clusters_mode_validation(spark, tmp_path):
     from cl_readability_spark.functions.dedup import dup_clusters
 

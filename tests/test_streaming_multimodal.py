@@ -102,15 +102,19 @@ def test_streaming_near_dup_matches_batch_keep_one(spark, tmp_path):
     )
 
     inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
-    originals = [(i, _ndup_doc(i)) for i in range(10)]
+    # doc 300 is a SAME-MICRO-BATCH copy of doc 5: both arrive in run 1,
+    # so the min-key ownership tie-break must keep exactly doc 5 (an
+    # arbitrary-winner dedup could split the bucket wins and drop BOTH —
+    # the content-loss failure mode this operator exists to avoid)
+    originals = [(i, _ndup_doc(i)) for i in range(10)] + [(300, _ndup_doc(5))]
     copies = [(100 + i, _ndup_doc(i)) for i in range(5)]
     late = [(200, _ndup_doc(0)), (207, _ndup_doc(7)),
             (20, _ndup_doc(20)), (21, _ndup_doc(21))]
 
-    # run 1: originals only (arrival order = key order, the batch tiebreak)
+    # run 1: originals + the same-batch copy
     _ndup_df(spark, originals).write.parquet(inp + "/b1")
     streaming_near_dup_flags(spark, inp + "/*", out, cp).awaitTermination(120)
-    # run 2: exact copies — all 8 band buckets already claimed
+    # run 2: exact copies — all 8 band buckets already owned
     _ndup_df(spark, copies).write.parquet(inp + "/b2")
     streaming_near_dup_flags(spark, inp + "/*", out, cp).awaitTermination(120)
 
@@ -123,7 +127,7 @@ def test_streaming_near_dup_matches_batch_keep_one(spark, tmp_path):
         r.id for r in clusters.filter(F.col("id") != F.col("cluster_rep")).collect()
     }
     batch_kept = {i for i, _ in originals + copies} - batch_dropped
-    assert kept == batch_kept == {i for i, _ in originals}
+    assert kept == batch_kept == set(range(10))  # 300 and 100.. dropped
 
     # run 3 (restart): late copies of docs 0 and 7 + genuinely new docs —
     # the claim state persisted in the checkpoint, so only the new
@@ -131,7 +135,7 @@ def test_streaming_near_dup_matches_batch_keep_one(spark, tmp_path):
     _ndup_df(spark, late).write.parquet(inp + "/b3")
     streaming_near_dup_flags(spark, inp + "/*", out, cp).awaitTermination(120)
     kept3 = {r.doc_id for r in near_dup_kept_ids(spark, out).collect()}
-    assert kept3 == {i for i, _ in originals} | {20, 21}
+    assert kept3 == set(range(10)) | {20, 21}
 
     all3 = _ndup_df(spark, originals + copies + late)
     clusters3 = dup_clusters(

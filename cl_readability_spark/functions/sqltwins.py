@@ -1147,6 +1147,108 @@ FROM documents
 """
 
 
+# --- 18d. decontam_planted — benchmark decontamination hash-checked with
+#     closed-form expectations.  Corpus: 20 unique words per doc (vocab
+#     disjoint across docs → zero cross-doc 13-grams).  Benchmark: every
+#     role-7 doc's text plus one tail word — its first 8 13-gram windows
+#     are exactly the corpus doc's full gram set, the 9th (containing the
+#     tail) matches nothing.  So contaminated = (doc_id mod 10 == 7) with
+#     exactly 8 hits, everything else 0 — any drift in tokenization,
+#     gram hashing, the broadcast set, or the flag stage flips the hash. ---
+def q_decontam_planted(spark, sf_dir):
+    from cl_readability_spark.functions.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    words = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("d"), F.col("doc_id").cast("string"), F.lit(f"x{j}"))
+            for j in range(20)
+        ],
+    )
+    corpus = docs.select("doc_id", words.alias("text"))
+    benchmark = corpus.filter(F.pmod("doc_id", F.lit(10)) == 7).select(
+        F.concat(F.col("text"), F.lit(" benchtailword")).alias("text")
+    )
+    flagged = decontaminate(corpus, benchmark)
+    return flagged.select(
+        "doc_id",
+        F.col("contaminated").cast("int").alias("contaminated"),
+        "n_contaminated_grams",
+    )
+
+
+SQL_DECONTAM_PLANTED = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id % 10 = 7 AS INTEGER) AS contaminated,
+       CAST(CASE WHEN doc_id % 10 = 7 THEN 8 ELSE 0 END AS INTEGER)
+         AS n_contaminated_grams
+FROM documents
+"""
+
+
+# --- 18e. source_cap — per-source frequency cap (keep at most N docs per
+#     source/domain, the standard anti-boilerplate-site gate): one window
+#     over source ordered by doc_id.  kept is deterministic (doc_id is a
+#     total order within each source). ---
+def q_source_cap(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.row_number().over(w).alias("rank_in_source"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            (F.col("rank_in_source") <= 3).cast("int").alias("kept"),
+        )
+    )
+
+
+SQL_SOURCE_CAP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       source,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 3
+            AS INTEGER) AS kept
+FROM documents
+"""
+
+
+# --- 18f. pii_redact — the PII scrub twin, planted so it is non-vacuous:
+#     every doc gets a synthetic email + SSN appended, then redacted; the
+#     oracle applies the identical RE2-compatible patterns (DuckDB needs
+#     the 'g' flag for global replacement; Spark's regexp_replace is
+#     global by default). ---
+def q_pii_redact(spark, sf_dir):
+    from cl_readability_spark.functions.curation import redact_pii
+
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ssn 123-45-6789 end"),
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        redact_pii(planted).alias("redacted"),
+    )
+
+
+SQL_PII_REDACT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       regexp_replace(
+         regexp_replace(
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com ssn 123-45-6789 end',
+           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'
+         ),
+         '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'
+       ) AS redacted
+FROM documents
+"""
+
+
 SQL_TWINS: dict[str, tuple] = {
     "normalize_ws": (q_normalize_ws, SQL_NORMALIZE_WS),
     "word_count": (q_word_count, SQL_WORD_COUNT),
@@ -1172,6 +1274,9 @@ SQL_TWINS: dict[str, tuple] = {
     "dedup_winnow_planted": (q_dedup_winnow_planted, SQL_DEDUP_WINNOW_PLANTED),
     "dedup_clusters_planted": (q_dedup_clusters_planted, SQL_DEDUP_CLUSTERS_PLANTED),
     "curation_planted": (q_curation_planted, SQL_CURATION_PLANTED),
+    "decontam_planted": (q_decontam_planted, SQL_DECONTAM_PLANTED),
+    "source_cap": (q_source_cap, SQL_SOURCE_CAP),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),

@@ -1,0 +1,95 @@
+"""Benchmark decontamination (functions/decontam.py)."""
+
+import pytest
+
+from cl_readability_spark.functions.decontam import (
+    benchmark_ngram_hashes,
+    decontaminate,
+)
+
+pytestmark = pytest.mark.spark
+
+CLEAN = "totally original writing about spark physical plans " * 4
+# 13 consecutive words lifted verbatim into a longer host document
+LEAK = (
+    "the quick brown fox jumps over the lazy dog near the quiet river "
+)
+
+
+@pytest.fixture()
+def frames(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, CLEAN),
+            (1, "host document preamble " + LEAK + " host document epilogue"),
+            (2, LEAK),                      # the benchmark passage verbatim
+            (3, "short doc"),               # < n words: whole-run gram
+        ],
+        ["doc_id", "text"],
+    )
+    benchmark = spark.createDataFrame([(LEAK,), ("short doc",)], ["text"])
+    return corpus, benchmark
+
+
+def test_decontaminate_flags_exact_ngram_leaks(spark, frames):
+    corpus, benchmark = frames
+    out = {r.doc_id: r for r in decontaminate(corpus, benchmark).collect()}
+    assert not out[0].contaminated and out[0].n_contaminated_grams == 0
+    assert out[1].contaminated      # the 13-gram window inside the host doc
+    assert out[2].contaminated
+    # short docs match only verbatim (whole-run gram) — "short doc" is in
+    # the benchmark as its own passage
+    assert out[3].contaminated
+    # all corpus columns survive the flag stage
+    assert set(out[1].asDict()) == {
+        "doc_id", "text", "contaminated", "n_contaminated_grams",
+    }
+
+
+def test_decontaminate_precomputed_hashes_roundtrip(spark, frames):
+    """The hash set can be computed once and reused across corpora (the
+    benchmark rarely changes); results are identical to the direct path."""
+    corpus, benchmark = frames
+    hashes = benchmark_ngram_hashes(benchmark)
+    assert hashes and all(isinstance(h, int) for h in hashes)
+    direct = {(r.doc_id, r.contaminated, r.n_contaminated_grams)
+              for r in decontaminate(corpus, benchmark).collect()}
+    cached = {(r.doc_id, r.contaminated, r.n_contaminated_grams)
+              for r in decontaminate(corpus, hashes=hashes).collect()}
+    assert direct == cached
+    with pytest.raises(ValueError, match="benchmark or hashes"):
+        decontaminate(corpus)
+
+
+def test_decontaminate_plan_is_shuffle_free(spark, frames):
+    """The 100 TB property: flagging is scan → mapInPandas, no join and
+    no exchange anywhere in the corpus-side plan (the benchmark set rides
+    in as a broadcast variable, not a join side)."""
+    corpus, benchmark = frames
+    hashes = benchmark_ngram_hashes(benchmark)
+    plan = (
+        decontaminate(corpus, hashes=hashes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_redact_pii_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from cl_readability_spark.functions.curation import redact_pii
+
+    rows = [
+        (0, "mail a.b+c@ex-ample.co.uk and 123-45-6789 twice: x@y.io"),
+        (1, "no pii here, just 12345 and a-b@c"),  # non-matches untouched
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {r.i: r.o for r in df.select("i", redact_pii(F.col("t")).alias("o")).collect()}
+    assert got[0] == "mail [EMAIL] and [SSN] twice: [EMAIL]"
+    assert got[1] == "no pii here, just 12345 and a-b@c"
+    assert got[2] is None

@@ -6,8 +6,15 @@ single job with a one-row audit report instead of a count() per stage.
 Flag semantics (gates attributed HIERARCHICALLY, so the report's per-gate
 drop counts partition ``rows_in`` exactly):
 - ``quality_ok``   — length bounds + stopword ratio + langid gate
-- ``exact_keep``   — first quality_ok row (by key) of each normalized-text
-                     fingerprint; always False for quality-failed rows
+- ``contaminated`` — shares a word n-gram with the benchmark set
+                     (``functions/decontam.py``; all-False when no
+                     ``benchmark_hashes`` are supplied).  Placed BEFORE
+                     dedup on purpose: a contaminated doc must never be
+                     the kept representative of a duplicate cluster
+                     while its clean near-dups get dropped.
+- ``exact_keep``   — first quality_ok, non-contaminated row (by key) of
+                     each normalized-text fingerprint; always False for
+                     quality-failed or contaminated rows
 - ``near_dup_drop``— row is a non-representative member of a verified
                      MinHash near-duplicate cluster (``policy="clusters"``,
                      the default: connected components over the verified
@@ -17,8 +24,9 @@ drop counts partition ``rows_in`` exactly):
                      quality+exact survivors only
 - ``kept``         — quality_ok AND exact_keep AND NOT near_dup_drop
 
-so  rows_in = dropped_quality + dropped_exact_dup + dropped_near_dup
-            + rows_kept  holds as an identity (asserted in tests).
+so  rows_in = dropped_quality + dropped_contaminated + dropped_exact_dup
+            + dropped_near_dup + rows_kept  holds as an identity
+(asserted in tests).
 
 Plan shape: the expensive extraction subtree feeding ``curate`` is
 referenced on BOTH sides of the near-dup prune (survivors → minhash →
@@ -115,11 +123,15 @@ def curate_flags(
     max_chars: int = 200_000,
     min_stopword_bp: int = 100,
     langs: tuple[str, ...] = ("en",),
+    benchmark_hashes: list[int] | None = None,
 ) -> DataFrame:
-    """Stage 1 of curation — adds ``quality_ok`` and ``exact_keep``
-    (hierarchical: the exact-dup keeper is the first QUALITY row of each
-    fingerprint, quality-failed rows are never keepers).  Pure JVM; the
-    only wide op is ONE window over the content fingerprint.  Sink-staged
+    """Stage 1 of curation — adds ``quality_ok``, ``contaminated`` and
+    ``exact_keep`` (hierarchical: the exact-dup keeper is the first
+    QUALITY, NON-CONTAMINATED row of each fingerprint; quality-failed or
+    contaminated rows are never keepers).  Pure JVM unless
+    ``benchmark_hashes`` is supplied, which adds the one stateless
+    decontamination Arrow stage (no joins/shuffles); the only wide op
+    remains ONE window over the content fingerprint.  Sink-staged
     pipelines write this frame to a table and run ``curate_near_dups``
     over the read-back, so the window is computed exactly once."""
     df = extracted.withColumn("_row_key", _row_key(key_cols))
@@ -131,15 +143,26 @@ def curate_flags(
             F.lit(False),
         ),
     )
+    if benchmark_hashes:
+        from cl_readability_spark.functions.decontam import decontaminate
+
+        df = decontaminate(df, text_col=text_col, hashes=benchmark_hashes).drop(
+            "n_contaminated_grams"
+        )
+    else:
+        df = df.withColumn("contaminated", F.lit(False))
     fingerprint = F.md5(
         F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                          "[^a-z0-9]", "")
     )
     w = Window.partitionBy(fingerprint).orderBy(
-        F.col("quality_ok").desc(), F.col("_row_key")
+        F.col("quality_ok").desc(), F.col("contaminated"), F.col("_row_key")
     )
     return df.withColumn(
-        "exact_keep", F.col("quality_ok") & (F.row_number().over(w) == 1)
+        "exact_keep",
+        F.col("quality_ok")
+        & ~F.col("contaminated")
+        & (F.row_number().over(w) == 1),
     ).drop("_row_key")
 
 
@@ -256,15 +279,18 @@ def curate(
     materialize: str = "disk",
     policy: str = "clusters",
     cluster_opts: dict | None = None,
+    benchmark_hashes: list[int] | None = None,
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
     Composition of ``curate_flags`` → ``curate_near_dups``; see
     ``curate_near_dups`` for the ``materialize`` modes (the pin covers the
-    whole extract+flags subtree here) and the near-dup drop ``policy``."""
+    whole extract+flags subtree here) and the near-dup drop ``policy``;
+    ``benchmark_hashes`` (``decontam.benchmark_ngram_hashes``) enables the
+    decontamination gate."""
     flagged = curate_flags(
         extracted, text_col, key_cols, min_chars, max_chars,
-        min_stopword_bp, langs,
+        min_stopword_bp, langs, benchmark_hashes,
     )
     return curate_near_dups(
         flagged, text_col, key_cols, jaccard_threshold, materialize,
@@ -275,14 +301,22 @@ def curate(
 def curation_report(curated: DataFrame) -> DataFrame:
     """One-row audit: total rows, per-gate drop counts, final kept count.
     The gates are attributed hierarchically (module doc), so
-    rows_in == dropped_quality + dropped_exact_dup + dropped_near_dup
-    + rows_kept — the four drop columns partition the input exactly."""
+    rows_in == dropped_quality + dropped_contaminated + dropped_exact_dup
+    + dropped_near_dup + rows_kept — the drop columns partition the input
+    exactly."""
     return curated.agg(
         F.count("*").alias("rows_in"),
         F.sum((~F.col("quality_ok")).cast("long")).alias("dropped_quality"),
-        F.sum((F.col("quality_ok") & ~F.col("exact_keep")).cast("long")).alias(
-            "dropped_exact_dup"
-        ),
+        F.sum(
+            (F.col("quality_ok") & F.col("contaminated")).cast("long")
+        ).alias("dropped_contaminated"),
+        F.sum(
+            (
+                F.col("quality_ok")
+                & ~F.col("contaminated")
+                & ~F.col("exact_keep")
+            ).cast("long")
+        ).alias("dropped_exact_dup"),
         F.sum(F.col("near_dup_drop").cast("long")).alias("dropped_near_dup"),
         F.sum(F.col("kept").cast("long")).alias("rows_kept"),
     )

@@ -67,7 +67,6 @@ def benchmark_ngram_hashes(
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame | None = None,
-    id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
     seed: int = 42,

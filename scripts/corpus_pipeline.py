@@ -34,6 +34,11 @@ def main(argv: list[str]) -> int:
                         "(use for non-natural-language corpora)")
     p.add_argument("--langs", default="en",
                    help="comma-separated langid allowlist")
+    p.add_argument("--benchmark", default=None,
+                   help="parquet path of benchmark/eval passages (a 'text' "
+                        "column): enables the decontamination gate — docs "
+                        "sharing a word 13-gram with any passage are dropped "
+                        "(before dedup) and accounted in the report")
     p.add_argument("--policy", choices=["clusters", "pairwise"],
                    default="clusters",
                    help="near-dup drop policy: 'clusters' keeps one "
@@ -72,6 +77,12 @@ def main(argv: list[str]) -> int:
         langs=tuple(args.langs.split(",")),
         policy=args.policy,
     )
+    if args.benchmark:
+        from cl_readability_spark.functions.decontam import benchmark_ngram_hashes
+
+        kwargs["benchmark_hashes"] = benchmark_ngram_hashes(
+            spark.read.parquet(args.benchmark)
+        )
     if args.policy == "clusters" and args.pin == "sink":
         # match the sink philosophy: the CC rounds stage through parquet
         # too (fault-tolerant, zero executor storage — dedup._RoundPinner)

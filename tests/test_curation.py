@@ -219,6 +219,56 @@ def test_curate_cluster_opts_forwarding(spark, star, tmp_path):
     assert any(tmp_path.iterdir()), "table mode must stage rounds on disk"
 
 
+def test_contamination_gate_precedes_dedup(spark):
+    """The eval-leak gate must run BEFORE dedup: doc A (lower key) leaks a
+    benchmark passage and is a near-dup of clean doc B.  Without the gate
+    the keep-one policy keeps A — the contaminated doc — and drops B;
+    with it, A drops as contaminated and B survives.  The report identity
+    extends with dropped_contaminated and still partitions rows_in."""
+    from cl_readability_spark.functions.decontam import benchmark_ngram_hashes
+
+    tail_a = ("zebra quilt matrix oboe lantern cactus violet summit "
+              "ember quartz nimbus drift osprey pearl")
+    # same tail with the MIDDLE word changed: every 13-gram of either tail
+    # contains position 7, so A and B share no 13-gram from the tails
+    tail_b = tail_a.replace("summit", "harbor")
+    rows = [
+        ("a", 0, GOOD + " " + tail_a),
+        ("b", 0, GOOD + " " + tail_b),
+        ("e", 0, (
+            "A completely different report covers the migration of the data "
+            "platform, and it describes the rollout schedule in enough words "
+            "to pass every quality gate without overlapping the other rows. "
+        ) * 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string"
+    )
+    bench = spark.createDataFrame([(tail_a,)], ["text"])
+    hashes = benchmark_ngram_hashes(bench)
+
+    # without the gate: A (min key) is the kept representative, B drops
+    base = {
+        r.conv_id: r for r in curate(df, jaccard_threshold=0.6).collect()
+    }
+    assert base["a"].kept and base["b"].near_dup_drop and not base["b"].kept
+
+    curated = curate(df, jaccard_threshold=0.6, benchmark_hashes=hashes)
+    out = {r.conv_id: r for r in curated.collect()}
+    assert out["a"].contaminated and not out["a"].kept
+    assert not out["a"].exact_keep          # contaminated rows never keep
+    assert not out["b"].contaminated and out["b"].kept
+    assert out["e"].kept
+    rep = curation_report(curated).collect()[0]
+    assert rep.dropped_contaminated == 1
+    assert (
+        rep.dropped_quality + rep.dropped_contaminated + rep.dropped_exact_dup
+        + rep.dropped_near_dup + rep.rows_kept
+        == rep.rows_in
+        == 3
+    )
+
+
 def test_release_curated_unpersists_the_pin(spark, planted):
     """curate() pins the flagged frame in executor storage; release_curated
     on the EXACT returned frame must unpersist it (pins do not survive

@@ -178,6 +178,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["embedding_near_dups"] = _q_embedding_near_dups
 
+    def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Training-shard prep (rows-only: pack ids depend on the hash
+        partitioning, not SQL-expressible): whitespace token counts →
+        per-partition first-fit-decreasing packs within a 2048-token
+        budget.  Invariants (budget, exactly-once, oversize isolation)
+        are pytest-pinned in tests/test_packing.py."""
+        from cl_readability_spark.functions.packing import pack_sequences
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        return pack_sequences(docs, max_tokens=2048, num_partitions=8)
+
+    out["pack_sequences"] = _q_pack_sequences
+
     def _q_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         from cl_readability_spark.pipeline.diff import explode_spans
 

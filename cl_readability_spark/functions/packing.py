@@ -1,0 +1,112 @@
+"""Sequence packing — group documents into fixed-token-budget packs (the
+training-shard prep stage: a pack becomes one training sequence /
+example file, so packs must respect the model's context budget and waste
+as little of it as possible).
+
+Spark-first shape: packing is greedy FIRST-FIT-DECREASING *per
+partition* — a global optimum would serialize the corpus through one
+process, while per-partition FFD parallelizes embarrassingly and keeps
+the classic FFD guarantees within each partition (every pack except at
+most one is more than half full, given no oversized docs).  Pack ids are
+``<partition>-<seq>``, deterministic for a given input: rows are
+hash-repartitioned on the id and sorted (tokens desc, id) inside each
+partition before packing, so the assignment is reproducible across runs
+and cluster sizes with the same ``num_partitions``.
+
+Documents longer than the budget cannot be packed; they are emitted as
+single-doc packs flagged ``oversize`` (the caller decides: chunk them
+upstream or drop them), so the invariant "every non-oversize pack's
+token sum ≤ max_tokens" holds unconditionally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, pack_id, pack_tokens, oversize) — every input row
+    assigned to exactly one pack; per-pack token sums ≤ ``max_tokens``
+    except single-doc ``oversize`` packs.  One shuffle (the
+    repartition), then a stateless per-partition Arrow stage."""
+    import pandas as pd
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not num_partitions:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    src = (
+        df.select(id_col, token_col)
+        .repartition(num_partitions, F.col(id_col))
+        .sortWithinPartitions(F.col(token_col).desc(), F.col(id_col))
+    )
+    out_schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        f"{token_col} long, pack_id string, pack_tokens long, "
+        f"oversize boolean"
+    )
+
+    def _pack(batches):
+        # one partition = one packing problem; batches iterate its rows
+        # in the sorted (tokens desc, id) order
+        import pyspark
+
+        part = pyspark.TaskContext.get().partitionId()
+        bins: list[list] = []  # [remaining, seq, ids, tokens]
+        seq = 0
+        rows_ids, rows_tok, rows_bin = [], [], []
+        oversize_rows = []
+        for pdf in batches:
+            for doc_id, tok in zip(pdf[id_col], pdf[token_col]):
+                tok = int(tok)
+                if tok > max_tokens:
+                    oversize_rows.append((doc_id, tok, seq))
+                    seq += 1
+                    continue
+                placed = None
+                for b in bins:
+                    if b[0] >= tok:
+                        placed = b
+                        break
+                if placed is None:
+                    placed = [max_tokens, seq, [], 0]
+                    seq += 1
+                    bins.append(placed)
+                placed[0] -= tok
+                placed[2].append(doc_id)
+                placed[3] += tok
+                rows_ids.append(doc_id)
+                rows_tok.append(tok)
+                rows_bin.append(placed)
+        ids, toks, pids, ptoks, over = [], [], [], [], []
+        for doc_id, tok, b in zip(rows_ids, rows_tok, rows_bin):
+            ids.append(doc_id)
+            toks.append(tok)
+            pids.append(f"{part}-{b[1]}")
+            ptoks.append(b[3])
+            over.append(False)
+        for doc_id, tok, s in oversize_rows:
+            ids.append(doc_id)
+            toks.append(tok)
+            pids.append(f"{part}-{s}")
+            ptoks.append(tok)
+            over.append(True)
+        yield pd.DataFrame(
+            {
+                id_col: ids,
+                token_col: toks,
+                "pack_id": pids,
+                "pack_tokens": ptoks,
+                "oversize": over,
+            }
+        )
+
+    return src.mapInPandas(_pack, out_schema)

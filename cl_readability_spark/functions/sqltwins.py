@@ -1215,6 +1215,35 @@ FROM documents
 """
 
 
+# --- 18g. split_assign — deterministic train/val/test assignment (the
+#     standard reproducible-split stage): bucket = first hex char of
+#     md5(key) — stable across engines, runs, and cluster sizes; 12/2/2
+#     sixteenths.  Hex-char bucketing (not int conversion) because Spark
+#     and DuckDB agree exactly on md5 hex strings while sharing no
+#     integer hash function. ---
+def q_split_assign(spark, sf_dir):
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(bucket.isin("c", "d"), "val")
+        .when(bucket.isin("e", "f"), "test")
+        .otherwise("train")
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), split.alias("split")
+    )
+
+
+SQL_SPLIT_ASSIGN = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+         ELSE 'train'
+       END AS split
+FROM documents
+"""
+
+
 # --- 18f. pii_redact — the PII scrub twin, planted so it is non-vacuous:
 #     every doc gets a synthetic email + SSN appended, then redacted; the
 #     oracle applies the identical RE2-compatible patterns (DuckDB needs
@@ -1277,6 +1306,7 @@ SQL_TWINS: dict[str, tuple] = {
     "decontam_planted": (q_decontam_planted, SQL_DECONTAM_PLANTED),
     "source_cap": (q_source_cap, SQL_SOURCE_CAP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),

@@ -200,14 +200,22 @@ def streaming_near_dup_flags(
     over the corpus at rest remains the exact backstop (the pytest
     replays a corpus through both and asserts the kept sets agree).
 
-    ``state_ttl_ms`` bounds bucket-owner state by a processing-time
+    ``state_ttl_ms`` bounds bucket ownership by a processing-time
     horizon (the TTL twin of ``streaming_exact_dedup``'s watermark):
-    duplicates arriving after their bucket's owner expired re-claim the
-    bucket and are re-emitted — the at-rest batch dedup catches them.
-    None (default) keeps owners forever — fine for bounded corpora; SET
-    IT in production, state is otherwise proportional to distinct
-    buckets seen.  The input schema is taken from a static read of
-    ``input_path`` (the streaming source requires an explicit schema)."""
+    an owner older than the TTL is treated as absent on read — the next
+    claimant re-claims the bucket and is re-emitted; the at-rest batch
+    dedup catches those.  Enforcement is deliberately READ-SIDE, not via
+    GroupState timeouts: a pending timeout is canceled by new data (the
+    expired owner would keep claiming), and a registered eviction timer
+    keeps availableNow runs alive scheduling no-data batches.  The cost:
+    expired state rows linger until a new claimant overwrites them, so
+    the state FOOTPRINT is proportional to distinct buckets seen; at the
+    10^12 target run the state on RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``) where that is a
+    disk-resident LSM, and compact by periodically restarting from a
+    fresh checkpoint with the batch gate as the bridge.  The input
+    schema is taken from a static read of ``input_path`` (the streaming
+    source requires an explicit schema)."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -229,20 +237,29 @@ def streaming_near_dup_flags(
         bands=bands,
     )
     out_schema = f"{id_col} {id_type}, band_idx INT, owned BOOLEAN"
-    state_schema = f"owner {id_type}"
+    state_schema = f"owner {id_type}, claimed_at LONG"
 
     def claim(key, pdfs, state: GroupState):
+        import time as _time
+
         if state.hasTimedOut:
             state.remove()
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
+        now_ms = int(_time.time() * 1000)
+        owner = None
         if state.exists:
-            (owner,) = state.get
-        else:
+            owner, claimed_at = state.get
+            # TTL is enforced HERE, on read, not via the timeout firing:
+            # Spark cancels a pending timeout when new data arrives for
+            # the key, so an expired-but-not-yet-evicted owner would
+            # otherwise keep claiming its bucket forever.  The
+            # ProcessingTimeTimeout below is only lazy state EVICTION.
+            if state_ttl_ms is not None and now_ms - claimed_at > state_ttl_ms:
+                owner = None
+        if owner is None:
             owner = rows[id_col].min()  # deterministic same-batch tie-break
-        state.update((owner,))
-        if state_ttl_ms is not None:
-            state.setTimeoutDuration(state_ttl_ms)
+            state.update((owner, now_ms))
         yield pd.DataFrame(
             {
                 id_col: rows[id_col],
@@ -256,9 +273,15 @@ def streaming_near_dup_flags(
         out_schema,
         state_schema,
         "append",
-        GroupStateTimeout.ProcessingTimeTimeout
-        if state_ttl_ms is not None
-        else GroupStateTimeout.NoTimeout,
+        # deliberately NoTimeout even with a TTL: a registered
+        # ProcessingTimeTimeout keeps availableNow runs alive scheduling
+        # no-data eviction batches (measured: 2-row incremental runs
+        # pinned at the awaitTermination budget), and a timeout that
+        # fires is CANCELED by new data anyway — so the TTL semantics
+        # live entirely in the read-side check above.  Expired rows
+        # linger until overwritten; see the docstring for the eviction
+        # story at scale.
+        GroupStateTimeout.NoTimeout,
     )
     writer = (
         flagged.writeStream.format("parquet")

@@ -147,6 +147,34 @@ def test_streaming_near_dup_matches_batch_keep_one(spark, tmp_path):
     assert kept3 == {i for i, _ in originals + copies + late} - dropped3
 
 
+def test_streaming_near_dup_state_ttl_reemits_after_expiry(spark, tmp_path):
+    """The documented horizon contract: with a state TTL, bucket owners
+    expire after idle time, so a duplicate arriving in a later trigger
+    run RE-CLAIMS the buckets and is re-emitted as kept — the at-rest
+    batch dedup is the backstop for those.  (Without TTL the same doc is
+    dropped — covered by the main equivalence test.)"""
+    import time
+
+    from cl_readability_spark.pipeline.streaming import (
+        near_dup_kept_ids,
+        streaming_near_dup_flags,
+    )
+
+    inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    _ndup_df(spark, [(1, _ndup_doc(1))]).write.parquet(inp + "/b1")
+    q = streaming_near_dup_flags(spark, inp + "/*", out, cp, state_ttl_ms=1000)
+    q.awaitTermination(120)
+    q.stop()
+    time.sleep(2)  # let the 1 s ownership TTL lapse between trigger runs
+    _ndup_df(spark, [(100, _ndup_doc(1))]).write.parquet(inp + "/b2")
+    q = streaming_near_dup_flags(spark, inp + "/*", out, cp, state_ttl_ms=1000)
+    q.awaitTermination(120)
+    q.stop()
+    kept = {r.doc_id for r in near_dup_kept_ids(spark, out).collect()}
+    # the expired owner's buckets were re-claimed: BOTH emitted as kept
+    assert kept == {1, 100}
+
+
 def test_media_schema_and_fake_features(spark):
     media = synthetic_media(spark, n=30)
     assert media.count() == 30

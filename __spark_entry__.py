@@ -188,9 +188,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id",
-            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
-                "n_tokens"
-            ),
+            # split("") yields [""], so guard empty/null text to 0 tokens
+            F.when(
+                F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0,
+                F.lit(0),
+            )
+            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .cast("long")
+            .alias("n_tokens"),
         )
         return pack_sequences(docs, max_tokens=2048, num_partitions=8)
 

@@ -124,6 +124,8 @@ def curate_flags(
     min_stopword_bp: int = 100,
     langs: tuple[str, ...] = ("en",),
     benchmark_hashes: list[int] | None = None,
+    decontam_n: int = 13,
+    decontam_seed: int = 42,
 ) -> DataFrame:
     """Stage 1 of curation — adds ``quality_ok``, ``contaminated`` and
     ``exact_keep`` (hierarchical: the exact-dup keeper is the first
@@ -146,9 +148,13 @@ def curate_flags(
     if benchmark_hashes:
         from cl_readability_spark.functions.decontam import decontaminate
 
-        df = decontaminate(df, text_col=text_col, hashes=benchmark_hashes).drop(
-            "n_contaminated_grams"
-        )
+        # decontam_n/decontam_seed MUST match the parameters the hash set
+        # was computed with (benchmark_ngram_hashes) — a silent mismatch
+        # hashes corpus grams differently and matches nothing
+        df = decontaminate(
+            df, text_col=text_col, hashes=benchmark_hashes,
+            n=decontam_n, seed=decontam_seed,
+        ).drop("n_contaminated_grams")
     else:
         df = df.withColumn("contaminated", F.lit(False))
     fingerprint = F.md5(
@@ -280,6 +286,8 @@ def curate(
     policy: str = "clusters",
     cluster_opts: dict | None = None,
     benchmark_hashes: list[int] | None = None,
+    decontam_n: int = 13,
+    decontam_seed: int = 42,
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
@@ -287,10 +295,11 @@ def curate(
     ``curate_near_dups`` for the ``materialize`` modes (the pin covers the
     whole extract+flags subtree here) and the near-dup drop ``policy``;
     ``benchmark_hashes`` (``decontam.benchmark_ngram_hashes``) enables the
-    decontamination gate."""
+    decontamination gate — pass the SAME ``decontam_n``/``decontam_seed``
+    the hash set was computed with."""
     flagged = curate_flags(
         extracted, text_col, key_cols, min_chars, max_chars,
-        min_stopword_bp, langs, benchmark_hashes,
+        min_stopword_bp, langs, benchmark_hashes, decontam_n, decontam_seed,
     )
     return curate_near_dups(
         flagged, text_col, key_cols, jaccard_threshold, materialize,

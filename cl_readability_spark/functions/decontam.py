@@ -48,6 +48,11 @@ def benchmark_ngram_hashes(
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
+                if not (text or "").strip():
+                    # a null/blank benchmark row must contribute NOTHING:
+                    # the shared shingler's empty-run fallback gram would
+                    # otherwise flag every empty corpus doc as a leak
+                    continue
                 # signed view: the blake2b hashes are uint64, stored as
                 # Spark longs (the flag stage wraps identically)
                 out.extend(
@@ -103,6 +108,10 @@ def decontaminate(
         for pdf in batches:
             flags, hits = [], []
             for text in pdf[text_col]:
+                if not (text or "").strip():
+                    flags.append(False)  # empty docs cannot leak anything
+                    hits.append(0)
+                    continue
                 grams = set(
                     int(h) for h in _shingle_hashes(text, n, key).astype("int64")
                 )

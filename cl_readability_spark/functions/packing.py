@@ -3,15 +3,19 @@ training-shard prep stage: a pack becomes one training sequence /
 example file, so packs must respect the model's context budget and waste
 as little of it as possible).
 
-Spark-first shape: packing is greedy FIRST-FIT-DECREASING *per
-partition* — a global optimum would serialize the corpus through one
-process, while per-partition FFD parallelizes embarrassingly and keeps
-the classic FFD guarantees within each partition (every pack except at
-most one is more than half full, given no oversized docs).  Pack ids are
-``<partition>-<seq>``, deterministic for a given input: rows are
-hash-repartitioned on the id and sorted (tokens desc, id) inside each
-partition before packing, so the assignment is reproducible across runs
-and cluster sizes with the same ``num_partitions``.
+Spark-first shape: packing is greedy BEST-FIT-DECREASING *per partition*
+— a global optimum would serialize the corpus through one process, while
+per-partition BFD parallelizes embarrassingly and keeps the classic
+fit-decreasing guarantees within each partition (every pack except at
+most one is more than half full, given no oversized docs; same 11/9·OPT
+asymptotic bound as FFD).  The open packs are indexed by remaining
+capacity in a bisect-sorted list, so placing a doc is O(log packs) to
+find + one memmove — not the naive O(packs) scan per doc, which is
+quadratic on large partitions.  Pack ids are ``<partition>-<seq>``,
+deterministic for a given input: rows are hash-repartitioned on the id
+and sorted (tokens desc, id) inside each partition before packing, and
+capacity ties break on pack seq, so the assignment is reproducible
+across runs and cluster sizes with the same ``num_partitions``.
 
 Documents longer than the budget cannot be packed; they are emitted as
 single-doc packs flagged ``oversize`` (the caller decides: chunk them
@@ -33,8 +37,10 @@ def pack_sequences(
 ) -> DataFrame:
     """(id, n_tokens, pack_id, pack_tokens, oversize) — every input row
     assigned to exactly one pack; per-pack token sums ≤ ``max_tokens``
-    except single-doc ``oversize`` packs.  One shuffle (the
-    repartition), then a stateless per-partition Arrow stage."""
+    except single-doc ``oversize`` packs.  NULL token counts are packed
+    as 0 (a data error upstream must not fail the stage).  One shuffle
+    (the repartition), then a stateless per-partition Arrow stage;
+    per-doc placement is O(log open-packs) via the capacity index."""
     import pandas as pd
 
     if max_tokens <= 0:
@@ -57,32 +63,37 @@ def pack_sequences(
     def _pack(batches):
         # one partition = one packing problem; batches iterate its rows
         # in the sorted (tokens desc, id) order
+        import bisect
+
         import pyspark
 
         part = pyspark.TaskContext.get().partitionId()
-        bins: list[list] = []  # [remaining, seq, ids, tokens]
+        caps: list[tuple[int, int]] = []  # sorted (remaining, seq)
+        bins: dict[int, list] = {}        # seq -> [remaining, seq, tokens]
         seq = 0
         rows_ids, rows_tok, rows_bin = [], [], []
         oversize_rows = []
         for pdf in batches:
             for doc_id, tok in zip(pdf[id_col], pdf[token_col]):
-                tok = int(tok)
+                # a NULL/NaN token count is a data error upstream; pack it
+                # as 0 rather than failing the whole stage on one row
+                tok = 0 if tok is None or tok != tok else int(tok)
                 if tok > max_tokens:
                     oversize_rows.append((doc_id, tok, seq))
                     seq += 1
                     continue
-                placed = None
-                for b in bins:
-                    if b[0] >= tok:
-                        placed = b
-                        break
-                if placed is None:
-                    placed = [max_tokens, seq, [], 0]
+                # best fit: the open pack with the SMALLEST remaining
+                # capacity that still holds the doc (ties -> lowest seq)
+                pos = bisect.bisect_left(caps, (tok, -1))
+                if pos == len(caps):
+                    placed = [max_tokens, seq, 0]
+                    bins[seq] = placed
                     seq += 1
-                    bins.append(placed)
+                else:
+                    placed = bins[caps.pop(pos)[1]]
                 placed[0] -= tok
-                placed[2].append(doc_id)
-                placed[3] += tok
+                placed[2] += tok
+                bisect.insort(caps, (placed[0], placed[1]))
                 rows_ids.append(doc_id)
                 rows_tok.append(tok)
                 rows_bin.append(placed)
@@ -91,7 +102,7 @@ def pack_sequences(
             ids.append(doc_id)
             toks.append(tok)
             pids.append(f"{part}-{b[1]}")
-            ptoks.append(b[3])
+            ptoks.append(b[2])
             over.append(False)
         for doc_id, tok, s in oversize_rows:
             ids.append(doc_id)

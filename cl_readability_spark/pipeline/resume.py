@@ -60,13 +60,17 @@ def run_resumable(
     checkpoints here and an Iceberg table in production."""
     spark = transcripts.sparkSession
     sink.prepare(spark)
-    remaining = pending_rows(transcripts, sink.committed_keys(spark))
-    # fully-resumed rerun: nothing pending → do not append an empty batch
+    committed = sink.committed_keys(spark)
+    remaining = pending_rows(transcripts, committed)
+    # fully-resumed RERUN: nothing pending → do not append an empty batch
     # (IcebergSink.write_batch REQUIRES each append to commit a child
     # snapshot and raises otherwise; an empty append may legitimately
-    # commit nothing).  take(1) stops at the first pending row, so a
-    # normal run pays at most one extra partial anti-join pass.
-    if not remaining.take(1):
+    # commit nothing).  Guarded on prior commits existing: a FIRST run
+    # over an empty source still writes its empty batch so sink.read()
+    # keeps returning an empty frame rather than raising.  take(1) stops
+    # at the first pending row, so a normal run pays at most one extra
+    # partial anti-join pass.
+    if committed is not None and not remaining.take(1):
         return 0
     result = extract_transcripts(
         remaining,
@@ -125,6 +129,10 @@ class CheckpointedSink:
 
     # --- KeyedSink protocol ---
     def prepare(self, spark: SparkSession) -> None:
+        # reset the per-run write handle: a fully-resumed rerun performs
+        # NO write, and a stale handle from a previous run would make
+        # run() rewrite a committed batch's manifest with rows=0
+        self._last_write = None
         self.cleanup_uncommitted()
 
     def committed_keys(self, spark: SparkSession) -> DataFrame | None:

@@ -107,9 +107,40 @@ def main(argv: list[str]) -> int:
         base = args.output.rstrip("/")
         staging1, staging3 = base + ".extracted", base + ".flagged"
         extracted.write.mode("overwrite").parquet(staging1)
-        curate(
-            spark.read.parquet(staging1), materialize="none", **kwargs
-        ).write.mode("overwrite").parquet(staging3)
+        if args.benchmark:
+            # with decontamination active, the flag subtree carries the
+            # full-corpus 13-gram hashing Arrow stage; the near-dup
+            # branch references the flags plan twice (no cross-branch
+            # subplan reuse), so stage STAGE-1 FLAGS as their own table
+            # — one decontamination pass — and run the near-dup stage
+            # over the read-back.  Without --benchmark the repeated
+            # subtree is just the cheap window and the measured trade
+            # says don't pay the extra full-text write (PLANS.md).
+            from cl_readability_spark.functions.curation import (
+                curate_flags,
+                curate_near_dups,
+            )
+
+            staging2 = base + ".flags1"
+            flag_kwargs = {
+                k: v for k, v in kwargs.items()
+                if k in ("min_chars", "min_stopword_bp", "langs",
+                         "benchmark_hashes")
+            }
+            curate_flags(
+                spark.read.parquet(staging1), **flag_kwargs
+            ).write.mode("overwrite").parquet(staging2)
+            nd_kwargs = {
+                k: v for k, v in kwargs.items()
+                if k in ("jaccard_threshold", "policy", "cluster_opts")
+            }
+            curate_near_dups(
+                spark.read.parquet(staging2), materialize="none", **nd_kwargs
+            ).write.mode("overwrite").parquet(staging3)
+        else:
+            curate(
+                spark.read.parquet(staging1), materialize="none", **kwargs
+            ).write.mode("overwrite").parquet(staging3)
         flagged = spark.read.parquet(staging3)
         (
             flagged.filter(F.col("kept"))

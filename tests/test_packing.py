@@ -59,3 +59,15 @@ def test_pack_efficiency_and_determinism(spark, docs):
 def test_pack_validation(spark, docs):
     with pytest.raises(ValueError, match="max_tokens"):
         pack_sequences(docs, max_tokens=0)
+
+
+def test_pack_null_tokens_are_zero_not_fatal(spark):
+    """A NULL token count (bad upstream data) must not fail the stage —
+    the row packs as 0 tokens."""
+    df = spark.createDataFrame(
+        [(0, 100), (1, None), (2, 50)], "doc_id long, n_tokens long"
+    )
+    rows = {r.doc_id: r for r in
+            pack_sequences(df, max_tokens=200, num_partitions=2).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[1].n_tokens == 0 and not rows[1].oversize

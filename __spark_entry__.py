@@ -70,7 +70,10 @@ def _q_extract_triaged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the triage expression is oracle-checked as readerable_triage_sql; the
     DOM extraction it feeds is not SQL-expressible).  The 100 TB shape for
     low-readerable corpora: the gate is whole-stage-codegen, so rejected
-    rows never reach a python worker."""
+    rows never reach a python worker.  Non-vacuous by construction: the
+    per-conversation digest turns (transcripts.py, turn_idx 25) clear the
+    triage threshold while the short per-doc turns are rejected, so this
+    returns >0 rows at every sf (pinned in tests/test_readerable.py)."""
     transcripts = documents_as_transcripts(spark, sf_dir)
     return extract_transcripts(
         transcripts, salt_buckets=8, prefilter_readerable="jvm"

@@ -201,7 +201,8 @@ def q_readerable_triage_sql(spark, sf_dir):
 
 
 # the identical HTML wrapping (pipeline/transcripts.py documents_as_
-# transcripts) rebuilt in SQL so DuckDB scores byte-identical <p> blocks
+# transcripts) rebuilt in SQL so DuckDB scores byte-identical <p> blocks;
+# KEPT IN LOCKSTEP with _HEADER_HTML/_SIDEBAR_HTML/_FOOTER_HTML there
 _TRIAGE_HTML_SQL = (
     "'<html lang=\"' || lang || '\"><head><title>Document ' "
     "|| CAST(doc_id AS VARCHAR) "
@@ -216,11 +217,34 @@ _TRIAGE_HTML_SQL = (
     "|| '</body></html>'"
 )
 
+# the digest turn (pipeline/transcripts.py documents_as_transcripts,
+# turn_idx 25): the conversation's docs concatenated into ONE paragraph;
+# string_agg(text, ' ' ORDER BY doc_id) is byte-identical to the Spark
+# side's array_sort(collect_list(struct(doc_id, text))) + array_join
+_TRIAGE_DIGEST_HTML_SQL = (
+    "'<html lang=\"en\"><head><title>Conversation ' "
+    "|| CAST(doc_id // 25 AS VARCHAR) "
+    "|| ' Digest Synthetic Benchmark Article | Corpus</title></head><body>' "
+    "|| '<div class=\"header\"><ul><li><a href=\"/a\">Home</a></li>' "
+    "|| '<li><a href=\"/b\">About</a></li><li><a href=\"/c\">More</a></li></ul></div>' "
+    "|| '<div id=\"main\" class=\"article-content\"><p>' "
+    "|| string_agg(text, ' ' ORDER BY doc_id) || '</p></div>' "
+    "|| '<div class=\"sidebar\"><p><a href=\"/r/1\">related one</a> ' "
+    "|| '<a href=\"/r/2\">related two</a> <a href=\"/r/3\">related three</a></p></div>' "
+    "|| '<div class=\"footer\"><p>Copyright, terms, privacy.</p></div>' "
+    "|| '</body></html>'"
+)
+
 SQL_READERABLE_TRIAGE = f"""
 WITH t AS (
   SELECT 'conv-' || CAST(doc_id // 25 AS VARCHAR) AS conv_id,
          {_TRIAGE_HTML_SQL} AS html
   FROM documents
+  UNION ALL
+  SELECT 'conv-' || CAST(doc_id // 25 AS VARCHAR) AS conv_id,
+         {_TRIAGE_DIGEST_HTML_SQL} AS html
+  FROM documents
+  GROUP BY doc_id // 25
 ),
 scored AS (
   SELECT conv_id,

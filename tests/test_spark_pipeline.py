@@ -280,7 +280,9 @@ def test_documents_as_transcripts(spark):
     assert [f.name for f in df.schema.fields] == [
         "conv_id", "turn_idx", "role", "text", "tool", "ts",
     ]
-    assert df.count() == 500
+    # 500 per-doc turns + 20 per-conversation digest turns (turn_idx 25)
+    assert df.count() == 520
+    assert df.filter("turn_idx = 25").count() == 20
     sample = df.select("text").first().text
     assert sample.startswith("<html")
     r = extract(sample)

@@ -164,7 +164,6 @@ def streaming_near_dup_flags(
     output_path: str,
     checkpoint_path: str,
     id_col: str = "doc_id",
-    id_type: str = "bigint",
     text_col: str = "text",
     k: int = 5,
     n_hashes: int = 32,
@@ -215,7 +214,16 @@ def streaming_near_dup_flags(
     disk-resident LSM, and compact by periodically restarting from a
     fresh checkpoint with the batch gate as the bridge.  The input
     schema is taken from a static read of ``input_path`` (the streaming
-    source requires an explicit schema)."""
+    source requires an explicit schema), and the id column's SQL type is
+    derived from it — the output/state schemas always agree with the
+    input by construction.
+
+    THROUGHPUT: this is the semantics-reference implementation — the
+    per-bucket python state op costs ~55 µs/key (measured: 2,252 turns/s
+    at 1M turns, 8.6M bucket keys).  The deployment-scale variant is
+    ``streaming_near_dup_flags_jvm`` (watermarked JVM window aggregation,
+    no python state), which this operator's pytest pins semantics
+    against."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -224,6 +232,7 @@ def streaming_near_dup_flags(
     from cl_readability_spark.functions.dedup import band_signature_stage
 
     schema = spark.read.parquet(input_path).schema
+    id_type = schema[id_col].dataType.simpleString()
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -297,26 +306,156 @@ def streaming_near_dup_flags(
 def near_dup_kept_ids(
     spark: SparkSession,
     bands_path: str,
-    bands: int = 8,
     id_col: str = "doc_id",
 ):
     """Batch reduction of ``streaming_near_dup_flags`` output: the ids
     owning all their band buckets (kept set).  countDistinct over owned
     band indexes — NOT a raw row count, so a doc legitimately re-emitted
     after bucket-state expiry (its rows appear twice in the append-mode
-    sink) still reduces to ``bands`` owned buckets.  One pruned
-    three-column scan + one groupBy."""
+    sink) still reduces to ``bands`` owned buckets.  The band count is
+    derived from the sink itself (max band_idx + 1 — every doc emits all
+    its band rows, so the maximum is exact): a hard-coded count that
+    disagreed with what the producer ran with would silently return an
+    empty or wrong kept set.  One pruned three-column scan + one
+    groupBy."""
     from pyspark.sql import functions as F
 
+    sink = spark.read.parquet(bands_path)
+    bands = sink.agg(F.max("band_idx")).first()[0]
+    if bands is None:
+        return sink.select(id_col).limit(0)
     return (
-        spark.read.parquet(bands_path)
-        .groupBy(id_col)
+        sink.groupBy(id_col)
         .agg(
             F.count_distinct(
                 F.when(F.col("owned"), F.col("band_idx"))
             ).alias("n_owned")
         )
-        .filter(F.col("n_owned") == bands)
+        .filter(F.col("n_owned") == bands + 1)
+        .select(id_col)
+    )
+
+
+def streaming_near_dup_flags_jvm(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    watermark: str = "10 minutes",
+    window_size: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The deployment-scale streaming near-dup gate: bucket ownership as
+    a watermarked JVM window aggregation — NO python state operator
+    anywhere (the only python stage is the stateless Arrow band-signature
+    stage every variant needs).
+
+    Per (event-time window, band_idx, band_sig) the aggregation computes
+    ``min(id)`` (the owner — identical tie-break to the batch keep-one
+    and to ``streaming_near_dup_flags``) plus the sorted member list,
+    then explodes members into the same per-doc flag rows:
+    (window_start, band_idx, band_sig, id, owner).  State per open
+    bucket is the member-id list — bounded by the window contents, spilt
+    by the JVM state store, no per-key python round-trips.
+
+    Semantics — the ownership decision is batched PER INGESTION WINDOW
+    (the alternative the reference operator's docstring contracts for
+    the 10^12 shape): within a window, exact batch keep-one semantics
+    (min-key owner, same-batch copies collapse to one survivor); across
+    windows, first-window-wins via ``near_dup_kept_ids_windowed``'s
+    reduction.  A window's rows are emitted once the WATERMARK passes
+    its end — i.e. a window's kept set becomes final when later-arriving
+    event time closes it (standard append-mode contract; under
+    ``availableNow`` the last open window stays pending until a later
+    run's data advances the watermark).  Rows later than the watermark
+    are dropped by the aggregation — the at-rest batch dedup remains the
+    backstop for late data, exactly like the windowed metrics rollup.
+
+    vs the reference operator: ~55 µs/bucket-key python state is
+    replaced by one shuffle into a JVM hash aggregation; measured ≥5×
+    the reference gate's 1M-turn throughput (BENCH/BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    from cl_readability_spark.functions.dedup import band_signature_stage
+
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    banded = band_signature_stage(
+        stream,
+        id_col=id_col,
+        text_col=text_col,
+        passthrough=(ts_col,),
+        k=k,
+        n_hashes=n_hashes,
+        bands=bands,
+    )
+    flagged = (
+        banded.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_size), "band_idx", "band_sig")
+        .agg(
+            F.min(id_col).alias("owner"),
+            F.sort_array(F.collect_list(id_col)).alias("_members"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "band_idx",
+            "band_sig",
+            F.explode("_members").alias(id_col),
+            "owner",
+        )
+        .withColumn("owned", F.col(id_col) == F.col("owner"))
+    )
+    writer = (
+        flagged.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def near_dup_kept_ids_windowed(
+    spark: SparkSession,
+    bands_path: str,
+    id_col: str = "doc_id",
+):
+    """Batch reduction of ``streaming_near_dup_flags_jvm`` output with
+    FIRST-WINDOW-WINS semantics: a doc is kept iff, for every one of its
+    band buckets, (a) its window is the EARLIEST window that bucket was
+    ever seen in, and (b) it is that window's owner (the min id).  All of
+    a doc's band rows share one window (one arrival = one event time), so
+    the per-doc reduction is exact; a doc arriving after any of its
+    buckets was claimed in an earlier window is dropped — the cross-batch
+    suppression the reference operator keeps in python state, recovered
+    here from the sink with one aggregation + one keyed join.  The band
+    count is derived from the sink (max band_idx + 1), never passed."""
+    from pyspark.sql import functions as F
+
+    sink = spark.read.parquet(bands_path)
+    bands = sink.agg(F.max("band_idx")).first()[0]
+    if bands is None:
+        return sink.select(id_col).limit(0)
+    first_seen = sink.groupBy("band_idx", "band_sig").agg(
+        F.min("window_start").alias("_w0")
+    )
+    return (
+        sink.join(first_seen, ["band_idx", "band_sig"])
+        .filter(F.col("owned") & (F.col("window_start") == F.col("_w0")))
+        .groupBy(id_col)
+        .agg(F.count_distinct("band_idx").alias("n_owned"))
+        .filter(F.col("n_owned") == bands + 1)
         .select(id_col)
     )
 

@@ -147,6 +147,63 @@ def test_streaming_near_dup_matches_batch_keep_one(spark, tmp_path):
     assert kept3 == {i for i, _ in originals + copies + late} - dropped3
 
 
+def test_streaming_near_dup_jvm_gate_matches_batch_keep_one(spark, tmp_path):
+    """The deployment-scale JVM gate (watermarked window aggregation, no
+    python state): within one event-time window it must reproduce the
+    batch keep-one exactly — including the same-micro-batch copy that
+    the min-key tie-break exists for — and across windows it must
+    suppress docs whose buckets were claimed in an earlier window
+    (first-window-wins).  Windows are flushed by later event time per
+    the append-mode contract, so each assertion follows a batch whose
+    timestamps close the prior window."""
+    import datetime
+
+    from cl_readability_spark.pipeline.streaming import (
+        near_dup_kept_ids_windowed,
+        streaming_near_dup_flags_jvm,
+    )
+
+    inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+
+    def batch(rows, hour, minute=0):
+        ts = datetime.datetime(2026, 1, 1, hour, minute, 0)
+        return spark.createDataFrame(
+            [(i, t, ts) for i, t in rows],
+            "doc_id long, text string, ts timestamp",
+        )
+
+    def run():
+        q = streaming_near_dup_flags_jvm(spark, inp + "/*", out, cp)
+        q.awaitTermination(120)
+        q.stop()
+
+    # window 1 (12:00-13:00): originals, a same-batch copy of doc 5, and
+    # a same-window-later-batch copy of doc 3
+    batch([(i, _ndup_doc(i)) for i in range(10)] + [(300, _ndup_doc(5))], 12).write.parquet(inp + "/b1")
+    batch([(103, _ndup_doc(3))], 12, 30).write.parquet(inp + "/b2")
+    run()
+    # window 1 is still open — nothing emitted yet (append-mode contract)
+    # window 2 (14:00-15:00): a cross-window copy of doc 0 + new docs;
+    # its event time closes window 1
+    batch(
+        [(200, _ndup_doc(0)), (20, _ndup_doc(20)), (21, _ndup_doc(21))], 14, 30
+    ).write.parquet(inp + "/b3")
+    run()
+    kept1 = {r.doc_id for r in near_dup_kept_ids_windowed(spark, out).collect()}
+    # exactly the batch keep-one over window 1: min-key owns every bucket
+    assert kept1 == set(range(10)), kept1
+
+    # horizon batch (17:00) closes window 2; the sentinel itself stays
+    # pending in the still-open 17:00 window
+    batch([(9999, _ndup_doc(9999))], 17).write.parquet(inp + "/b4")
+    run()
+    kept2 = {r.doc_id for r in near_dup_kept_ids_windowed(spark, out).collect()}
+    # 200's buckets were all first seen in window 1 → suppressed;
+    # 20/21 are new → kept.  Identical to the batch keep-one over the
+    # union minus the pending sentinel.
+    assert kept2 == set(range(10)) | {20, 21}, kept2
+
+
 def test_streaming_near_dup_state_ttl_reemits_after_expiry(spark, tmp_path):
     """The documented horizon contract: with a state TTL, bucket owners
     expire after idle time, so a duplicate arriving in a later trigger

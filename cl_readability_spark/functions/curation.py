@@ -123,7 +123,7 @@ def curate_flags(
     max_chars: int = 200_000,
     min_stopword_bp: int = 100,
     langs: tuple[str, ...] = ("en",),
-    benchmark_hashes: list[int] | None = None,
+    benchmark_hashes=None,  # list[int] | numpy int64 array
     decontam_n: int = 13,
     decontam_seed: int = 42,
 ) -> DataFrame:
@@ -145,7 +145,7 @@ def curate_flags(
             F.lit(False),
         ),
     )
-    if benchmark_hashes:
+    if benchmark_hashes is not None and len(benchmark_hashes):
         from cl_readability_spark.functions.decontam import decontaminate
 
         # decontam_n/decontam_seed MUST match the parameters the hash set
@@ -285,7 +285,7 @@ def curate(
     materialize: str = "disk",
     policy: str = "clusters",
     cluster_opts: dict | None = None,
-    benchmark_hashes: list[int] | None = None,
+    benchmark_hashes=None,  # list[int] | numpy int64 array
     decontam_n: int = 13,
     decontam_seed: int = 42,
 ) -> DataFrame:

@@ -3,19 +3,33 @@ n-gram with an evaluation/benchmark set (the standard training-data
 hygiene stage: a document containing a verbatim benchmark passage leaks
 the eval into training).
 
-Spark-first shape: benchmark suites are SMALL by definition (10^4–10^6
-passages), so their distinct n-gram hash set is computed once
-distributed, collected, and BROADCAST — corpus flagging is then one
-stateless Arrow stage over the corpus with zero joins and zero
-shuffles: the plan at 100 TB is scan → mapInPandas → (whatever the
-caller does next), embarrassingly parallel.  The n-gram hashing is the
-same keyed blake2b-64 family as the dedup stack
-(``dedup._shingle_hashes``), so a benchmark gram and a corpus gram can
-never disagree on tokenization or hashing.
+Spark-first shape, two strategies:
+
+- ``broadcast`` (default for real benchmark suites): the benchmark's
+  distinct n-gram hash set is computed once distributed, collected as a
+  SORTED numpy int64 array, and broadcast — corpus flagging is then one
+  stateless Arrow stage with zero joins and zero shuffles: the plan at
+  100 TB is scan → mapInPandas → next stage, embarrassingly parallel.
+  Membership is vectorized ``searchsorted`` against the sorted array
+  (~8 bytes/gram: 10^6 grams ≈ 8 MB, 10^8 grams ≈ 800 MB — the numpy
+  array, unlike a python set of ints, has no per-object overhead).
+- ``join`` (the oversized-benchmark path): the benchmark gram set stays
+  distributed — corpus grams are exploded as compact (text-key, gram)
+  pairs, joined against the gram frame, and the per-text hit counts are
+  joined back on the text key.  Three keyed shuffles of narrow rows +
+  one corpus shuffle; no driver-side set at all.
+
+``strategy="auto"`` (the default) picks: broadcast while the distinct
+gram count is ≤ ``broadcast_limit`` (50M grams ≈ 400 MB), join above
+it — so feeding a multi-GB "benchmark" degrades to the scalable plan
+instead of OOMing the driver.  ``benchmark_ngram_hashes`` separately
+hard-fails above ``max_grams`` for callers that insist on a collected
+set.  The n-gram hashing is the same keyed blake2b-64 family as the
+dedup stack (``dedup._shingle_hashes``), so a benchmark gram and a
+corpus gram can never disagree on tokenization or hashing.
 
 The membership test is exact on hashes (64-bit; chance collision
-~5e-20 per gram pair) — this is deliberately NOT a bloom filter: at
-benchmark scale the exact set costs a few MB of broadcast, and a
+~5e-20 per gram pair) — deliberately NOT a bloom filter: a
 false-positive-free flag lets the ``contaminated`` column double as a
 hard filter.  Default n=13 follows the common LLM decontamination
 practice (GPT-3 appendix C / The Pile): long enough that natural reuse
@@ -28,21 +42,18 @@ from pyspark.sql import DataFrame, functions as F
 
 from cl_readability_spark.functions.dedup import _shingle_hashes
 
+# above this distinct-gram count, auto-strategy switches to the join
+# plan; 50M int64s ≈ 400 MB broadcast — comfortable on executors, far
+# past any real benchmark suite (≈66k grams measured on the bench set)
+DEFAULT_BROADCAST_LIMIT = 50_000_000
 
-def benchmark_ngram_hashes(
-    benchmark: DataFrame,
-    text_col: str = "text",
-    n: int = 13,
-    seed: int = 42,
-) -> list[int]:
-    """The distinct n-gram hash set of the benchmark frame, computed
-    distributed (one Arrow stage + one distinct) and returned as python
-    ints for broadcasting.  Documents shorter than ``n`` words
-    contribute their whole word run as one gram (the dedup fallback),
-    i.e. a short benchmark passage is matched only verbatim."""
+
+def _gram_frame(
+    benchmark: DataFrame, text_col: str, n: int, key: bytes
+) -> DataFrame:
+    """Distinct n-gram hashes of ``benchmark`` as a one-column frame
+    (``gram long``) — stays distributed; both strategies start here."""
     import pandas as pd
-
-    key = str(seed).encode()
 
     def _grams(batches):
         for pdf in batches:
@@ -60,13 +71,48 @@ def benchmark_ngram_hashes(
                 )
             yield pd.DataFrame({"gram": pd.Series(out, dtype="int64")})
 
-    rows = (
-        benchmark.select(text_col)
-        .mapInPandas(_grams, "gram long")
-        .distinct()
-        .collect()
+    return benchmark.select(text_col).mapInPandas(_grams, "gram long").distinct()
+
+
+def benchmark_ngram_hashes(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    seed: int = 42,
+    max_grams: int = 100_000_000,
+):
+    """The distinct n-gram hash set of the benchmark frame, computed
+    distributed (one Arrow stage + one distinct) and returned as a
+    SORTED numpy int64 array for broadcasting (10^8 grams ≈ 800 MB; a
+    python set of the same ints would cost 6-12 GB in object overhead).
+    Raises above ``max_grams`` — a "benchmark" that large must go
+    through ``decontaminate(strategy="join")``, never a driver collect.
+    Documents shorter than ``n`` words contribute their whole word run
+    as one gram (the dedup fallback), i.e. a short benchmark passage is
+    matched only verbatim."""
+    import numpy as np
+
+    grams = _gram_frame(benchmark, text_col, n, str(seed).encode())
+    count = grams.count()
+    if count > max_grams:
+        raise ValueError(
+            f"benchmark has {count} distinct {n}-grams (> {max_grams}); "
+            f"collecting that to the driver is the OOM path — use "
+            f"decontaminate(strategy='join') to keep the set distributed"
+        )
+    arr = np.fromiter(
+        (r.gram for r in grams.toLocalIterator()), dtype=np.int64, count=count
     )
-    return [r.gram for r in rows]
+    arr.sort()
+    return arr
+
+
+def _normalize_hashes(hashes):
+    import numpy as np
+
+    arr = np.asarray(hashes, dtype=np.int64)
+    arr = np.sort(arr)
+    return arr
 
 
 def decontaminate(
@@ -75,33 +121,87 @@ def decontaminate(
     text_col: str = "text",
     n: int = 13,
     seed: int = 42,
-    hashes: list[int] | None = None,
+    hashes=None,
+    strategy: str = "auto",
+    broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Adds ``contaminated`` (bool) and ``n_contaminated_grams`` (int) to
     ``corpus``: whether the document shares any word n-gram with the
-    benchmark set.  Pass either ``benchmark`` (hash set computed here) or
-    a precomputed ``hashes`` list (e.g. cached across corpora — the
-    benchmark set rarely changes).  Filter ``~contaminated`` for the
-    clean corpus; keep the flag for audit reports.
+    benchmark set.  Pass either ``benchmark`` (gram set computed here) or
+    precomputed ``hashes`` (list or numpy array — e.g. cached across
+    corpora; the benchmark set rarely changes).  Filter ``~contaminated``
+    for the clean corpus; keep the flag for audit reports.
 
-    Plan: one broadcast (the hash set) + one stateless mapInPandas over
-    the corpus — no join, no shuffle, no driver-side corpus state."""
-    if hashes is None:
-        if benchmark is None:
-            raise ValueError("pass either benchmark or hashes")
-        hashes = benchmark_ngram_hashes(benchmark, text_col, n, seed)
-    bc = corpus.sparkSession.sparkContext.broadcast(frozenset(hashes))
+    ``strategy``: "broadcast" (sorted-array broadcast + stateless Arrow
+    stage — zero shuffles), "join" (distributed gram join — no driver
+    set), or "auto" (broadcast ≤ ``broadcast_limit`` distinct grams,
+    join above).  Both strategies produce identical flags and counts
+    (pytest-pinned equivalence)."""
+    if strategy not in ("auto", "broadcast", "join"):
+        raise ValueError(f"strategy must be auto/broadcast/join, got {strategy!r}")
     key = str(seed).encode()
-    cols = corpus.columns
+    if hashes is None and benchmark is None:
+        raise ValueError("pass either benchmark or hashes")
+
+    if strategy != "broadcast" and hashes is None:
+        # gram count decides auto; computing it costs one pass over the
+        # (small) benchmark frame only
+        grams_df = _gram_frame(benchmark, text_col, n, key)
+        if strategy == "join":
+            return _decontaminate_join(corpus, grams_df, text_col, n, key)
+        n_grams = grams_df.count()
+        if n_grams > broadcast_limit:
+            return _decontaminate_join(corpus, grams_df, text_col, n, key)
+        import numpy as np
+
+        hashes = np.fromiter(
+            (r.gram for r in grams_df.toLocalIterator()),
+            dtype=np.int64,
+            count=n_grams,
+        )
+        hashes.sort()
+        return _decontaminate_broadcast(corpus, hashes, text_col, n, key)
+
+    if hashes is None:  # strategy == "broadcast", benchmark supplied
+        hashes = benchmark_ngram_hashes(benchmark, text_col, n, seed)
+    elif strategy == "join":
+        grams_df = corpus.sparkSession.createDataFrame(
+            [(int(h),) for h in hashes], "gram long"
+        ).distinct()
+        return _decontaminate_join(corpus, grams_df, text_col, n, key)
+
+    bench_arr = _normalize_hashes(hashes)
+    if strategy == "auto" and len(bench_arr) > broadcast_limit:
+        raise ValueError(
+            f"{len(bench_arr)} precollected gram hashes exceed "
+            f"broadcast_limit={broadcast_limit}; pass strategy='join' (the "
+            f"grams are parallelized back out — no driver set on executors)"
+        )
+    return _decontaminate_broadcast(corpus, bench_arr, text_col, n, key)
+
+
+def _out_schema(corpus: DataFrame):
     # StructType.add mutates in place — never call it on the DataFrame's
     # cached schema object (it would corrupt corpus.columns for later use)
     from pyspark.sql.types import StructType
 
-    out_schema = (
+    return (
         StructType(list(corpus.schema.fields))
         .add("contaminated", "boolean", False)
         .add("n_contaminated_grams", "integer", False)
     )
+
+
+def _decontaminate_broadcast(
+    corpus: DataFrame, bench_arr, text_col: str, n: int, key: bytes
+) -> DataFrame:
+    """One broadcast (sorted int64 array) + one stateless mapInPandas —
+    no join, no shuffle, no driver-side corpus state; membership is
+    vectorized searchsorted per document."""
+    import numpy as np
+
+    bc = corpus.sparkSession.sparkContext.broadcast(bench_arr)
+    cols = corpus.columns
 
     def _flag(batches):
         bench = bc.value
@@ -112,10 +212,13 @@ def decontaminate(
                     flags.append(False)  # empty docs cannot leak anything
                     hits.append(0)
                     continue
-                grams = set(
-                    int(h) for h in _shingle_hashes(text, n, key).astype("int64")
-                )
-                inter = len(grams & bench)
+                grams = np.unique(_shingle_hashes(text, n, key).astype("int64"))
+                if len(bench):
+                    idx = np.searchsorted(bench, grams)
+                    idx[idx == len(bench)] = 0  # any in-range slot; equality decides
+                    inter = int(np.count_nonzero(bench[idx] == grams))
+                else:
+                    inter = 0
                 flags.append(inter > 0)
                 hits.append(inter)
             pdf = pdf.copy()
@@ -123,4 +226,58 @@ def decontaminate(
             pdf["n_contaminated_grams"] = hits
             yield pdf
 
-    return corpus.select(*cols).mapInPandas(_flag, out_schema)
+    return corpus.select(*cols).mapInPandas(_flag, _out_schema(corpus))
+
+
+def _decontaminate_join(
+    corpus: DataFrame, grams_df: DataFrame, text_col: str, n: int, key: bytes
+) -> DataFrame:
+    """The oversized-benchmark plan: corpus grams exploded as compact
+    (text-key, gram) pairs, inner-joined against the distributed gram
+    frame, hit counts aggregated per text key and joined back onto the
+    corpus.  The text key is ``xxhash64(text)`` — identical texts share
+    a key, which merges their (identical) flags; a cross-text collision
+    (~n²/2^64) could only merge two rows' counts, never clear a flag.
+    All wide ops are keyed (gram join, per-key agg, corpus join) — AQE
+    sizes them; nothing touches the driver."""
+    import pandas as pd
+
+    tk = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+
+    def _emit(batches):
+        import numpy as np
+
+        for pdf in batches:
+            tks, grams = [], []
+            for t_key, text in zip(pdf["_tk"], pdf[text_col]):
+                if not (text or "").strip():
+                    continue
+                g = np.unique(_shingle_hashes(text, n, key).astype("int64"))
+                tks.extend([int(t_key)] * len(g))
+                grams.extend(int(x) for x in g)
+            yield pd.DataFrame(
+                {
+                    "_tk": pd.Series(tks, dtype="int64"),
+                    "gram": pd.Series(grams, dtype="int64"),
+                }
+            )
+
+    pairs = (
+        corpus.select(tk.alias("_tk"), text_col)
+        .mapInPandas(_emit, "_tk long, gram long")
+    )
+    hits = (
+        pairs.join(grams_df, "gram")
+        .groupBy("_tk")
+        .agg(F.count_distinct("gram").cast("integer").alias("_hits"))
+    )
+    cols = corpus.columns
+    return (
+        corpus.withColumn("_tk", tk)
+        .join(hits, "_tk", "left")
+        .select(
+            *cols,
+            F.coalesce(F.col("_hits") > 0, F.lit(False)).alias("contaminated"),
+            F.coalesce(F.col("_hits"), F.lit(0)).alias("n_contaminated_grams"),
+        )
+    )

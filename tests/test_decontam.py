@@ -49,16 +49,67 @@ def test_decontaminate_flags_exact_ngram_leaks(spark, frames):
 def test_decontaminate_precomputed_hashes_roundtrip(spark, frames):
     """The hash set can be computed once and reused across corpora (the
     benchmark rarely changes); results are identical to the direct path."""
+    import numpy as np
+
     corpus, benchmark = frames
     hashes = benchmark_ngram_hashes(benchmark)
-    assert hashes and all(isinstance(h, int) for h in hashes)
+    # sorted numpy int64 array — ~8 bytes/gram broadcast, vectorized
+    # searchsorted membership (a python int set costs 60-90 bytes/gram)
+    assert isinstance(hashes, np.ndarray) and hashes.dtype == np.int64
+    assert len(hashes) > 0 and (np.diff(hashes) > 0).all()
     direct = {(r.doc_id, r.contaminated, r.n_contaminated_grams)
               for r in decontaminate(corpus, benchmark).collect()}
     cached = {(r.doc_id, r.contaminated, r.n_contaminated_grams)
               for r in decontaminate(corpus, hashes=hashes).collect()}
-    assert direct == cached
+    # plain python lists keep working (cached sets from older callers)
+    listed = {(r.doc_id, r.contaminated, r.n_contaminated_grams)
+              for r in decontaminate(corpus, hashes=[int(h) for h in hashes]).collect()}
+    assert direct == cached == listed
     with pytest.raises(ValueError, match="benchmark or hashes"):
         decontaminate(corpus)
+
+
+def test_decontaminate_join_strategy_equivalent(spark, frames):
+    """The oversized-benchmark path (distributed gram join, no driver
+    set) must produce flag-and-count-identical output to the broadcast
+    path on the planted corpus — including the duplicate-text and
+    empty-text edges the join's text-key grouping has to get right."""
+    corpus, benchmark = frames
+    extra = spark.createDataFrame(
+        [(4, ""), (5, None), (6, CLEAN)], ["doc_id", "text"]
+    )
+    corpus = corpus.unionByName(extra)
+    ref = {(r.doc_id, r.contaminated, r.n_contaminated_grams)
+           for r in decontaminate(corpus, benchmark, strategy="broadcast").collect()}
+    joined = {(r.doc_id, r.contaminated, r.n_contaminated_grams)
+              for r in decontaminate(corpus, benchmark, strategy="join").collect()}
+    assert ref == joined
+    # auto flips to join above the broadcast limit — same answer
+    auto_small_limit = {
+        (r.doc_id, r.contaminated, r.n_contaminated_grams)
+        for r in decontaminate(
+            corpus, benchmark, strategy="auto", broadcast_limit=1
+        ).collect()
+    }
+    assert auto_small_limit == ref
+    # column contract is preserved by the join path too
+    row = decontaminate(corpus, benchmark, strategy="join").first()
+    assert set(row.asDict()) == {
+        "doc_id", "text", "contaminated", "n_contaminated_grams",
+    }
+
+
+def test_decontaminate_size_guards(spark, frames):
+    """Misuse fails loudly instead of OOMing the driver: a collected set
+    above max_grams raises in benchmark_ngram_hashes, and precollected
+    hashes above broadcast_limit raise under auto (the message points at
+    strategy='join')."""
+    corpus, benchmark = frames
+    with pytest.raises(ValueError, match="join"):
+        benchmark_ngram_hashes(benchmark, max_grams=1)
+    hashes = benchmark_ngram_hashes(benchmark)
+    with pytest.raises(ValueError, match="join"):
+        decontaminate(corpus, hashes=hashes, broadcast_limit=1)
 
 
 def test_decontaminate_plan_is_shuffle_free(spark, frames):

@@ -184,7 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Training-shard prep (rows-only: pack ids depend on the hash
         partitioning, not SQL-expressible): whitespace token counts →
-        per-partition first-fit-decreasing packs within a 2048-token
+        per-partition best-fit-decreasing packs within a 2048-token
         budget.  Invariants (budget, exactly-once, oversize isolation)
         are pytest-pinned in tests/test_packing.py."""
         from cl_readability_spark.functions.packing import pack_sequences

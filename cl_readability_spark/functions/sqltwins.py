@@ -36,6 +36,20 @@ NEGATIVE_RE = (
 )
 
 STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"]
+
+# PII scrub patterns (functions/curation.py redact_pii re-exports these;
+# the full precision/order rationale lives on that re-export's comment).
+# Valid in BOTH Java regex (Spark regexp_replace) and RE2 (the DuckDB
+# oracle): no lookaround, no backrefs, non-capturing groups only.
+# ORDER IS SIGNIFICANT — applied top to bottom.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{16}\b", "[CARD]"),
+    (r"\+\d{1,3}[-. ]?\(?\d{1,4}\)?(?:[-. ]\d{2,4}){2,3}\b"
+     r"|(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IPV4]"),
+)
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 TOKEN_RE = r"\w+|[^\w\s]"
@@ -1268,37 +1282,153 @@ FROM documents
 """
 
 
-# --- 18f. pii_redact — the PII scrub twin, planted so it is non-vacuous:
-#     every doc gets a synthetic email + SSN appended, then redacted; the
-#     oracle applies the identical RE2-compatible patterns (DuckDB needs
-#     the 'g' flag for global replacement; Spark's regexp_replace is
-#     global by default). ---
-def q_pii_redact(spark, sf_dir):
-    from cl_readability_spark.functions.curation import redact_pii
-
-    planted = F.concat(
+# --- 18f. pii_redact — the PII scrub twin, planted so every pattern
+#     class is non-vacuous: each doc gets a synthetic email, SSN, phone
+#     (doc_id-varied grouping), card and IPv4 appended, then redacted.
+#     The oracle chain is GENERATED from the same PII_PATTERNS literals
+#     (no drift possible; DuckDB needs the 'g' flag for global
+#     replacement, Spark's regexp_replace is global by default). ---
+def _pii_plant_spark():
+    # built lazily — Column construction needs a live SparkContext
+    return F.concat(
         F.col("text"),
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
-        F.lit("@example.com ssn 123-45-6789 end"),
+        F.lit("@example.com ssn 123-45-6789 call (555) 123-4"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
+        F.lit(" card 4111-1111-1111-1111 ip 10.0.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(" end"),
     )
+_PII_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com ssn 123-45-6789 call (555) 123-4' "
+    "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') "
+    "|| ' card 4111-1111-1111-1111 ip 10.0.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || ' end'"
+)
+
+
+def _sql_pii_chain(expr: str) -> str:
+    for pattern, token in PII_PATTERNS:
+        expr = (
+            f"regexp_replace({expr},\n  '{pattern.replace(chr(39), chr(39) * 2)}',"
+            f" '{token}', 'g')"
+        )
+    return expr
+
+
+def q_pii_redact(spark, sf_dir):
+    from cl_readability_spark.functions.curation import redact_pii
+
     return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        redact_pii(planted).alias("redacted"),
+        redact_pii(_pii_plant_spark()).alias("redacted"),
     )
 
 
-SQL_PII_REDACT = """
+SQL_PII_REDACT = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       regexp_replace(
-         regexp_replace(
-           text || ' contact user' || CAST(doc_id AS VARCHAR)
-                || '@example.com ssn 123-45-6789 end',
-           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'
-         ),
-         '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'
-       ) AS redacted
+       {_sql_pii_chain(f"({_PII_PLANT_SQL})")} AS redacted
 FROM documents
+"""
+
+
+# --- 18g. pack_invariants — the SQL-expressible half of sequence
+#     packing (functions/packing.py).  Pack IDS are partitioning-
+#     dependent (not SQL-expressible; rows-only pack_sequences query),
+#     but the packing CONTRACT is closed-form: every doc exactly once,
+#     token totals preserved, every non-oversize pack within budget with
+#     a consistent member-token sum, oversize ⇔ tokens > budget, each
+#     oversize pack a singleton, and pack count ≥ the ceil(total/budget)
+#     lower bound.  The Spark side re-aggregates the packer's actual
+#     output into one row; the oracle computes the counts from the raw
+#     table and asserts the booleans as literals — any packer violation
+#     hash-mismatches.  Budget 64 keeps both classes populated on the
+#     driver corpus (~200 oversize, ~300 packable docs). ---
+_PACK_BUDGET = 64
+
+
+def q_pack_invariants(spark, sf_dir):
+    from cl_readability_spark.functions.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0, F.lit(0)
+        )
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, max_tokens=_PACK_BUDGET, num_partitions=4)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("member_sum"),
+        F.max("pack_tokens").alias("pack_tokens"),
+        F.min("pack_tokens").alias("pack_tokens_min"),
+        F.count("*").alias("n_members"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    pack_checks = per_pack.agg(
+        F.count("*").alias("n_packs"),
+        F.min(
+            (F.col("member_sum") == F.col("pack_tokens"))
+            & (F.col("pack_tokens") == F.col("pack_tokens_min"))
+        ).alias("sums_ok"),
+        F.min(
+            (F.col("has_oversize") == 1) | (F.col("pack_tokens") <= _PACK_BUDGET)
+        ).alias("budget_ok"),
+        F.min(
+            (F.col("has_oversize") == 0) | (F.col("n_members") == 1)
+        ).alias("singleton_oversize_ok"),
+        F.sum(
+            F.when(F.col("has_oversize") == 0, F.col("pack_tokens")).otherwise(0)
+        ).alias("_packable_tokens"),
+    )
+    row_checks = packed.agg(
+        F.count("*").cast("long").alias("n_rows_out"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+        F.min(
+            F.col("oversize") == (F.col("n_tokens") > _PACK_BUDGET)
+        ).alias("oversize_ok"),
+    )
+    # both aggregates are one-row frames; crossJoin of two singletons
+    return row_checks.crossJoin(pack_checks).select(
+        "n_rows_out",
+        "n_docs",
+        "total_tokens",
+        "n_oversize",
+        "oversize_ok",
+        "budget_ok",
+        "sums_ok",
+        "singleton_oversize_ok",
+        (
+            F.col("n_packs") - F.col("n_oversize")
+            >= F.ceil(F.col("_packable_tokens") / F.lit(_PACK_BUDGET))
+        ).alias("pack_count_ok"),
+    )
+
+
+SQL_PACK_INVARIANTS = f"""
+WITH toks AS (
+  SELECT CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS n_tokens
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_out,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n_tokens > {_PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversize,
+       TRUE AS oversize_ok,
+       TRUE AS budget_ok,
+       TRUE AS sums_ok,
+       TRUE AS singleton_oversize_ok,
+       TRUE AS pack_count_ok
+FROM toks
 """
 
 
@@ -1331,6 +1461,7 @@ SQL_TWINS: dict[str, tuple] = {
     "source_cap": (q_source_cap, SQL_SOURCE_CAP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "pack_invariants": (q_pack_invariants, SQL_PACK_INVARIANTS),
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),

@@ -39,7 +39,7 @@ def test_pack_invariants(spark, docs):
 
 
 def test_pack_efficiency_and_determinism(spark, docs):
-    """FFD within each partition: packs (beyond the per-partition tail)
+    """BFD within each partition: packs (beyond the per-partition tail)
     are well filled — total packs stay within 1.5× the token lower bound
     plus one tail pack per partition; the assignment is identical across
     two runs (hash repartition + in-partition sort are deterministic)."""

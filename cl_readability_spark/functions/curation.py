@@ -51,7 +51,11 @@ from pyspark.sql.window import Window
 
 from cl_readability_spark.functions.dedup import dup_clusters, minhash_near_dups
 from cl_readability_spark.functions.pins import attach_pins, release_pinned
-from cl_readability_spark.functions.sqltwins import LANG_MARKERS, STOPWORDS
+from cl_readability_spark.functions.sqltwins import (
+    LANG_MARKERS,
+    PII_PATTERNS as _PII_PATTERNS,
+    STOPWORDS,
+)
 
 
 def quality_flag(
@@ -95,14 +99,28 @@ def _row_key(key_cols: tuple[str, ...]):
 
 
 # PII patterns chosen to mean the same thing in Java regex (Spark) and
-# RE2 (DuckDB oracle): no lookaround, no backrefs.  Order-independent
-# (the patterns cannot overlap).  Extend with locale-specific patterns
-# (phones, IBANs) at deployment — each entry is one codegen'd
-# regexp_replace, so the cost is one scan regardless of count.
-PII_PATTERNS: tuple[tuple[str, str], ...] = (
-    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
-)
+# RE2 (DuckDB oracle): no lookaround, no backrefs, non-capturing groups
+# only.  ORDER IS SIGNIFICANT — patterns are applied top to bottom and
+# earlier replacements remove their spans from later patterns' view
+# (16-digit cards are consumed before any shorter digit rule could bite
+# a fragment; the SSN rule runs before IPv4 so a dashed triple is never
+# half-eaten).  Precision choices, documented honestly:
+# - CARD is grouping-shaped (4-4-4-4 with separators, or a bare 16-digit
+#   run), NOT Luhn-validated — Luhn needs arithmetic, not regex; some
+#   non-card 16-digit ids will redact.  13/15-digit PANs (unseparated
+#   Visa-13/Amex) are NOT matched — a bare \d{13,16} eats too many
+#   order/tracking numbers.
+# - PHONE requires either +country or separated 3-3-4 grouping; bare
+#   10-digit runs are left alone (they are usually ids, not numbers).
+# - IPV4 is shape-only (octets up to 999 match) and will redact
+#   dotted-quad version strings — the standard recall-over-precision
+#   trade for a pre-training scrub.
+# Extend with locale-specific patterns (IBANs, national ids) at
+# deployment — each entry is one codegen'd regexp_replace, so the cost
+# is one scan regardless of count.  The tuple LIVES in sqltwins (with
+# the other engine-parity constants) so the DuckDB oracle chain is
+# generated from the same literals — re-exported here as the public name.
+PII_PATTERNS = _PII_PATTERNS
 
 
 def redact_pii(text_col):

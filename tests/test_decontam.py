@@ -138,9 +138,23 @@ def test_redact_pii_patterns(spark):
         (0, "mail a.b+c@ex-ample.co.uk and 123-45-6789 twice: x@y.io"),
         (1, "no pii here, just 12345 and a-b@c"),  # non-matches untouched
         (2, None),
+        (3, "card 4111-1111-1111-1111 or 4111111111111111 end"),
+        (4, "call (555) 123-4567 or +1 555 123 4567 or +44-20-7946-0958"),
+        (5, "host 10.0.0.1 and 999.999.999.999 but not 1.2 or v1.2.3"),
+        # documented precision choices: bare 10-digit runs and dates are
+        # NOT phone numbers; dashed dates are not SSNs
+        (6, "order 1234567890 stays, date 2026-08-17 stays"),
+        (7, "user123@10.0.0.1 mixed numeric-host"),
     ]
     df = spark.createDataFrame(rows, ["i", "t"])
     got = {r.i: r.o for r in df.select("i", redact_pii(F.col("t")).alias("o")).collect()}
     assert got[0] == "mail [EMAIL] and [SSN] twice: [EMAIL]"
     assert got[1] == "no pii here, just 12345 and a-b@c"
     assert got[2] is None
+    assert got[3] == "card [CARD] or [CARD] end"
+    assert got[4] == "call [PHONE] or [PHONE] or [PHONE]"
+    assert got[5] == "host [IPV4] and [IPV4] but not 1.2 or v1.2.3"
+    assert got[6] == "order 1234567890 stays, date 2026-08-17 stays"
+    # the email rule requires an alphabetic TLD, so a numeric host falls
+    # through to the IPv4 rule — span-level redaction either way
+    assert got[7] == "user123@[IPV4] mixed numeric-host"

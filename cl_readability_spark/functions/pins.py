@@ -23,42 +23,49 @@ Contract:
 
 Pins are also dropped with the session; registry entries leave only via
 the release calls (an unpersisted frame is harmless to unpersist again,
-so double-release is safe).  The registry holds STRONG references — the
-price of recoverability; a long-lived driver that never releases
-accumulates python-side plan objects too, which is exactly the signal
-``pins_outstanding`` exposes for monitoring.  Releasing against a
-stopped session is safe: the executor storage died with the context, so
-unpersist failures are swallowed and the entries dropped.
+so double-release is safe).  The registry is a ``WeakKeyDictionary``
+keyed by the SparkSession OBJECT: a key that CPython ``id()`` reuse can
+never alias (a collected session's entry vanishes with it, so a new
+session landing on the same address starts clean — the failure mode a
+str(id())-keyed registry had), and one that keeps working after
+``spark.stop()`` (``sparkContext``/``applicationId`` raise on a stopped
+session; the object itself still hashes).  The VALUES hold strong
+references to the pinned frames — the price of recoverability; a
+long-lived driver that never releases accumulates python-side plan
+objects, which is exactly the signal ``pins_outstanding`` exposes for
+monitoring — but they die with the session's own collection.  Releasing
+against a stopped session is safe: the executor storage died with the
+context, so unpersist failures are swallowed and the entries dropped.
 """
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
-# session-id → list of pinned DataFrames not yet released
-_REGISTRY: dict[str, list[DataFrame]] = {}
-
-
-def _session_key(spark: SparkSession) -> str:
-    return str(id(spark))
+# SparkSession (weak) → list of pinned DataFrames not yet released
+_REGISTRY: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def attach_pins(df: DataFrame, *pinned: DataFrame) -> DataFrame:
     pins = [p for p in pinned if p is not None]
     df._clrs_pinned = pins
     if pins:
-        _REGISTRY.setdefault(_session_key(df.sparkSession), []).extend(pins)
+        _REGISTRY.setdefault(df.sparkSession, []).extend(pins)
     return df
 
 
 def _drop_from_registry(pins: list[DataFrame]) -> None:
     ids = {id(p) for p in pins}
-    for key, entries in list(_REGISTRY.items()):
+    for session, entries in list(_REGISTRY.items()):
         kept = [p for p in entries if id(p) not in ids]
         if kept:
-            _REGISTRY[key] = kept
+            _REGISTRY[session] = kept
         else:
-            _REGISTRY.pop(key, None)
+            _REGISTRY.pop(session, None)
 
 
 def _unpersist_quietly(p: DataFrame) -> None:
@@ -85,7 +92,7 @@ def release_pinned(df: DataFrame) -> int:
 
 def pins_outstanding(spark: SparkSession) -> int:
     """Operator pins registered for this session and not yet released."""
-    return len(_REGISTRY.get(_session_key(spark), []))
+    return len(_REGISTRY.get(spark, []))
 
 
 def release_all_pins(spark: SparkSession) -> int:
@@ -93,7 +100,7 @@ def release_all_pins(spark: SparkSession) -> int:
     handles lost to derivation); returns the count dropped.  Safe to call
     during teardown after ``spark.stop()`` — dead-context unpersists are
     swallowed, the registry entries are dropped regardless."""
-    pins = _REGISTRY.pop(_session_key(spark), [])
+    pins = _REGISTRY.pop(spark, [])
     for p in pins:
         _unpersist_quietly(p)
     return len(pins)

@@ -48,6 +48,12 @@ SEG2 = "Second segment with commas, and plenty of words to matter here, still. "
 WINNER = (
     "WINNER marker paragraph, long enough to contribute to the final text output."
 )
+# the RTL article sentence (golden_cases.RTL_S — restated here by hand,
+# like S above, so the expectation stays independent of the generator)
+RTL_S = (
+    "فقرة المحتوى الرئيسي تحتوي على جمل عربية طويلة، وفواصل متعددة، "
+    "وكلمات كافية لرفع درجة هذه الفقرة في اختيار المرشح الأعلى بوضوح. "
+)
 
 # name -> {text, title?, byline?}; every derivation commented with its
 # reasoning chain.
@@ -130,6 +136,43 @@ AUTHORED: dict[str, dict] = {
     # ul.tags: 'tags' matches the negative regex -> weight -25 < 0 ->
     # removed outright by clean-conditionally (weight + 0 < 0).
     "clean-conditional": {"text": (S * 12).strip()},
+    # rtl-aria-hidden — derivation chain (written BEFORE running):
+    # 1. Visibility gate (JS _isProbablyVisible / node-visible-p): the
+    #    aria-hidden='true' div is skipped by the grab-article traversal
+    #    BEFORE any scoring, so the nav decoy paragraph never becomes a
+    #    candidate and its text cannot leak (same machinery the
+    #    hidden-content fixture pins for style/hidden-attr).
+    # 2. Scoring: 4 real paragraphs (3 Arabic + 1 English).  Arabic
+    #    commas U+060C are in the COMMAS class (extract.py:65, mirroring
+    #    Readability.js REGEXPS.commas), so the RTL paragraphs earn
+    #    their comma points: each RTL_P has 8 Arabic commas + length
+    #    bonus 3 -> 1+9+3; LONG_P scores as in basic-article.  All four
+    #    score <article> in full (init 0 for ARTICLE in the JS base
+    #    table) and div#page at half -> article is top candidate, no
+    #    climb (parent scores half), no 0.75 alternative.
+    # 3. Single-child hoist guard: div.siteinfo (visible, <25 chars of
+    #    text -> never scored) keeps div#page at TWO children after the
+    #    decoy's removal, so the JS single-child climb does NOT promote
+    #    the top candidate past the dir attribute.  (First derivation
+    #    attempt missed this: with the decoy removed and no second
+    #    sibling, the hoist makes div#page the top candidate and dir
+    #    comes back null — in Readability.js too.  The fixture pins the
+    #    non-hoisted wiring on purpose.)
+    # 4. Sibling merge over div#page's children: div.siteinfo has no
+    #    score and is not a <p> -> not appended; article is the one
+    #    block.  Article direction (JS _articleDir, extract.py:622):
+    #    first dir attr on [parentOfTopCandidate=div#page (none),
+    #    topCandidate=article (dir='rtl')] -> dir = 'rtl'.
+    # 5. Text: the four paragraphs' texts concatenate (each literal ends
+    #    in '. ') -> RTL_S*12 + S*4, stripped.  Title: 'X | Site' split
+    #    at the first separator; first part has 5 words >= 3 -> kept
+    #    (no short-part revert).
+    "rtl-aria-hidden": {
+        "text": (RTL_S * 12 + S * 4).strip(),
+        "title": "عنوان المقال التجريبي الطويل Mixed",
+        "dir": "rtl",
+        "html_excludes": ["شريط تنقل مخفي"],
+    },
     # nested-table-lazy-img — derivation chain (written BEFORE running):
     # 1. strip-unlikelys does NOT remove td.nav ('nav' is not in
     #    REGEXPS.unlikelyCandidates, regexes.py:14-21), so the nav cell is

@@ -17,6 +17,12 @@ LONG_P = (
     + "</p>"
 )
 
+RTL_S = (
+    "فقرة المحتوى الرئيسي تحتوي على جمل عربية طويلة، وفواصل متعددة، "
+    "وكلمات كافية لرفع درجة هذه الفقرة في اختيار المرشح الأعلى بوضوح. "
+)
+RTL_P = "<p>" + RTL_S * 4 + "</p>"
+
 CASES: dict[str, tuple[str, str | None]] = {
     "basic-article": (
         "<html lang='en'><head><title>The Basic Article Fixture Title | Site</title></head>"
@@ -198,6 +204,30 @@ CASES: dict[str, tuple[str, str | None]] = {
     # (outer 1×2 with a nav cell, inner 1×1 holding the story div) plus a
     # lazy-loaded hero image: base64 placeholder src + the real URL in
     # data-src, relative to the page URL.
+    # RTL + mixed-language pathology: an Arabic article under dir='rtl'
+    # with one English paragraph inline, behind an aria-hidden nav decoy.
+    # Pins (a) the article-dir wiring (JS _articleDir: first dir attr on
+    # parentOfTopCandidate → topCandidate → ancestors) and (b) that the
+    # visibility gate drops aria-hidden='true' boilerplate BEFORE scoring
+    # (Arabic commas U+060C count via REGEXPS.commas, so the RTL
+    # paragraphs score on their own punctuation).
+    "rtl-aria-hidden": (
+        "<html lang='ar'><head><title>"
+        "عنوان المقال التجريبي الطويل Mixed | Site</title></head>"
+        "<body><div id='page'>"
+        "<div aria-hidden='true'><p>شريط تنقل مخفي بفواصل، وروابط كثيرة، "
+        "يجب ألا يظهر في النص المستخرج أبداً.</p></div>"
+        f"<article dir='rtl' id='main'>{RTL_P * 3}{LONG_P}</article>"
+        # a second VISIBLE sibling: without it the aria-hidden removal
+        # leaves div#page single-child and the JS single-child hoist
+        # promotes the top candidate past the dir attribute (verified
+        # against the written JS semantics — the hoist is in
+        # _grabArticle); <25 chars of inner text so it is never scored
+        # and never merged
+        "<div class='siteinfo'><p><a href='/x'>صفحة</a></p></div>"
+        "</div></body></html>",
+        None,
+    ),
     "nested-table-lazy-img": (
         "<html lang='en'><head><title>Nested Table Layout Rescue Story | "
         "Example Host</title></head><body>"

@@ -38,7 +38,10 @@ def test_extraction_matches_authored_text(name):
 
 @pytest.mark.parametrize(
     "name",
-    sorted(n for n, e in AUTHORED.items() if "title" in e or "byline" in e),
+    sorted(
+        n for n, e in AUTHORED.items()
+        if "title" in e or "byline" in e or "dir" in e
+    ),
 )
 def test_extraction_matches_authored_metadata(name):
     html, url = CASES[name]
@@ -49,6 +52,8 @@ def test_extraction_matches_authored_metadata(name):
         assert result.title == meta["title"]
     if "byline" in meta:
         assert result.byline == meta["byline"]
+    if "dir" in meta:
+        assert result.dir == meta["dir"]
 
 
 @pytest.mark.parametrize(

@@ -110,8 +110,10 @@ def _row_key(key_cols: tuple[str, ...]):
 #   non-card 16-digit ids will redact.  13/15-digit PANs (unseparated
 #   Visa-13/Amex) are NOT matched — a bare \d{13,16} eats too many
 #   order/tracking numbers.
-# - PHONE requires either +country or separated 3-3-4 grouping; bare
-#   10-digit runs are left alone (they are usually ids, not numbers).
+# - PHONE matches +country forms with or without separators (E.164
+#   '+15551234567' included) and separated/parenthesized 3-3-4 national
+#   forms; bare 10-digit runs without a '+' are left alone (they are
+#   usually ids, not numbers).
 # - IPV4 is shape-only (octets up to 999 match) and will redact
 #   dotted-quad version strings — the standard recall-over-precision
 #   trade for a pre-training scrub.

@@ -90,19 +90,27 @@ def benchmark_ngram_hashes(
     Documents shorter than ``n`` words contribute their whole word run
     as one gram (the dedup fallback), i.e. a short benchmark passage is
     matched only verbatim."""
-    import numpy as np
-
     grams = _gram_frame(benchmark, text_col, n, str(seed).encode())
-    count = grams.count()
-    if count > max_grams:
-        raise ValueError(
-            f"benchmark has {count} distinct {n}-grams (> {max_grams}); "
-            f"collecting that to the driver is the OOM path — use "
-            f"decontaminate(strategy='join') to keep the set distributed"
-        )
-    arr = np.fromiter(
-        (r.gram for r in grams.toLocalIterator()), dtype=np.int64, count=count
-    )
+    return _collect_sorted_grams(grams, max_grams)
+
+
+def _collect_sorted_grams(grams_df: DataFrame, max_grams: int):
+    """count-guard + single Arrow collect of a gram frame to a sorted
+    numpy int64 array.  The frame is pinned between the guard job and the
+    collect job — without the pin the gram stage runs twice AND a source
+    that grew between the jobs could silently truncate the set."""
+    grams_df = grams_df.persist()
+    try:
+        count = grams_df.count()
+        if count > max_grams:
+            raise ValueError(
+                f"benchmark has {count} distinct n-grams (> {max_grams}); "
+                f"collecting that to the driver is the OOM path — use "
+                f"decontaminate(strategy='join') to keep the set distributed"
+            )
+        arr = grams_df.toPandas()["gram"].to_numpy(dtype="int64", copy=True)
+    finally:
+        grams_df.unpersist()
     arr.sort()
     return arr
 
@@ -135,7 +143,8 @@ def decontaminate(
     ``strategy``: "broadcast" (sorted-array broadcast + stateless Arrow
     stage — zero shuffles), "join" (distributed gram join — no driver
     set), or "auto" (broadcast ≤ ``broadcast_limit`` distinct grams,
-    join above).  Both strategies produce identical flags and counts
+    join above — for precollected ``hashes`` too, re-parallelized
+    through Arrow).  Both strategies produce identical flags and counts
     (pytest-pinned equivalence)."""
     if strategy not in ("auto", "broadcast", "join"):
         raise ValueError(f"strategy must be auto/broadcast/join, got {strategy!r}")
@@ -149,34 +158,39 @@ def decontaminate(
         grams_df = _gram_frame(benchmark, text_col, n, key)
         if strategy == "join":
             return _decontaminate_join(corpus, grams_df, text_col, n, key)
+        # auto: the guard count and the collect (or the join's two
+        # consumers) must see ONE evaluation of the gram stage — pin it
+        # (narrow longs, tiny), release via the standard pins handle on
+        # the join path, immediately on the collect path
+        from cl_readability_spark.functions.pins import attach_pins
+
+        grams_df = grams_df.persist()
         n_grams = grams_df.count()
         if n_grams > broadcast_limit:
-            return _decontaminate_join(corpus, grams_df, text_col, n, key)
-        import numpy as np
-
-        hashes = np.fromiter(
-            (r.gram for r in grams_df.toLocalIterator()),
-            dtype=np.int64,
-            count=n_grams,
-        )
-        hashes.sort()
-        return _decontaminate_broadcast(corpus, hashes, text_col, n, key)
+            out = _decontaminate_join(corpus, grams_df, text_col, n, key)
+            return attach_pins(out, grams_df)
+        arr = grams_df.toPandas()["gram"].to_numpy(dtype="int64", copy=True)
+        grams_df.unpersist()
+        arr.sort()
+        return _decontaminate_broadcast(corpus, arr, text_col, n, key)
 
     if hashes is None:  # strategy == "broadcast", benchmark supplied
         hashes = benchmark_ngram_hashes(benchmark, text_col, n, seed)
-    elif strategy == "join":
-        grams_df = corpus.sparkSession.createDataFrame(
-            [(int(h),) for h in hashes], "gram long"
-        ).distinct()
-        return _decontaminate_join(corpus, grams_df, text_col, n, key)
 
     bench_arr = _normalize_hashes(hashes)
-    if strategy == "auto" and len(bench_arr) > broadcast_limit:
-        raise ValueError(
-            f"{len(bench_arr)} precollected gram hashes exceed "
-            f"broadcast_limit={broadcast_limit}; pass strategy='join' (the "
-            f"grams are parallelized back out — no driver set on executors)"
-        )
+    if strategy == "join" or (
+        strategy == "auto" and len(bench_arr) > broadcast_limit
+    ):
+        # parallelize the hashes back out through Arrow (a python-tuple
+        # createDataFrame would rebuild every hash as driver objects —
+        # the exact blowup this path exists to avoid) — auto degrades
+        # here the same way the benchmark-frame auto path does
+        import pandas as pd
+
+        grams_df = corpus.sparkSession.createDataFrame(
+            pd.DataFrame({"gram": pd.Series(bench_arr, dtype="int64")})
+        ).distinct()
+        return _decontaminate_join(corpus, grams_df, text_col, n, key)
     return _decontaminate_broadcast(corpus, bench_arr, text_col, n, key)
 
 
@@ -239,8 +253,19 @@ def _decontaminate_join(
     a key, which merges their (identical) flags; a cross-text collision
     (~n²/2^64) could only merge two rows' counts, never clear a flag.
     All wide ops are keyed (gram join, per-key agg, corpus join) — AQE
-    sizes them; nothing touches the driver."""
+    sizes them; nothing touches the driver.  Internal column names are
+    suffixed past any collision with the corpus's own columns (a user
+    column named ``_tk`` must come back intact, exactly as it does from
+    the broadcast path)."""
     import pandas as pd
+
+    cols = corpus.columns
+    tk_col, hits_col = "_tk", "_hits"
+    while tk_col in cols:
+        tk_col += "_"
+    while hits_col in cols:
+        hits_col += "_"
+    gram_col = grams_df.columns[0]
 
     tk = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
 
@@ -249,7 +274,7 @@ def _decontaminate_join(
 
         for pdf in batches:
             tks, grams = [], []
-            for t_key, text in zip(pdf["_tk"], pdf[text_col]):
+            for t_key, text in zip(pdf[tk_col], pdf[text_col]):
                 if not (text or "").strip():
                     continue
                 g = np.unique(_shingle_hashes(text, n, key).astype("int64"))
@@ -257,27 +282,26 @@ def _decontaminate_join(
                 grams.extend(int(x) for x in g)
             yield pd.DataFrame(
                 {
-                    "_tk": pd.Series(tks, dtype="int64"),
-                    "gram": pd.Series(grams, dtype="int64"),
+                    tk_col: pd.Series(tks, dtype="int64"),
+                    gram_col: pd.Series(grams, dtype="int64"),
                 }
             )
 
     pairs = (
-        corpus.select(tk.alias("_tk"), text_col)
-        .mapInPandas(_emit, "_tk long, gram long")
+        corpus.select(tk.alias(tk_col), text_col)
+        .mapInPandas(_emit, f"{tk_col} long, {gram_col} long")
     )
     hits = (
-        pairs.join(grams_df, "gram")
-        .groupBy("_tk")
-        .agg(F.count_distinct("gram").cast("integer").alias("_hits"))
+        pairs.join(grams_df, gram_col)
+        .groupBy(tk_col)
+        .agg(F.count_distinct(gram_col).cast("integer").alias(hits_col))
     )
-    cols = corpus.columns
     return (
-        corpus.withColumn("_tk", tk)
-        .join(hits, "_tk", "left")
+        corpus.withColumn(tk_col, tk)
+        .join(hits, tk_col, "left")
         .select(
             *cols,
-            F.coalesce(F.col("_hits") > 0, F.lit(False)).alias("contaminated"),
-            F.coalesce(F.col("_hits"), F.lit(0)).alias("n_contaminated_grams"),
+            F.coalesce(F.col(hits_col) > 0, F.lit(False)).alias("contaminated"),
+            F.coalesce(F.col(hits_col), F.lit(0)).alias("n_contaminated_grams"),
         )
     )

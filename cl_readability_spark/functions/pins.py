@@ -25,17 +25,19 @@ Pins are also dropped with the session; registry entries leave only via
 the release calls (an unpersisted frame is harmless to unpersist again,
 so double-release is safe).  The registry is a ``WeakKeyDictionary``
 keyed by the SparkSession OBJECT: a key that CPython ``id()`` reuse can
-never alias (a collected session's entry vanishes with it, so a new
-session landing on the same address starts clean — the failure mode a
-str(id())-keyed registry had), and one that keeps working after
-``spark.stop()`` (``sparkContext``/``applicationId`` raise on a stopped
-session; the object itself still hashes).  The VALUES hold strong
-references to the pinned frames — the price of recoverability; a
-long-lived driver that never releases accumulates python-side plan
-objects, which is exactly the signal ``pins_outstanding`` exposes for
-monitoring — but they die with the session's own collection.  Releasing
-against a stopped session is safe: the executor storage died with the
-context, so unpersist failures are swallowed and the entries dropped.
+never alias (the failure mode a str(id())-keyed registry had — a new
+session landing on a collected session's address inherited its entries),
+and one that keeps working after ``spark.stop()``
+(``sparkContext``/``applicationId`` raise on a stopped session; the
+object itself still hashes).  The VALUES hold strong references to the
+pinned frames — the price of recoverability — and each DataFrame itself
+references its session, so a session with UNRELEASED pins is kept alive
+by its own registry entry (weak keying removes aliasing, not the need to
+release: ``pins_outstanding`` is the leak signal, ``release_all_pins``
+the fix; only a released — hence empty, hence absent — entry lets the
+session collect).  Releasing against a stopped session is safe: the
+executor storage died with the context, so unpersist failures are
+swallowed and the entries dropped.
 """
 
 from __future__ import annotations

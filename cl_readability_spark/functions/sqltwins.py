@@ -45,8 +45,8 @@ STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"]
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     (r"\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{16}\b", "[CARD]"),
-    (r"\+\d{1,3}[-. ]?\(?\d{1,4}\)?(?:[-. ]\d{2,4}){2,3}\b"
-     r"|(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+    (r"\+\d{1,3}[-. ]?\(?\d{1,4}\)?(?:[-. ]?\d{2,4}){2,3}\b"
+     r"|(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b", "[PHONE]"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IPV4]"),
 )

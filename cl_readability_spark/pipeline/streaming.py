@@ -358,8 +358,16 @@ def streaming_near_dup_flags_jvm(
     stage every variant needs).
 
     Per (event-time window, band_idx, band_sig) the aggregation computes
-    ``min(id)`` (the owner — identical tie-break to the batch keep-one
-    and to ``streaming_near_dup_flags``) plus the sorted member list,
+    ``min(id)`` (the owner — the batch keep-one's tie-break, applied
+    WINDOW-WIDE: if a lower-keyed duplicate arrives in a LATER trigger
+    while the window is still open, the aggregation state merges and the
+    lower key wins the bucket, where the python reference gate's
+    first-claim state would keep the earlier arrival.  Within one
+    window the outcome is arrival-order-independent and deterministic —
+    a property the reference gate doesn't have across triggers — and
+    exactly one member of the duplicate group survives either way;
+    pinned by the later-batch-lower-id pytest case) plus the sorted
+    member list,
     then explodes members into the same per-doc flag rows:
     (window_start, band_idx, band_sig, id, owner).  State per open
     bucket is the member-id list — bounded by the window contents, spilt

@@ -82,7 +82,9 @@ def main(argv: list[str]) -> int:
     # run 1: the corpus through the gate (window stays open — state built)
     t1 = time.monotonic()
     q = streaming_near_dup_flags_jvm(spark, inp + "/*", out, cp)
-    q.awaitTermination(3600)
+    # a False return means the budget elapsed mid-stream — the numbers
+    # below would describe a partially-gated corpus; fail instead
+    assert q.awaitTermination(3600), "ingest run exceeded its time budget"
     q.stop()
     wall_ingest = time.monotonic() - t1
 
@@ -94,7 +96,7 @@ def main(argv: list[str]) -> int:
     ).write.parquet(os.path.join(inp, "b2"))
     t2 = time.monotonic()
     q = streaming_near_dup_flags_jvm(spark, inp + "/*", out, cp)
-    q.awaitTermination(3600)
+    assert q.awaitTermination(3600), "flush run exceeded its time budget"
     q.stop()
     wall_flush = time.monotonic() - t2
 

@@ -100,16 +100,34 @@ def test_decontaminate_join_strategy_equivalent(spark, frames):
 
 
 def test_decontaminate_size_guards(spark, frames):
-    """Misuse fails loudly instead of OOMing the driver: a collected set
-    above max_grams raises in benchmark_ngram_hashes, and precollected
-    hashes above broadcast_limit raise under auto (the message points at
-    strategy='join')."""
+    """Oversized benchmark handling: a collected set above max_grams
+    raises in benchmark_ngram_hashes (collecting it IS the OOM), while
+    decontaminate degrades to the distributed join plan — for a
+    benchmark frame AND for precollected hashes (re-parallelized through
+    Arrow, never rebuilt as driver tuples) — with identical results."""
     corpus, benchmark = frames
     with pytest.raises(ValueError, match="join"):
         benchmark_ngram_hashes(benchmark, max_grams=1)
     hashes = benchmark_ngram_hashes(benchmark)
-    with pytest.raises(ValueError, match="join"):
-        decontaminate(corpus, hashes=hashes, broadcast_limit=1)
+    ref = {(r.doc_id, r.contaminated, r.n_contaminated_grams)
+           for r in decontaminate(corpus, hashes=hashes).collect()}
+    degraded = {(r.doc_id, r.contaminated, r.n_contaminated_grams)
+                for r in decontaminate(corpus, hashes=hashes, broadcast_limit=1).collect()}
+    assert degraded == ref
+
+
+def test_decontaminate_join_preserves_colliding_columns(spark, frames):
+    """A corpus that already has columns named like the join path's
+    internals (_tk) must come back byte-identical — the internal key is
+    suffixed past collisions instead of silently overwriting user data."""
+    from pyspark.sql import functions as F
+
+    corpus, benchmark = frames
+    corpus2 = corpus.withColumn("_tk", F.col("doc_id") * 100)
+    rows = {r.doc_id: r for r in
+            decontaminate(corpus2, benchmark, strategy="join").collect()}
+    assert all(r._tk == i * 100 for i, r in rows.items())
+    assert rows[2].contaminated and not rows[0].contaminated
 
 
 def test_decontaminate_plan_is_shuffle_free(spark, frames):
@@ -140,6 +158,7 @@ def test_redact_pii_patterns(spark):
         (2, None),
         (3, "card 4111-1111-1111-1111 or 4111111111111111 end"),
         (4, "call (555) 123-4567 or +1 555 123 4567 or +44-20-7946-0958"),
+        (8, "e164 +15551234567 and tight (555)123-4567 both redact"),
         (5, "host 10.0.0.1 and 999.999.999.999 but not 1.2 or v1.2.3"),
         # documented precision choices: bare 10-digit runs and dates are
         # NOT phone numbers; dashed dates are not SSNs
@@ -158,3 +177,4 @@ def test_redact_pii_patterns(spark):
     # the email rule requires an alphabetic TLD, so a numeric host falls
     # through to the IPv4 rule — span-level redaction either way
     assert got[7] == "user123@[IPV4] mixed numeric-host"
+    assert got[8] == "e164 [PHONE] and tight [PHONE] both redact"

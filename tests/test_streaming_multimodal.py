@@ -177,10 +177,15 @@ def test_streaming_near_dup_jvm_gate_matches_batch_keep_one(spark, tmp_path):
         q.awaitTermination(120)
         q.stop()
 
-    # window 1 (12:00-13:00): originals, a same-batch copy of doc 5, and
-    # a same-window-later-batch copy of doc 3
-    batch([(i, _ndup_doc(i)) for i in range(10)] + [(300, _ndup_doc(5))], 12).write.parquet(inp + "/b1")
-    batch([(103, _ndup_doc(3))], 12, 30).write.parquet(inp + "/b2")
+    # window 1 (12:00-13:00): originals, a same-batch copy of doc 5, a
+    # same-window-later-batch HIGHER-id copy of doc 3, and a later-batch
+    # LOWER-id copy of doc 7 — the documented window-wide min semantics:
+    # the aggregation state merges across triggers of an open window, so
+    # the lower key wins the bucket even when it arrives second (the
+    # python reference gate would keep the first claimant instead; both
+    # keep exactly one member of the group)
+    batch([(i + 2, _ndup_doc(i)) for i in range(10)] + [(300, _ndup_doc(5))], 12).write.parquet(inp + "/b1")
+    batch([(105, _ndup_doc(3)), (1, _ndup_doc(7))], 12, 30).write.parquet(inp + "/b2")
     run()
     # window 1 is still open — nothing emitted yet (append-mode contract)
     # window 2 (14:00-15:00): a cross-window copy of doc 0 + new docs;
@@ -190,8 +195,12 @@ def test_streaming_near_dup_jvm_gate_matches_batch_keep_one(spark, tmp_path):
     ).write.parquet(inp + "/b3")
     run()
     kept1 = {r.doc_id for r in near_dup_kept_ids_windowed(spark, out).collect()}
-    # exactly the batch keep-one over window 1: min-key owns every bucket
-    assert kept1 == set(range(10)), kept1
+    # window-wide batch keep-one: min id owns every bucket of its group —
+    # content 5's group {7, 300} keeps 7, content 3's {5, 105} keeps 5,
+    # content 7's {9, 1} keeps the LATER-ARRIVED lower id 1 (the merged-
+    # state semantics the docstring contracts)
+    expected1 = (set(range(2, 12)) - {9}) | {1}
+    assert kept1 == expected1, kept1
 
     # horizon batch (17:00) closes window 2; the sentinel itself stays
     # pending in the still-open 17:00 window
@@ -201,7 +210,7 @@ def test_streaming_near_dup_jvm_gate_matches_batch_keep_one(spark, tmp_path):
     # 200's buckets were all first seen in window 1 → suppressed;
     # 20/21 are new → kept.  Identical to the batch keep-one over the
     # union minus the pending sentinel.
-    assert kept2 == set(range(10)) | {20, 21}, kept2
+    assert kept2 == expected1 | {20, 21}, kept2
 
 
 def test_streaming_near_dup_state_ttl_reemits_after_expiry(spark, tmp_path):

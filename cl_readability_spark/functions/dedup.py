@@ -370,11 +370,11 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
-    n_hashes: int = 32,
-    bands: int = 8,
+    n_hashes: int | None = None,
+    bands: int | None = None,
     jaccard_threshold: float = 0.6,
     max_bucket: int = 64,
-    auto_params: bool = False,
+    auto_params: bool | None = None,
 ) -> DataFrame:
     """Full pipeline: fused shingle+minhash Arrow stage → LSH buckets →
     candidate pairs → exact Jaccard verification on the hashed shingle
@@ -394,14 +394,24 @@ def minhash_near_dups(
     pair-dedup aggregate → JVM Jaccard filter.  Zero joins, every byte of
     text read once.
 
-    RECALL NOTE: with the historical fixed default (32 hashes × 8 bands)
-    the candidate probability at the threshold boundary is
-    1-(1-J^4)^8 — excellent at J ≥ 0.85 (≥ 0.998) but only ~0.67 at
-    J = 0.6 and ~0.40 at J = 0.5.  Pass ``auto_params=True`` to size
-    (n_hashes, bands) from the recall curve for the given threshold
-    instead (``minhash_params``, recall ≥ 0.95 at the boundary;
-    overrides the n_hashes/bands arguments)."""
-    if auto_params:
+    RECALL/SIZING: by default (n_hashes/bands unset) the banding is
+    sized from the LSH recall curve for ``jaccard_threshold``
+    (``minhash_params``, recall ≥ 0.95 at the boundary) — the round-4
+    fixed default of 32 hashes × 8 bands recalled ≥ 0.998 at J ≥ 0.85
+    but only ~0.67 at J = 0.6 and ~0.40 at J = 0.5, a silent cliff for
+    callers lowering the threshold; the auto default costs ~15-30%
+    extra signature time at sf0.1 (measured, round 5) and removes it.
+    Passing ``n_hashes``/``bands`` explicitly pins the banding (both
+    must be given); ``auto_params=False`` restores the historical
+    32×8 when nothing is passed."""
+    if n_hashes is None and bands is None:
+        if auto_params is None or auto_params:
+            n_hashes, bands = minhash_params(jaccard_threshold)
+        else:
+            n_hashes, bands = 32, 8
+    elif n_hashes is None or bands is None:
+        raise ValueError("pass both n_hashes and bands, or neither")
+    elif auto_params:
         n_hashes, bands = minhash_params(jaccard_threshold)
     hashed = minhash_stage(df, id_col, text_col, k, n_hashes, include="both")
     rows_per_band = n_hashes // bands

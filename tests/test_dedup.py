@@ -239,9 +239,11 @@ def test_minhash_params_recall_math():
 
 def test_minhash_auto_params_beats_fixed_banding_at_low_threshold(spark):
     """100 planted boundary pairs (word-5-gram J ≈ 0.58, above the 0.5
-    threshold): the fixed 8×4 banding misses a large fraction of them
-    (expected candidate P ≈ 0.61 per pair); auto_params recovers ≥ 0.9.
-    Verification is exact either way — this is purely LSH candidacy."""
+    threshold): the historical fixed 8×4 banding (auto_params=False)
+    misses a large fraction of them (expected candidate P ≈ 0.61 per
+    pair); the recall-curve sizing — THE DEFAULT since round 5 —
+    recovers ≥ 0.9.  Verification is exact either way — this is purely
+    LSH candidacy."""
     rows = []
     for g in range(100):
         base = [f"g{g}w{j}" for j in range(60)]
@@ -253,14 +255,25 @@ def test_minhash_auto_params_beats_fixed_banding_at_low_threshold(spark):
 
     fixed = {
         (r.id_a, r.id_b)
-        for r in minhash_near_dups(df, jaccard_threshold=0.5).collect()
+        for r in minhash_near_dups(
+            df, jaccard_threshold=0.5, auto_params=False
+        ).collect()
     }
     auto = {
         (r.id_a, r.id_b)
+        for r in minhash_near_dups(df, jaccard_threshold=0.5).collect()
+    }
+    # the default IS the recall-sized banding; explicit (n_hashes, bands)
+    # still pins, and half-specified banding is rejected
+    explicit = {
+        (r.id_a, r.id_b)
         for r in minhash_near_dups(
-            df, jaccard_threshold=0.5, auto_params=True
+            df, jaccard_threshold=0.5, n_hashes=32, bands=8
         ).collect()
     }
+    assert explicit == fixed
+    with pytest.raises(ValueError, match="both"):
+        minhash_near_dups(df, jaccard_threshold=0.5, n_hashes=64)
     assert fixed <= expected and auto <= expected  # no false pairs
     assert len(auto & expected) >= 90
     assert len(auto & expected) > len(fixed & expected)

@@ -200,6 +200,7 @@ def curate_near_dups(
     materialize: str = "disk",
     policy: str = "clusters",
     cluster_opts: dict | None = None,
+    minhash_carry: str = "rehash",
 ) -> DataFrame:
     """Stage 2 of curation — adds ``near_dup_drop`` (MinHash near-dup
     prune over the quality+exact survivors) and ``kept`` to a frame that
@@ -260,7 +261,9 @@ def curate_near_dups(
     survivors = df.filter(F.col("quality_ok") & F.col("exact_keep")).select(
         F.col("_row_key").alias("doc_id"), F.col(text_col).alias("text")
     )
-    pairs = minhash_near_dups(survivors, jaccard_threshold=jaccard_threshold)
+    pairs = minhash_near_dups(
+        survivors, jaccard_threshold=jaccard_threshold, carry=minhash_carry
+    )
     if policy == "clusters":
         clusters = dup_clusters(pairs, **(cluster_opts or {}))
         drops = (
@@ -275,6 +278,9 @@ def curate_near_dups(
             .withColumn("near_dup_drop", F.lit(True))
         )
     pinned = df if materialize in ("disk", "persist") else None
+    # the rehash minhash plan pins its candidate frames internally —
+    # forward those handles so release_curated drops them too
+    mh_pins = list(getattr(pairs, "_clrs_pinned", []) or [])
     df = df.join(drops, "_row_key", "left").withColumn(
         "near_dup_drop", F.coalesce(F.col("near_dup_drop"), F.lit(False))
     )
@@ -286,7 +292,7 @@ def curate_near_dups(
     # until unpersisted — hand the caller the release handle (long-lived
     # sessions curating several corpora should call release_curated on the
     # EXACT frame returned here, once done with the result — see pins.py)
-    return attach_pins(out, pinned)
+    return attach_pins(out, pinned, *mh_pins)
 
 
 # the generic release helper (pins.py) under the curation-specific name
@@ -308,6 +314,7 @@ def curate(
     benchmark_hashes=None,  # list[int] | numpy int64 array
     decontam_n: int = 13,
     decontam_seed: int = 42,
+    minhash_carry: str = "rehash",
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
@@ -323,7 +330,7 @@ def curate(
     )
     return curate_near_dups(
         flagged, text_col, key_cols, jaccard_threshold, materialize,
-        policy, cluster_opts,
+        policy, cluster_opts, minhash_carry,
     )
 
 

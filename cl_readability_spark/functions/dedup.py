@@ -375,6 +375,7 @@ def minhash_near_dups(
     jaccard_threshold: float = 0.6,
     max_bucket: int = 64,
     auto_params: bool | None = None,
+    carry: str = "arrays",
 ) -> DataFrame:
     """Full pipeline: fused shingle+minhash Arrow stage → LSH buckets →
     candidate pairs → exact Jaccard verification on the hashed shingle
@@ -403,7 +404,24 @@ def minhash_near_dups(
     extra signature time at sf0.1 (measured, round 5) and removes it.
     Passing ``n_hashes``/``bands`` explicitly pins the banding (both
     must be given); ``auto_params=False`` restores the historical
-    32×8 when nothing is passed."""
+    32×8 when nothing is passed.
+
+    EXCHANGE VOLUME (``carry``, round 5): the default single-pass plan
+    ("arrays") carries each doc's full hashed-shingle array on EVERY
+    band row through the bucket exchange — bands × ~8·n_shingles bytes
+    per doc, i.e. roughly bands× the corpus text volume shuffled (at 1M
+    turns × 13 bands this measured ~50 GB of transient spill and filled
+    the sandbox disk).  ``carry="rehash"`` exchanges slim
+    (id, band_idx, band_hash) rows only (~20 B × bands per doc),
+    derives the candidate pairs, and re-runs the hashing stage on the
+    CANDIDATE docs alone (a semi-join; candidates ≪ corpus on real
+    data) before the exact-Jaccard join — the python stage runs twice
+    but the exchange shrinks by the shingle-array factor.  Use
+    "rehash" for large corpora (``curate()`` does); "arrays" stays the
+    zero-join fast path for bench/toy scale.  Identical output,
+    pytest-pinned."""
+    if carry not in ("arrays", "rehash"):
+        raise ValueError(f"carry must be arrays|rehash, got {carry!r}")
     if n_hashes is None and bands is None:
         if auto_params is None or auto_params:
             n_hashes, bands = minhash_params(jaccard_threshold)
@@ -413,12 +431,10 @@ def minhash_near_dups(
         raise ValueError("pass both n_hashes and bands, or neither")
     elif auto_params:
         n_hashes, bands = minhash_params(jaccard_threshold)
-    hashed = minhash_stage(df, id_col, text_col, k, n_hashes, include="both")
     rows_per_band = n_hashes // bands
-    banded = hashed.select(
-        F.col(id_col).alias("_id"),
-        F.col("shingle_hashes"),
-        F.explode(
+
+    def _band_explode():
+        return F.explode(
             F.array(
                 *[
                     F.struct(
@@ -438,7 +454,19 @@ def minhash_near_dups(
                     for b in range(bands)
                 ]
             )
-        ).alias("band"),
+        ).alias("band")
+
+    if carry == "rehash":
+        return _minhash_near_dups_rehash(
+            df, id_col, text_col, k, n_hashes, jaccard_threshold,
+            max_bucket, _band_explode,
+        )
+
+    hashed = minhash_stage(df, id_col, text_col, k, n_hashes, include="both")
+    banded = hashed.select(
+        F.col(id_col).alias("_id"),
+        F.col("shingle_hashes"),
+        _band_explode(),
     ).select("_id", "shingle_hashes", "band.band_idx", "band.band_hash")
     buckets = (
         banded.groupBy("band_idx", "band_hash")
@@ -479,6 +507,92 @@ def minhash_near_dups(
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
     return verified
+
+
+def _minhash_near_dups_rehash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_hashes: int,
+    jaccard_threshold: float,
+    max_bucket: int,
+    band_explode,
+) -> DataFrame:
+    """The slim-exchange minhash plan (``carry="rehash"``; rationale at
+    ``minhash_near_dups``): signature-only python pass → 20-byte band
+    rows through the bucket exchange → candidate-pair derivation →
+    re-hash the candidate docs only → exact Jaccard via two keyed joins.
+
+    The candidate-pair frame feeds the id set AND the final join, and
+    the candidate-array frame feeds both join sides — Spark re-evaluates
+    shared subtrees per branch (PLANS.md), so both are pinned DISK_ONLY
+    (each is narrow: two longs / id + hash array over candidates only);
+    release via the standard pins handle on the returned frame."""
+    from pyspark.storagelevel import StorageLevel
+
+    from cl_readability_spark.functions.pins import attach_pins
+
+    hashed = minhash_stage(df, id_col, text_col, k, n_hashes, include="signature")
+    banded = hashed.select(F.col(id_col).alias("_id"), band_explode()).select(
+        "_id", "band.band_idx", "band.band_hash"
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(
+                                a.alias("id_a"), b.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(cand_ids, id_col, "leftsemi")
+    arrays = minhash_stage(
+        cand_docs, id_col, text_col, k, n_hashes, include="hashes"
+    ).persist(StorageLevel.DISK_ONLY)
+    verified = (
+        cand.join(
+            arrays.select(
+                F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            arrays.select(
+                F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return attach_pins(verified, cand, arrays)
 
 
 def simhash_near_dups(

@@ -56,7 +56,12 @@ def attach_pins(df: DataFrame, *pinned: DataFrame) -> DataFrame:
     pins = [p for p in pinned if p is not None]
     df._clrs_pinned = pins
     if pins:
-        _REGISTRY.setdefault(df.sparkSession, []).extend(pins)
+        # idempotent per pin object: operators forward inner pins to
+        # composed results (curate ← minhash rehash), so the same frame
+        # may be attached at two levels — register it once
+        entries = _REGISTRY.setdefault(df.sparkSession, [])
+        known = {id(p) for p in entries}
+        entries.extend(p for p in pins if id(p) not in known)
     return df
 
 

@@ -108,11 +108,17 @@ def test_curate_plan_single_extraction(spark):
         # checkpoint — the extraction/minhash stages then live in those
         # checkpoint jobs and the MapInArrow counts below would trivially
         # pass without proving the single-extraction property)
+        # minhash_carry="arrays": this golden pins the FLAGGED-frame
+        # materialization property; the rehash minhash plan adds its own
+        # internally-pinned subtrees (covered by the dedup equivalence
+        # test) that would change the MapInArrow counts without bearing
+        # on the single-extraction claim
         curated = curate(
             extract_transcripts(transcripts, salt_buckets=4),
             min_stopword_bp=0,
             materialize=materialize,
             policy="pairwise",
+            minhash_carry="arrays",
         )
         return curated._jdf.queryExecution().executedPlan().toString()
 
@@ -302,18 +308,27 @@ def test_pin_registry_recovers_lost_handles(spark, planted):
     )
 
     release_all_pins(spark)  # clean slate
+    # 3 pins: the flagged frame + the rehash minhash plan's candidate
+    # pair and candidate array frames (forwarded to the curate handle)
     curated = curate(planted, jaccard_threshold=0.7, policy="pairwise")
-    assert pins_outstanding(spark) == 1
+    assert pins_outstanding(spark) == 3
     derived = curated.filter(F.col("kept"))     # handle lost here
     assert release_pinned(derived) == 0         # the documented gotcha
-    assert pins_outstanding(spark) == 1         # ...but the leak is visible
+    assert pins_outstanding(spark) == 3         # ...but the leak is visible
     before = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
-    assert release_all_pins(spark) == 1
+    assert release_all_pins(spark) == 3
     after = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     assert len(after) < len(before)
     assert pins_outstanding(spark) == 0
     # releasing through the exact handle also deregisters
     curated2 = curate(planted, jaccard_threshold=0.7, policy="pairwise")
-    assert pins_outstanding(spark) == 1
-    assert release_pinned(curated2) == 1
+    assert pins_outstanding(spark) == 3
+    assert release_pinned(curated2) == 3
     assert pins_outstanding(spark) == 0
+    # the arrays carry keeps the single-pin shape
+    curated3 = curate(
+        planted, jaccard_threshold=0.7, policy="pairwise",
+        minhash_carry="arrays",
+    )
+    assert pins_outstanding(spark) == 1
+    assert release_pinned(curated3) == 1

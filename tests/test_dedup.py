@@ -279,6 +279,43 @@ def test_minhash_auto_params_beats_fixed_banding_at_low_threshold(spark):
     assert len(auto & expected) > len(fixed & expected)
 
 
+def test_minhash_rehash_carry_equivalent_and_releasable(spark):
+    """The slim-exchange plan (carry='rehash': 20-byte band rows through
+    the bucket exchange, candidate docs re-hashed behind a semi-join)
+    must produce pair-and-jaccard-identical output to the single-pass
+    arrays plan — including boundary pairs the banding barely catches —
+    and its internal candidate pins must release through the standard
+    handle.  (The arrays plan shuffles bands × the corpus shingle volume:
+    measured ~50 GB of transient spill at 1M turns × 13 bands — the
+    rehash plan is the at-scale default inside curate().)"""
+    from cl_readability_spark.functions.pins import (
+        pins_outstanding,
+        release_pinned,
+    )
+
+    rows = []
+    for g in range(40):
+        base = [f"g{g}w{j}" for j in range(60)]
+        variant = base[:45] + [f"g{g}v{j}" for j in range(15)]
+        rows.append((2 * g, " ".join(base)))
+        rows.append((2 * g + 1, " ".join(variant)))
+        rows.append((1000 + g, " ".join(base)))  # exact copy → J=1 pair
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    arrays = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_near_dups(df, jaccard_threshold=0.5).collect()
+    }
+    before = pins_outstanding(spark)
+    rh = minhash_near_dups(df, jaccard_threshold=0.5, carry="rehash")
+    rehash = {(r.id_a, r.id_b, r.jaccard) for r in rh.collect()}
+    assert rehash == arrays and len(arrays) > 40
+    assert pins_outstanding(spark) == before + 2  # cand pairs + arrays
+    assert release_pinned(rh) == 2
+    assert pins_outstanding(spark) == before
+    with pytest.raises(ValueError, match="carry"):
+        minhash_near_dups(df, carry="nope")
+
+
 def test_simhash_max_group_caps_clone_pair_explosion(spark):
     """max_group: oversized clone groups emit linear STAR pairs (min id ×
     rest) instead of the quadratic triangle, meet other signatures through

@@ -200,11 +200,21 @@ def curate_near_dups(
     materialize: str = "disk",
     policy: str = "clusters",
     cluster_opts: dict | None = None,
-    minhash_carry: str = "rehash",
+    minhash_carry: str = "auto",
+    carry_threshold: int = 100_000,
 ) -> DataFrame:
     """Stage 2 of curation — adds ``near_dup_drop`` (MinHash near-dup
     prune over the quality+exact survivors) and ``kept`` to a frame that
     already carries the stage-1 flags.
+
+    ``minhash_carry`` selects the minhash exchange plan ("arrays" |
+    "rehash" | "auto"; see ``minhash_near_dups``).  "auto" (default)
+    counts the survivors once — an ACTION at call time, cheap against
+    the materialized flagged pin but note it evaluates the upstream
+    plan under ``materialize="none"`` — and picks "rehash" above
+    ``carry_threshold`` docs (the measured crossover: the rehash plan's
+    fixed costs lose ~1-3 s at toy scale, the arrays plan's exchange
+    spills ~50 GB at 1M docs × 13 bands).
 
     ``policy`` selects which side of a verified near-dup relation drops:
 
@@ -261,8 +271,17 @@ def curate_near_dups(
     survivors = df.filter(F.col("quality_ok") & F.col("exact_keep")).select(
         F.col("_row_key").alias("doc_id"), F.col(text_col).alias("text")
     )
+    carry = minhash_carry
+    if carry == "auto":
+        # size-dependent crossover (measured, BENCH round 5): the rehash
+        # plan's fixed costs (extra python pass + candidate joins) lose
+        # ~1.3-2.6 s at 5k docs, while the arrays plan's bucket exchange
+        # carries bands × the shingle volume — ~50 GB of spill at 1M
+        # docs.  The survivors frame sits on the materialized flagged
+        # pin, so the count is one cheap scan of staged/cached rows.
+        carry = "rehash" if survivors.count() > carry_threshold else "arrays"
     pairs = minhash_near_dups(
-        survivors, jaccard_threshold=jaccard_threshold, carry=minhash_carry
+        survivors, jaccard_threshold=jaccard_threshold, carry=carry
     )
     if policy == "clusters":
         clusters = dup_clusters(pairs, **(cluster_opts or {}))
@@ -314,7 +333,7 @@ def curate(
     benchmark_hashes=None,  # list[int] | numpy int64 array
     decontam_n: int = 13,
     decontam_seed: int = 42,
-    minhash_carry: str = "rehash",
+    minhash_carry: str = "auto",
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.

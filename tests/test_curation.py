@@ -308,27 +308,25 @@ def test_pin_registry_recovers_lost_handles(spark, planted):
     )
 
     release_all_pins(spark)  # clean slate
-    # 3 pins: the flagged frame + the rehash minhash plan's candidate
-    # pair and candidate array frames (forwarded to the curate handle)
+    # default minhash_carry="auto" picks the arrays plan on this toy
+    # corpus (below carry_threshold) → one pin, the flagged frame
     curated = curate(planted, jaccard_threshold=0.7, policy="pairwise")
-    assert pins_outstanding(spark) == 3
+    assert pins_outstanding(spark) == 1
     derived = curated.filter(F.col("kept"))     # handle lost here
     assert release_pinned(derived) == 0         # the documented gotcha
-    assert pins_outstanding(spark) == 3         # ...but the leak is visible
+    assert pins_outstanding(spark) == 1         # ...but the leak is visible
     before = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
-    assert release_all_pins(spark) == 3
+    assert release_all_pins(spark) == 1
     after = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     assert len(after) < len(before)
     assert pins_outstanding(spark) == 0
-    # releasing through the exact handle also deregisters
-    curated2 = curate(planted, jaccard_threshold=0.7, policy="pairwise")
+    # releasing through the exact handle also deregisters; the explicit
+    # rehash carry forwards its candidate-pair and candidate-array pins
+    # to the same handle (3 total)
+    curated2 = curate(
+        planted, jaccard_threshold=0.7, policy="pairwise",
+        minhash_carry="rehash",
+    )
     assert pins_outstanding(spark) == 3
     assert release_pinned(curated2) == 3
     assert pins_outstanding(spark) == 0
-    # the arrays carry keeps the single-pin shape
-    curated3 = curate(
-        planted, jaccard_threshold=0.7, policy="pairwise",
-        minhash_carry="arrays",
-    )
-    assert pins_outstanding(spark) == 1
-    assert release_pinned(curated3) == 1

@@ -254,7 +254,15 @@ def curate_near_dups(
         raise ValueError(f"unknown materialize mode: {materialize!r}")
     if policy not in ("clusters", "pairwise"):
         raise ValueError(f"unknown near-dup policy: {policy!r}")
+    if minhash_carry not in ("auto", "arrays", "rehash"):
+        # validated BEFORE the materialization action below — a typo'd
+        # carry must not cost a full corpus pass and an orphaned pin
+        raise ValueError(
+            f"minhash_carry must be auto/arrays/rehash, got {minhash_carry!r}"
+        )
     df = flagged.withColumn("_row_key", _row_key(key_cols))
+    surv_count = None
+    survivor_cond = F.col("quality_ok") & F.col("exact_keep")
     if materialize == "local_checkpoint":
         df = df.localCheckpoint(eager=True)
     elif materialize in ("disk", "persist"):
@@ -264,11 +272,19 @@ def curate_near_dups(
             StorageLevel.DISK_ONLY if materialize == "disk"
             else StorageLevel.MEMORY_AND_DISK
         )
-        df.count()
+        # one action materializes the pin; when auto-carry needs the
+        # survivor count, fold it into the SAME pass instead of scanning
+        # the freshly-pinned text a second time
+        if minhash_carry == "auto":
+            surv_count = df.agg(
+                F.sum(survivor_cond.cast("long"))
+            ).first()[0] or 0
+        else:
+            df.count()
 
     # near-dup pairs over the surviving candidates only (quality+exact
     # gates shrink the minhash input before its bucket shuffle)
-    survivors = df.filter(F.col("quality_ok") & F.col("exact_keep")).select(
+    survivors = df.filter(survivor_cond).select(
         F.col("_row_key").alias("doc_id"), F.col(text_col).alias("text")
     )
     carry = minhash_carry
@@ -277,9 +293,11 @@ def curate_near_dups(
         # plan's fixed costs (extra python pass + candidate joins) lose
         # ~1.3-2.6 s at 5k docs, while the arrays plan's bucket exchange
         # carries bands × the shingle volume — ~50 GB of spill at 1M
-        # docs.  The survivors frame sits on the materialized flagged
-        # pin, so the count is one cheap scan of staged/cached rows.
-        carry = "rehash" if survivors.count() > carry_threshold else "arrays"
+        # docs.  The count rides the materialization action above when
+        # there is one; otherwise (checkpoint/none) it is its own scan.
+        if surv_count is None:
+            surv_count = survivors.count()
+        carry = "rehash" if surv_count > carry_threshold else "arrays"
     pairs = minhash_near_dups(
         survivors, jaccard_threshold=jaccard_threshold, carry=carry
     )
@@ -334,6 +352,7 @@ def curate(
     decontam_n: int = 13,
     decontam_seed: int = 42,
     minhash_carry: str = "auto",
+    carry_threshold: int = 100_000,
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
@@ -349,7 +368,7 @@ def curate(
     )
     return curate_near_dups(
         flagged, text_col, key_cols, jaccard_threshold, materialize,
-        policy, cluster_opts, minhash_carry,
+        policy, cluster_opts, minhash_carry, carry_threshold,
     )
 
 

@@ -12,11 +12,14 @@ Hamming verify.  JVM-only reference formulations are kept
 the no-python option and as differential-test anchors.
 
 Scale design: the only wide operations are (a) the explode of ``bands``
-rows per doc (bands ≈ 8, constant), and (b) the groupBy on
-(band_idx, band_hash) whose fan-in is the bucket size (anti-skew: bucket
-lists are capped via ``max_bucket``).  The minhash pipeline is join-free
-— the compact hash arrays ride through the bucket shuffle — so every
-byte of text is read and hashed exactly once."""
+rows per doc (recall-curve-sized per threshold since round 5; 7-23 in
+practice), and (b) the groupBy on (band_idx, band_hash) whose fan-in is
+the bucket size (anti-skew: bucket lists are capped via ``max_bucket``).
+The minhash pipeline offers two exchange shapes (``carry`` at
+``minhash_near_dups``): the join-free single pass whose hash arrays ride
+through the bucket shuffle (fast at small scale, exchange = bands ×
+shingle volume), and the slim rehash plan that exchanges 20-byte band
+rows and re-hashes candidate docs only (the large-corpus shape)."""
 
 from __future__ import annotations
 
@@ -384,16 +387,22 @@ def minhash_near_dups(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    Cost/plan shape (the reason this does NOT use verification joins):
-    Spark has no cross-branch subplan reuse, so any formulation that joins
-    shingle sets back onto candidate pairs re-runs the hashing stage once
-    per branch (measured: a "hash only candidate rows" variant still
-    duplicated the whole candidate subtree).  Instead the compact hashed
-    shingle arrays (~8×n_shingles×8 bytes per doc across the 8 band rows)
-    ride THROUGH the bucket shuffle, so the plan is exactly: one Arrow
-    stage over the corpus → one bucket exchange → pairwise explode → one
-    pair-dedup aggregate → JVM Jaccard filter.  Zero joins, every byte of
-    text read once.
+    Cost/plan shape of the DEFAULT ``carry="arrays"`` plan: the hashed
+    shingle arrays (~8×n_shingles bytes per doc, on EVERY band row) ride
+    THROUGH the bucket shuffle, so the plan is exactly: one Arrow stage
+    over the corpus → one bucket exchange → pairwise explode → one
+    pair-dedup aggregate → JVM Jaccard filter.  Zero joins, every byte
+    of text read once — but the exchange volume is bands × the corpus
+    shingle volume, which becomes the dominant cost (and a spill hazard)
+    on large corpora; a naive lazy verification join is NOT the fix
+    (Spark has no cross-branch subplan reuse, so joining shingle sets
+    back onto candidate pairs re-runs the hashing stage per branch —
+    measured in round 2).  ``carry="rehash"`` is the safe formulation of
+    candidates-only hashing (explicit DISK_ONLY pins break the
+    re-evaluation), and ``carry="auto"`` counts ``df`` — A SPARK ACTION
+    at call time, evaluating the input's upstream plan; pass a
+    materialized frame — and picks rehash above 100k docs.  ``curate()``
+    does its own cheaper auto-selection against its pinned corpus.
 
     RECALL/SIZING: by default (n_hashes/bands unset) the banding is
     sized from the LSH recall curve for ``jaccard_threshold``
@@ -420,8 +429,8 @@ def minhash_near_dups(
     "rehash" for large corpora (``curate()`` does); "arrays" stays the
     zero-join fast path for bench/toy scale.  Identical output,
     pytest-pinned."""
-    if carry not in ("arrays", "rehash"):
-        raise ValueError(f"carry must be arrays|rehash, got {carry!r}")
+    if carry not in ("arrays", "rehash", "auto"):
+        raise ValueError(f"carry must be arrays|rehash|auto, got {carry!r}")
     if n_hashes is None and bands is None:
         if auto_params is None or auto_params:
             n_hashes, bands = minhash_params(jaccard_threshold)
@@ -430,7 +439,18 @@ def minhash_near_dups(
     elif n_hashes is None or bands is None:
         raise ValueError("pass both n_hashes and bands, or neither")
     elif auto_params:
-        n_hashes, bands = minhash_params(jaccard_threshold)
+        # conflicting instructions — refusing beats silently discarding
+        # the explicitly-pinned banding
+        raise ValueError(
+            "auto_params=True conflicts with explicit n_hashes/bands; "
+            "pass one or the other"
+        )
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands})"
+        )
+    if carry == "auto":
+        carry = "rehash" if df.count() > 100_000 else "arrays"
     rows_per_band = n_hashes // bands
 
     def _band_explode():

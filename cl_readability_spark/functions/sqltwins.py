@@ -1161,10 +1161,13 @@ def q_curation_planted(spark, sf_dir):
     # re-evaluation the pin exists to prevent costs two cheap window
     # passes — while the default DISK_ONLY pin would leak executor
     # storage per bench/oracle invocation (nobody releases the handle
-    # in those harnesses)
+    # in those harnesses).  minhash_carry="arrays" for the same reason:
+    # auto would run a count action at build time and the rehash plan
+    # pins candidate frames the harnesses never release; the corpus is
+    # 5k toy docs, squarely on the arrays side of the crossover.
     curated = curate(
         corpus, text_col="text", key_cols=("doc_id",), policy="clusters",
-        materialize="none",
+        materialize="none", minhash_carry="arrays",
     )
     return curated.select(
         "doc_id",

@@ -1337,6 +1337,69 @@ FROM documents
 """
 
 
+# --- 18g2. repetition_score — intra-document repetition (the
+#     Gopher/MassiveText duplicate-n-gram quality rule: heavily
+#     self-repeating documents are low-quality training text).  Counts
+#     word 3-grams vs DISTINCT word 3-grams; ``repetitive`` flags docs
+#     whose duplicate-gram fraction exceeds 20%, via integer
+#     cross-multiplication (n_distinct*10 < n_grams*8) so the twin is
+#     float-free and hashes identically across engines.  Docs under 3
+#     words have zero grams and are never repetitive. ---
+def q_repetition_score(spark, sf_dir):
+    # plant a repetitive class (every 7th doc gets a 40x-repeated phrase
+    # appended) so BOTH flag outcomes exist on the driver corpus — the
+    # word-salad docs alone almost never repeat a 3-gram (verified: 0 of
+    # 500), which would make the flag a vacuous check
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(F.col("text"), F.lit(" "), F.expr("repeat('spam spam wonderful ', 40)")),
+    ).otherwise(F.col("text"))
+    words = F.split(F.lower(F.trim(planted)), r"\s+")
+    n = F.size(words)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_words"),
+        n_grams.alias("n_grams3"),
+        n_distinct.alias("n_distinct_grams3"),
+        ((n_grams > 0) & (n_distinct * 10 < n_grams * 8)).alias("repetitive"),
+    )
+
+
+SQL_REPETITION_SCORE = r"""
+WITH g AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' ' || repeat('spam spam wonderful ', 40)
+                ELSE text END)), '\s+') AS w
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         list_transform(range(0, len(w) - 2),
+                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS grams
+  FROM g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(len(grams) AS BIGINT) AS n_grams3,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams3,
+       len(grams) > 0 AND len(list_distinct(grams)) * 10 < len(grams) * 8
+         AS repetitive
+FROM t
+"""
+
+
 # --- 18g. pack_invariants — the SQL-expressible half of sequence
 #     packing (functions/packing.py).  Pack IDS are partitioning-
 #     dependent (not SQL-expressible; rows-only pack_sequences query),
@@ -1465,6 +1528,7 @@ SQL_TWINS: dict[str, tuple] = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "pack_invariants": (q_pack_invariants, SQL_PACK_INVARIANTS),
+    "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),

@@ -213,6 +213,54 @@ def test_streaming_near_dup_jvm_gate_matches_batch_keep_one(spark, tmp_path):
     assert kept2 == expected1 | {20, 21}, kept2
 
 
+def test_streaming_near_dup_jvm_gate_on_rocksdb_state_store(spark, tmp_path):
+    """The operator docs contract RocksDB-backed state at the 10^12
+    target — exercise the JVM gate end-to-end under
+    RocksDBStateStoreProvider (a runtime-settable SQL conf, picked up at
+    query start), not just the default HDFS-backed provider: ingest +
+    horizon flush + reduction, same-batch duplicate suppressed."""
+    import datetime
+
+    from cl_readability_spark.pipeline.streaming import (
+        near_dup_kept_ids_windowed,
+        streaming_near_dup_flags_jvm,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        spark.createDataFrame(
+            [(i, _ndup_doc(i), t0) for i in range(5)]
+            + [(100, _ndup_doc(2), t0)],
+            "doc_id long, text string, ts timestamp",
+        ).write.parquet(inp + "/b1")
+        q = streaming_near_dup_flags_jvm(spark, inp + "/*", out, cp)
+        q.awaitTermination(120)
+        q.stop()
+        horizon = datetime.datetime(2026, 1, 1, 15, 0, 0)
+        spark.createDataFrame(
+            [(999, _ndup_doc(999), horizon)],
+            "doc_id long, text string, ts timestamp",
+        ).write.parquet(inp + "/b2")
+        q = streaming_near_dup_flags_jvm(spark, inp + "/*", out, cp)
+        q.awaitTermination(120)
+        q.stop()
+        kept = {r.doc_id for r in near_dup_kept_ids_windowed(spark, out).collect()}
+        assert kept == set(range(5)), kept
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_streaming_near_dup_state_ttl_reemits_after_expiry(spark, tmp_path):
     """The documented horizon contract: with a state TTL, bucket owners
     expire after idle time, so a duplicate arriving in a later trigger

@@ -1348,13 +1348,17 @@ FROM documents
 def q_repetition_score(spark, sf_dir):
     # plant a repetitive class (every 7th doc gets a 40x-repeated phrase
     # appended) so BOTH flag outcomes exist on the driver corpus — the
-    # word-salad docs alone almost never repeat a 3-gram (verified: 0 of
-    # 500), which would make the flag a vacuous check
+    # word-salad docs alone never cross the 20% duplicate-gram flag
+    # threshold (verified: 0 of 500 FLAGGED; ~27 do contain at least one
+    # duplicate gram), which would make the flag a vacuous check
     planted = F.when(
         F.pmod(F.col("doc_id"), F.lit(7)) == 0,
         F.concat(F.col("text"), F.lit(" "), F.expr("repeat('spam spam wonderful ', 40)")),
     ).otherwise(F.col("text"))
-    words = F.split(F.lower(F.trim(planted)), r"\s+")
+    # coalesce on BOTH sides: Spark's when-guard would score a NULL text
+    # as zero grams while DuckDB's list functions propagate NULL — the
+    # twin must agree even on corpora with null rows
+    words = F.split(F.lower(F.trim(F.coalesce(planted, F.lit("")))), r"\s+")
     n = F.size(words)
     grams = F.when(
         n >= 3,
@@ -1377,10 +1381,10 @@ def q_repetition_score(spark, sf_dir):
 SQL_REPETITION_SCORE = r"""
 WITH g AS (
   SELECT doc_id,
-         regexp_split_to_array(lower(trim(
+         regexp_split_to_array(lower(trim(coalesce(
            CASE WHEN doc_id % 7 = 0
                 THEN text || ' ' || repeat('spam spam wonderful ', 40)
-                ELSE text END)), '\s+') AS w
+                ELSE text END, ''))), '\s+') AS w
   FROM documents
 ),
 t AS (

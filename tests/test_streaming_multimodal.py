@@ -242,16 +242,20 @@ def test_streaming_near_dup_jvm_gate_on_rocksdb_state_store(spark, tmp_path):
             "doc_id long, text string, ts timestamp",
         ).write.parquet(inp + "/b1")
         q = streaming_near_dup_flags_jvm(spark, inp + "/*", out, cp)
-        q.awaitTermination(120)
-        q.stop()
+        try:
+            assert q.awaitTermination(120), "ingest run timed out"
+        finally:
+            q.stop()
         horizon = datetime.datetime(2026, 1, 1, 15, 0, 0)
         spark.createDataFrame(
             [(999, _ndup_doc(999), horizon)],
             "doc_id long, text string, ts timestamp",
         ).write.parquet(inp + "/b2")
         q = streaming_near_dup_flags_jvm(spark, inp + "/*", out, cp)
-        q.awaitTermination(120)
-        q.stop()
+        try:
+            assert q.awaitTermination(120), "flush run timed out"
+        finally:
+            q.stop()
         kept = {r.doc_id for r in near_dup_kept_ids_windowed(spark, out).collect()}
         assert kept == set(range(5)), kept
     finally:

@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cl_readability_spark.functions.dedup import (
     minhash_near_dups,
-    simhash_signature,
     winnow_fingerprints,
 )
 from cl_readability_spark.functions.similarity import (
@@ -100,6 +99,13 @@ def _q_readerable_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver checks at most this many queries() entries; exceeding it
+# silently drops the last-registered ones from the correctness surface
+# (it cost span_explode its round-5 row).  Pinned by queries() itself and
+# by tests/test_entry_contract.py.
+DRIVER_QUERY_CAP = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: builder for name, (builder, _sql) in SQL_TWINS.items()
@@ -111,9 +117,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_minhash"] = lambda spark, sf_dir: minhash_near_dups(
         spark.read.parquet(f"{sf_dir}/documents.parquet"), jaccard_threshold=0.5
     )
-    out["simhash_signatures"] = lambda spark, sf_dir: simhash_signature(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-    )
+    # NOTE (round 6): simhash_signatures was retired from the registry — the
+    # driver evaluates at most 50 queries, and registering 51 in round 5
+    # silently dropped the last one (span_explode).  The simhash surface
+    # stays fully covered by the hash-checked dedup_simhash_planted chain
+    # (sqltwins.py) and tests/test_dedup.py; DRIVER_QUERY_CAP below pins the
+    # registry size so a future addition fails loudly instead.
     # winnowing rolling-hash fingerprints (rows-only: the selection is a
     # python/numpy stage; the prefix polynomial hash IS oracle-checked
     # separately as the rolling_hash twin)
@@ -211,6 +220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return explode_spans(extract_transcripts(transcripts, salt_buckets=8))
 
     out["span_explode"] = _q_span_explode
+    if len(out) > DRIVER_QUERY_CAP:
+        raise AssertionError(
+            f"queries() registers {len(out)} > {DRIVER_QUERY_CAP} entries; "
+            "the driver would silently drop the excess — retire a subsumed "
+            "query before adding a new one"
+        )
     return out
 
 

@@ -379,6 +379,7 @@ def minhash_near_dups(
     max_bucket: int = 64,
     auto_params: bool | None = None,
     carry: str = "arrays",
+    carry_rows: int | None = None,
 ) -> DataFrame:
     """Full pipeline: fused shingle+minhash Arrow stage → LSH buckets →
     candidate pairs → exact Jaccard verification on the hashed shingle
@@ -399,10 +400,13 @@ def minhash_near_dups(
     back onto candidate pairs re-runs the hashing stage per branch —
     measured in round 2).  ``carry="rehash"`` is the safe formulation of
     candidates-only hashing (explicit DISK_ONLY pins break the
-    re-evaluation), and ``carry="auto"`` counts ``df`` — A SPARK ACTION
-    at call time, evaluating the input's upstream plan; pass a
-    materialized frame — and picks rehash above 100k docs.  ``curate()``
-    does its own cheaper auto-selection against its pinned corpus.
+    re-evaluation).  ``carry="auto"`` picks rehash above 100k docs using
+    a CALLER-SUPPLIED ``carry_rows`` row count — it never runs a Spark
+    action: counting ``df`` at plan-construction time would evaluate the
+    caller's entire upstream plan (e.g. extraction) once just to pick a
+    code path, and again for the real job unless the input were pinned.
+    ``curate()`` supplies the count it already has from materializing its
+    pinned corpus.
 
     RECALL/SIZING: by default (n_hashes/bands unset) the banding is
     sized from the LSH recall curve for ``jaccard_threshold``
@@ -450,7 +454,20 @@ def minhash_near_dups(
             f"n_hashes ({n_hashes}) must be divisible by bands ({bands})"
         )
     if carry == "auto":
-        carry = "rehash" if df.count() > 100_000 else "arrays"
+        if carry_rows is None:
+            raise ValueError(
+                "carry='auto' needs carry_rows=<known row count> — deriving "
+                "it here would run a Spark action at plan-construction time, "
+                "evaluating the caller's upstream plan; pass the count you "
+                "already have (curate() does) or pick carry explicitly "
+                "('arrays' for toy/bench corpora, 'rehash' above ~100k docs)"
+            )
+        carry = "rehash" if carry_rows > 100_000 else "arrays"
+    elif carry_rows is not None:
+        # refusing beats silently ignoring the caller's count
+        raise ValueError(
+            f"carry_rows only applies to carry='auto' (got carry={carry!r})"
+        )
     rows_per_band = n_hashes // bands
 
     def _band_explode():

@@ -412,6 +412,45 @@ def test_minhash_plan_shape(spark, corpus_df):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_minhash_carry_auto_is_action_free_at_plan_construction(spark):
+    """carry='auto' must be a pure plan builder.  Round 5's version ran
+    df.count() inside the builder — a Spark action evaluating the caller's
+    entire upstream plan (e.g. extraction) once just to pick a code path,
+    and again for the real job unless the input was pinned.  Now the
+    caller supplies carry_rows and construction triggers ZERO jobs; the
+    count still steers the branch (arrays is join-free, rehash joins)."""
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta iota {i}")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+
+    def _counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    docs = base.repartition(2).mapInPandas(_counting, base.schema)
+    small = minhash_near_dups(docs, carry="auto", carry_rows=10)
+    big = minhash_near_dups(docs, carry="auto", carry_rows=200_000)
+    assert acc.value == 0, "plan construction must not evaluate the input"
+    small_plan = small._jdf.queryExecution().analyzed().toString()
+    big_plan = big._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in small_plan  # arrays branch: join-free
+    assert "Join" in big_plan  # rehash branch: semi-join + verify joins
+    # building the rehash plan pinned its candidate frames — release them
+    # without ever running the query
+    from cl_readability_spark.functions.pins import release_pinned
+
+    release_pinned(big)
+    assert acc.value == 0
+    with pytest.raises(ValueError, match="carry_rows"):
+        minhash_near_dups(docs, carry="auto")
+    with pytest.raises(ValueError, match="carry_rows"):
+        minhash_near_dups(docs, carry="arrays", carry_rows=10)
+
+
 def test_simhash_plan_shape_join_free(spark, corpus_df):
     """Physical-plan golden: the restructured simhash pipeline is join-free
     — signatures and id lists ride the shuffles (signature groupBy → block

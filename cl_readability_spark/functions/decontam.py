@@ -165,11 +165,18 @@ def decontaminate(
         from cl_readability_spark.functions.pins import attach_pins
 
         grams_df = grams_df.persist()
-        n_grams = grams_df.count()
-        if n_grams > broadcast_limit:
-            out = _decontaminate_join(corpus, grams_df, text_col, n, key)
-            return attach_pins(out, grams_df)
-        arr = grams_df.toPandas()["gram"].to_numpy(dtype="int64", copy=True)
+        try:
+            n_grams = grams_df.count()
+            if n_grams > broadcast_limit:
+                # pin ownership transfers to the returned frame; the join
+                # construction sits inside the guard so a raise anywhere
+                # in count/collect/join cannot orphan the persist
+                out = _decontaminate_join(corpus, grams_df, text_col, n, key)
+                return attach_pins(out, grams_df)
+            arr = grams_df.toPandas()["gram"].to_numpy(dtype="int64", copy=True)
+        except BaseException:
+            grams_df.unpersist()
+            raise
         grams_df.unpersist()
         arr.sort()
         return _decontaminate_broadcast(corpus, arr, text_col, n, key)

@@ -303,6 +303,37 @@ def streaming_near_dup_flags(
     return writer.start()
 
 
+def _read_band_sink(spark: SparkSession, bands_path: str):
+    """Read a streaming band sink, treating a sink directory that exists
+    but holds no data files yet (nothing flushed before the watermark
+    first advanced — routine under availableNow, see the horizon-batch
+    note on the producers) as empty: ``spark.read.parquet`` raises an
+    unable-to-infer-schema AnalysisException there, which made the
+    readers' documented empty-sink guard unreachable.  Returns None for
+    that case; any other AnalysisException (wrong path, corrupt files)
+    propagates untouched."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return spark.read.parquet(bands_path)
+    except AnalysisException as exc:
+        # plain empty dir raises [UNABLE_TO_INFER_SCHEMA]; a dir holding
+        # only the file sink's _spark_metadata (the actual unflushed-sink
+        # shape) raises the bare "Unable to infer schema" message with no
+        # error class — accept both, nothing else
+        msg = str(exc)
+        if "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg:
+            return None
+        raise
+
+
+def _empty_ids(spark: SparkSession, id_col: str):
+    """Empty kept-set frame (``id_col`` long — the producers' id type)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(0).select(F.col("id").alias(id_col))
+
+
 def near_dup_kept_ids(
     spark: SparkSession,
     bands_path: str,
@@ -320,7 +351,9 @@ def near_dup_kept_ids(
     groupBy."""
     from pyspark.sql import functions as F
 
-    sink = spark.read.parquet(bands_path)
+    sink = _read_band_sink(spark, bands_path)
+    if sink is None:
+        return _empty_ids(spark, id_col)
     bands = sink.agg(F.max("band_idx")).first()[0]
     if bands is None:
         return sink.select(id_col).limit(0)
@@ -451,7 +484,9 @@ def near_dup_kept_ids_windowed(
     count is derived from the sink (max band_idx + 1), never passed."""
     from pyspark.sql import functions as F
 
-    sink = spark.read.parquet(bands_path)
+    sink = _read_band_sink(spark, bands_path)
+    if sink is None:
+        return _empty_ids(spark, id_col)
     bands = sink.agg(F.max("band_idx")).first()[0]
     if bands is None:
         return sink.select(id_col).limit(0)

@@ -116,6 +116,51 @@ def test_decontaminate_size_guards(spark, frames):
     assert degraded == ref
 
 
+def test_decontaminate_schema_identical_across_strategies(spark, frames):
+    """Strict-schema consumers (e.g. unionByName over outputs produced
+    under different strategies) need byte-identical schemas, nullability
+    included, from every strategy and entry path (ADVICE r5 flagged the
+    join path as nullable; under this Spark the coalesce output is
+    non-nullable — pin it so a refactor can't reintroduce drift)."""
+    corpus, benchmark = frames
+    hashes = benchmark_ngram_hashes(benchmark)
+    schemas = {
+        "broadcast": decontaminate(corpus, benchmark, strategy="broadcast").schema,
+        "join": decontaminate(corpus, benchmark, strategy="join").schema,
+        "auto": decontaminate(corpus, benchmark, strategy="auto").schema,
+        "auto-degraded": decontaminate(
+            corpus, benchmark, strategy="auto", broadcast_limit=1
+        ).schema,
+        "hashes-join": decontaminate(corpus, hashes=hashes, strategy="join").schema,
+    }
+    ref = schemas["broadcast"]
+    mismatched = {k for k, s in schemas.items() if s != ref}
+    assert not mismatched, mismatched
+    nullability = {f.name: f.nullable for f in ref.fields}
+    assert nullability["contaminated"] is False
+    assert nullability["n_contaminated_grams"] is False
+
+
+def test_decontaminate_auto_releases_pin_on_failure(spark, frames, monkeypatch):
+    """The auto path persists the gram frame before the guard count and
+    the collect/join construction; a raise anywhere in that region must
+    not leak the pin (ADVICE r5) — the session cache returns to its
+    prior size."""
+    import cl_readability_spark.functions.decontam as dmod
+
+    corpus, benchmark = frames
+    cache = spark._jsparkSession.sharedState().cacheManager()
+    before = cache.cachedData().size()
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("forced join failure")
+
+    monkeypatch.setattr(dmod, "_decontaminate_join", boom)
+    with pytest.raises(RuntimeError, match="forced join failure"):
+        dmod.decontaminate(corpus, benchmark, strategy="auto", broadcast_limit=0)
+    assert cache.cachedData().size() == before
+
+
 def test_decontaminate_join_preserves_colliding_columns(spark, frames):
     """A corpus that already has columns named like the join path's
     internals (_tk) must come back byte-identical — the internal key is

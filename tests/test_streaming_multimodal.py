@@ -89,6 +89,35 @@ def _ndup_df(spark, rows):
     )
 
 
+def test_near_dup_reduction_on_unflushed_sink_is_empty(spark, tmp_path):
+    """A sink directory that exists but holds no data files yet —
+    reduction called before any window has flushed, routine under
+    availableNow — must reduce to the documented empty kept set instead
+    of raising a schema-inference AnalysisException (ADVICE r5: the
+    empty-sink guard was unreachable in that state).  Covers both the
+    bare empty dir and the real unflushed-sink shape (_spark_metadata
+    only); a genuinely missing path still raises, so a typo'd path can't
+    masquerade as an empty corpus."""
+    from pyspark.sql.utils import AnalysisException
+
+    from cl_readability_spark.pipeline.streaming import (
+        near_dup_kept_ids,
+        near_dup_kept_ids_windowed,
+    )
+
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    unflushed = tmp_path / "unflushed"
+    (unflushed / "_spark_metadata").mkdir(parents=True)
+    for reducer in (near_dup_kept_ids, near_dup_kept_ids_windowed):
+        for sink in (bare, unflushed):
+            kept = reducer(spark, str(sink))
+            assert kept.columns == ["doc_id"]
+            assert kept.count() == 0
+        with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+            reducer(spark, str(tmp_path / "missing"))
+
+
 def test_streaming_near_dup_matches_batch_keep_one(spark, tmp_path):
     """Replay a planted corpus (distinct originals, later exact copies)
     through the streaming near-dup gate and through the batch pipeline

@@ -147,18 +147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ann_ivf_topk"] = _q_ann_ivf
 
-    def _q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Multimodal composition (rows-only): synthetic media → stubbed
-        feature decode (real Arrow plumbing) → banded-LSH near-dups with
-        planted exact copies (guaranteed >0 pairs)."""
-        from cl_readability_spark.pipeline.multimodal import (
-            media_feature_near_dups,
-            synthetic_media,
-        )
-
-        return media_feature_near_dups(synthetic_media(spark, n=60))
-
-    out["media_near_dups"] = _q_media_near_dups
+    # NOTE (round 6): the rows-only media_near_dups entry was replaced by
+    # the hash-checked media_planted twin (sqltwins.py) — same chain
+    # (binary payload → Arrow feature decode → banded LSH → cosine
+    # verify), now with a closed-form expected pair set; the synthetic-
+    # media composition stays pytest-covered in test_streaming_multimodal.
 
     def _q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The composed training-data pipeline (extract → quality gate →

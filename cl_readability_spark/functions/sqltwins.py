@@ -870,6 +870,42 @@ FROM embeddings a JOIN embeddings b
 """
 
 
+# --- 19c. media_planted — the MULTIMODAL near-dup chain (binary payload →
+#     stubbed-but-deterministic feature decode over mapInPandas → banded
+#     LSH → Hamming prefilter → exact-cosine verify) made hash-verifiable
+#     by the same closed-form construction as dedup_embedding_planted:
+#     payloads are a pure function of group = vec_id DIV 3, the fake
+#     decoder is a pure function of the payload (sha256-chained floats,
+#     multimodal.py:89), so group members have IDENTICAL 16-dim features —
+#     guaranteed candidacy in every band, hamming-0 prefilter pass, cosine
+#     exactly 1 (→ 10000).  Cross-group sha features concentrate near
+#     cosine ~0.75 (non-negative 16-dim), far under the 0.995 threshold,
+#     and the prefilter kills chance bucket collisions first.  This is the
+#     driver-checked twin for the media plumbing itself: the payload bytes
+#     and the Arrow decode stage are INSIDE the hashed chain, unlike
+#     dedup_embedding_planted which starts at the vectors. ---
+def q_media_planted(spark, sf_dir):
+    from cl_readability_spark.pipeline.multimodal import media_feature_near_dups
+
+    group = F.floor(F.col("vec_id") / 3).cast("long")
+    media = _embs(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.concat(F.lit("media:"), group.cast("string")), "UTF-8").alias(
+            "payload"
+        ),
+    )
+    return media_feature_near_dups(media, threshold=0.995, plant_copies_every=0)
+
+
+SQL_MEDIA_PLANTED = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(10000 AS BIGINT) AS cosine_sim_x10k
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id // 3 = b.vec_id // 3 AND a.vec_id < b.vec_id
+"""
+
+
 # --- 20. ann_lsh_planted — hyperplane-LSH ANN made hash-verifiable by the
 #     same scaled-copy construction as ann_ivf_planted: sign(c·q · plane)
 #     = sign(q · plane) for c > 0, so every planted copy shares the
@@ -1536,6 +1572,7 @@ SQL_TWINS: dict[str, tuple] = {
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),
+    "media_planted": (q_media_planted, SQL_MEDIA_PLANTED),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),

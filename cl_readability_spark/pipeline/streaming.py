@@ -12,7 +12,7 @@ at 10^12-turn scale this is the "catch up on new partitions" mode;
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from cl_readability_spark.core.config import DEFAULT_CONFIG, ExtractorConfig
@@ -416,8 +416,12 @@ def streaming_near_dup_flags_jvm(
     event time closes it (standard append-mode contract; under
     ``availableNow`` the last open window stays pending until a later
     run's data advances the watermark).  Rows later than the watermark
-    are dropped by the aggregation — the at-rest batch dedup remains the
-    backstop for late data, exactly like the windowed metrics rollup.
+    are dropped by the aggregation — they appear in neither the kept set
+    nor the sink at all; ``near_dup_unjudged_ids`` surfaces them (plus
+    the pending trailing window) for the at-rest batch-dedup backstop,
+    exactly like the windowed metrics rollup.  The recovered-delta
+    contract vs the python reference gate is pinned in
+    tests/test_streaming_multimodal.py.
 
     vs the reference operator: ~55 µs/bucket-key python state is
     replaced by one shuffle into a JVM hash aggregation; measured ≥5×
@@ -500,6 +504,37 @@ def near_dup_kept_ids_windowed(
         .agg(F.count_distinct("band_idx").alias("n_owned"))
         .filter(F.col("n_owned") == bands + 1)
         .select(id_col)
+    )
+
+
+def near_dup_unjudged_ids(
+    spark: SparkSession,
+    bands_path: str,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The late-data recovery hook for ``streaming_near_dup_flags_jvm``:
+    corpus docs with NO rows in the band sink at all.  Two populations
+    land here, both of which the gate never judged:
+
+    - rows LATER than the watermark — dropped by the window aggregation
+      before it ever saw them (the documented append-mode contract), and
+    - rows of the still-open trailing window (pending until later event
+      time closes it).
+
+    Neither appears in the kept set NOR in the dropped set; treating
+    "absent from kept" as dropped would silently delete late/pending
+    content.  Route these through the at-rest batch gate
+    (``minhash_near_dups`` → ``dup_clusters`` keep-one against the
+    already-kept corpus) — the backstop the operator docstrings contract;
+    the delta is pinned in tests/test_streaming_multimodal.py.  Plan: one
+    distinct over the sink's pruned id column + a left-anti join (the
+    same resume shape as pipeline/resume.py)."""
+    sink = _read_band_sink(spark, bands_path)
+    if sink is None:
+        return corpus.select(id_col)
+    return corpus.select(id_col).join(
+        sink.select(id_col).distinct(), id_col, "left_anti"
     )
 
 

@@ -242,6 +242,105 @@ def test_streaming_near_dup_jvm_gate_matches_batch_keep_one(spark, tmp_path):
     assert kept2 == expected1 | {20, 21}, kept2
 
 
+def test_jvm_gate_late_data_contract_and_batch_backstop(spark, tmp_path):
+    """Quantifies the JVM gate's late-data contract (VERDICT r5 #5) with
+    planted late rows: rows with event time older than the watermark are
+    dropped by the window aggregation — they appear in NEITHER the kept
+    set nor the sink at all, unlike the python reference gate, which has
+    no watermark and judges them.  The pinned recovery path: such docs
+    surface via ``near_dup_unjudged_ids`` (no sink rows) and the at-rest
+    batch gate over unjudged ∪ kept reproduces the python gate's verdict
+    exactly — the kept-set delta between the two streaming gates is
+    closed by the backstop, never silently lost."""
+    import datetime
+
+    from cl_readability_spark.functions.dedup import dup_clusters, minhash_near_dups
+    from cl_readability_spark.pipeline.streaming import (
+        near_dup_kept_ids,
+        near_dup_kept_ids_windowed,
+        near_dup_unjudged_ids,
+        streaming_near_dup_flags,
+        streaming_near_dup_flags_jvm,
+    )
+
+    inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+
+    def batch(rows, hour, minute=0):
+        ts = datetime.datetime(2026, 1, 1, hour, minute, 0)
+        return spark.createDataFrame(
+            [(i, t, ts) for i, t in rows],
+            "doc_id long, text string, ts timestamp",
+        )
+
+    def run_jvm():
+        q = streaming_near_dup_flags_jvm(spark, inp + "/*", out, cp)
+        assert q.awaitTermination(120)
+        q.stop()
+
+    # window 12:00-13:00: ten originals
+    b1 = [(10 + i, _ndup_doc(i)) for i in range(10)]
+    # 14:30 advances the watermark to 14:20, closing window 12-13
+    b2 = [(20, _ndup_doc(20)), (21, _ndup_doc(21))]
+    # LATE: event time 12:15 < watermark — 500 duplicates content 0
+    # (python gate would drop it), 501 is NEW content (python gate would
+    # keep it — this is the content the backstop must recover)
+    late = [(500, _ndup_doc(0)), (501, _ndup_doc(501))]
+    # horizon: closes window 14-15; itself stays pending
+    horizon = [(9999, _ndup_doc(9999))]
+
+    batch(b1, 12).write.parquet(inp + "/b1")
+    run_jvm()
+    batch(b2, 14, 30).write.parquet(inp + "/b2")
+    run_jvm()
+    batch(late, 12, 15).write.parquet(inp + "/b3")
+    run_jvm()
+    batch(horizon, 17).write.parquet(inp + "/b4")
+    run_jvm()
+
+    kept_jvm = {r.doc_id for r in near_dup_kept_ids_windowed(spark, out).collect()}
+    assert kept_jvm == set(range(10, 20)) | {20, 21}, kept_jvm
+    # the late rows were dropped BEFORE the aggregation: zero sink rows
+    sink_ids = {
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").distinct().collect()
+    }
+    assert sink_ids.isdisjoint({500, 501})
+
+    # the recovery hook surfaces exactly the never-judged docs:
+    # the two late rows + the pending horizon sentinel
+    corpus = batch(b1, 12).unionByName(batch(b2, 14, 30)).unionByName(
+        batch(late, 12, 15)
+    ).unionByName(batch(horizon, 17))
+    unjudged = {r.doc_id for r in near_dup_unjudged_ids(spark, out, corpus).collect()}
+    assert unjudged == {500, 501, 9999}, unjudged
+
+    # the python reference gate (stateful, no watermark) judges the same
+    # replay: late dup 500 dropped, late original 501 kept — the kept-set
+    # delta vs the JVM gate is exactly the unjudged originals
+    out2, cp2 = str(tmp_path / "out2"), str(tmp_path / "cp2")
+    q = streaming_near_dup_flags(spark, inp + "/*", out2, cp2)
+    assert q.awaitTermination(240)
+    kept_py = {r.doc_id for r in near_dup_kept_ids(spark, out2).collect()}
+    assert kept_py == kept_jvm | {501, 9999}
+    assert kept_py - kept_jvm <= unjudged  # delta ⊆ what the hook surfaces
+
+    # documented backstop: batch keep-one over kept ∪ unjudged closes the
+    # delta — final kept set equals the python gate's (and pure batch's)
+    backstop_corpus = corpus.filter(
+        F.col("doc_id").isin(sorted(kept_jvm | unjudged))
+    ).select("doc_id", "text")
+    clusters = dup_clusters(
+        minhash_near_dups(backstop_corpus, jaccard_threshold=0.9).select(
+            "id_a", "id_b"
+        )
+    )
+    dropped = {
+        r.id for r in clusters.filter(F.col("id") != F.col("cluster_rep")).collect()
+    }
+    final_kept = (kept_jvm | unjudged) - dropped
+    assert final_kept == kept_py, (final_kept, kept_py)
+
+
 def test_streaming_near_dup_jvm_gate_on_rocksdb_state_store(spark, tmp_path):
     """The operator docs contract RocksDB-backed state at the 10^12
     target — exercise the JVM gate end-to-end under

@@ -1004,8 +1004,8 @@ def prep_article(
 # post-process (SURVEY §2.3 #47-49, #53)
 # ---------------------------------------------------------------------------
 
-def _to_absolute_uri(uri: str, base: str | None) -> str:
-    if not base or uri.startswith("#"):
+def _to_absolute_uri(uri: str, base: str | None, keep_hash: bool = True) -> str:
+    if not base or (keep_hash and uri.startswith("#")):
         return uri
     try:
         return urljoin(base, uri)
@@ -1013,9 +1013,41 @@ def _to_absolute_uri(uri: str, base: str | None) -> str:
         return uri
 
 
-def fix_relative_urls(article_content: Element, base: str | None) -> None:
+def _document_base_uri(doc, document_url: str | None) -> str | None:
+    """The document's effective base URI, HTML-spec style: the FIRST
+    ``<base>`` element carrying a non-empty href, resolved against the
+    document URL (what a browser exposes as ``document.baseURI``, which
+    is what Readability.js's ``_fixRelativeUris`` resolves against); no
+    such element → the document URL itself."""
+    for el in iter_elements(doc):
+        if el.tag == "base":
+            href = (el.get("href") or "").strip()
+            if href:
+                try:
+                    return urljoin(document_url or "", href) or document_url
+                except ValueError:
+                    return document_url
+            # spec: only the first <base> with an href counts
+    return document_url
+
+
+_SAME_AS_BASE = object()
+
+
+def fix_relative_urls(
+    article_content: Element, base: str | None, document_url=_SAME_AS_BASE
+) -> None:
     """Readability._fixRelativeUris (readability.lisp:182-221) + the srcset
-    rewrite the ref left TODO (readability.lisp:210-217)."""
+    rewrite the ref left TODO (readability.lisp:210-217).
+
+    ``base`` is the resolution base (the browser's baseURI — a ``<base
+    href>`` moves it, see ``_document_base_uri``); ``document_url`` is the
+    page's own URI.  Per the JS source, in-page hash links (``#frag``) are
+    left untouched ONLY when baseURI == documentURI — when a ``<base>``
+    changed the base, ``#frag`` resolves against it like any other
+    relative URL.  Omitting ``document_url`` means "same as base" (the
+    no-<base> case), which keeps hash links alone."""
+    keep_hash = document_url is _SAME_AS_BASE or base == document_url
     for link in reversed(get_elements_by_tag(article_content, "a")):
         href = link.get("href")
         if not href or link.parent is None:
@@ -1030,7 +1062,7 @@ def fix_relative_urls(article_content: Element, base: str | None) -> None:
                     container.append_child(c)
                 link.parent.replace_child(container, link)
         else:
-            link.set("href", _to_absolute_uri(href, base))
+            link.set("href", _to_absolute_uri(href, base, keep_hash))
 
     for media in get_elements_by_tag(
         article_content, "img", "picture", "figure", "video", "audio", "source"
@@ -1039,14 +1071,14 @@ def fix_relative_urls(article_content: Element, base: str | None) -> None:
         poster = media.get("poster")
         srcset = media.get("srcset")
         if src:
-            media.set("src", _to_absolute_uri(src, base))
+            media.set("src", _to_absolute_uri(src, base, keep_hash))
         if poster:
-            media.set("poster", _to_absolute_uri(poster, base))
+            media.set("poster", _to_absolute_uri(poster, base, keep_hash))
         if srcset:
             media.set(
                 "srcset",
                 R.SRCSET_URL.sub(
-                    lambda m: _to_absolute_uri(m.group(1), base)
+                    lambda m: _to_absolute_uri(m.group(1), base, keep_hash)
                     + (m.group(2) or "")
                     + m.group(3),
                     srcset,
@@ -1093,9 +1125,15 @@ def clean_classes(e: Element, preserved: frozenset[str]) -> None:
         clean_classes(child, preserved)
 
 
-def post_process_content(article_content: Element, cfg: ExtractorConfig) -> None:
-    """Readability._postProcessContent (readability.lisp:132-140)."""
-    fix_relative_urls(article_content, cfg.document_url)
+def post_process_content(
+    article_content: Element, cfg: ExtractorConfig, base_uri=_SAME_AS_BASE
+) -> None:
+    """Readability._postProcessContent (readability.lisp:132-140).
+    ``base_uri`` is the document's effective base (``_document_base_uri``);
+    omitted → the config's document_url (the no-<base> case)."""
+    if base_uri is _SAME_AS_BASE:
+        base_uri = cfg.document_url
+    fix_relative_urls(article_content, base_uri, cfg.document_url)
     simplify_nested_elements(article_content)
     if not cfg.keep_classes:
         clean_classes(article_content, cfg.preserved_classes)
@@ -1180,6 +1218,9 @@ def extract(
         jsonld = get_json_ld(doc)  # before remove_scripts (JS order)
         remove_scripts(doc)
         prepare_document(doc)
+        # read <base href> before grab-article detaches the content from
+        # the document (the browser baseURI Readability.js resolves with)
+        base_uri = _document_base_uri(doc, config.document_url)
 
         html_el = doc.html
         if html_el is not None and html_el.get("lang"):
@@ -1203,7 +1244,7 @@ def extract(
             result.status = "no_content"
             return result
 
-        post_process_content(article, config)
+        post_process_content(article, config, base_uri)
 
         if not result.excerpt:
             # JS: first paragraph of the article content stands in

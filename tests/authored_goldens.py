@@ -223,6 +223,43 @@ AUTHORED: dict[str, dict] = {
             S * 12 + "See the other page and inline for more of the story, truly."
         ).strip()
     },
+    # base-href-media — derivation chain (JS _fixRelativeUris + HTML-spec
+    # base, the ref's srcset TODO readability.lisp:210-217):
+    # 1. baseURI = first <base href> resolved against the page URL →
+    #    'https://cdn.example.net/assets/v2/' (absolute href wins as-is).
+    # 2. baseURI != documentURI, so the JS hash guard (baseURI ==
+    #    documentURI && uri[0] == '#') does NOT fire: '#frag' resolves
+    #    like any relative URL → base + '#frag'.
+    # 3. '../docs/page.html' against .../assets/v2/ → parent dir →
+    #    https://cdn.example.net/assets/docs/page.html.
+    # 4. srcset candidates rewritten one by one (regex.lisp:48-50 shape):
+    #    'img/photo-480.jpg 480w' → base-relative; '/img/photo-960.jpg 2x'
+    #    → root-relative against the base's HOST (cdn.example.net).
+    # 5. the data: URL has a scheme → RFC 3986 join returns it unchanged;
+    #    fix-lazy-images leaves it too (payload < 133 but no OTHER attr
+    #    matches the image-ext regex, so the placeholder-removal clause
+    #    never fires).
+    # 6. nothing resolves against the page URL → news.example.com must
+    #    not appear anywhere in the serialized article.
+    # 7. Text: the figure contributes no text; the 4th <p>'s nodes
+    #    concatenate with single spaces → S*12 + the link sentence.
+    #    Title: 'A | B' pipe split, first part 5 words >= 3 → kept.
+    "base-href-media": {
+        "text": (
+            S * 12
+            + "See the appendix and the footnote for more of the story, truly."
+        ).strip(),
+        "title": "Base Href Srcset Resolution Story",
+        "html_contains": [
+            'href="https://cdn.example.net/assets/docs/page.html"',
+            'href="https://cdn.example.net/assets/v2/#frag"',
+            'src="https://cdn.example.net/assets/v2/img/photo.jpg"',
+            "https://cdn.example.net/assets/v2/img/photo-480.jpg 480w",
+            "https://cdn.example.net/img/photo-960.jpg 2x",
+            'src="data:image/gif;base64,R0lGODlhAQABAAAAACw="',
+        ],
+        "html_excludes": ["news.example.com", 'href="#frag"'],
+    },
     # replace-brs: the <br><br> run becomes a <p> pulling SEG2 in; SEG1
     # stays as loose text wrapped by the div-children loop; one block.
     "br-runs": {"text": (SEG1 * 3 + SEG2 * 3).strip()},

@@ -276,6 +276,26 @@ CASES: dict[str, tuple[str, str | None]] = {
         + "</div></body></html>",
         None,
     ),
+    # <base href> moves the resolution base off the page URL; the 4th <p>
+    # mixes a parent-relative link, an in-page hash link (which a changed
+    # base RESOLVES, per JS _fixRelativeUris' baseURI==documentURI guard),
+    # a relative src + mixed relative/root-relative srcset, and a data-URL
+    # img that must pass through untouched.
+    "base-href-media": (
+        "<html><head><title>Base Href Srcset Resolution Story | Site</title>"
+        "<base href='https://cdn.example.net/assets/v2/'></head>"
+        "<body><div id='page'>"
+        + LONG_P * 3
+        + "<p>See <a href='../docs/page.html'>the appendix</a> and "
+        "<a href='#frag'>the footnote</a> for more of the story, truly.</p>"
+        "<figure>"
+        "<img src='img/photo.jpg' "
+        "srcset='img/photo-480.jpg 480w, /img/photo-960.jpg 2x'>"
+        "<img src='data:image/gif;base64,R0lGODlhAQABAAAAACw='>"
+        "</figure>"
+        "</div></body></html>",
+        "https://news.example.com/articles/today.html",
+    ),
     "corpus-article-small": (make_article_html(123, n_paragraphs=8), None),
     "corpus-article-big": (make_article_html(777, n_paragraphs=60), None),
     "corpus-article-plain": (make_article_html(55, n_paragraphs=4, boilerplate=False), None),

@@ -251,6 +251,46 @@ def test_fix_relative_urls_no_base_noop():
     assert get_elements_by_tag(body, "a")[0].get("href") == "/page"
 
 
+def test_fix_relative_urls_moved_base_resolves_hash():
+    """JS _fixRelativeUris: '#frag' is untouched ONLY when baseURI ==
+    documentURI; a <base href> that moved the base resolves it."""
+    body = body_of('<div><a href="#frag">frag</a></div>')
+    fix_relative_urls(
+        body,
+        "https://cdn.example.net/v2/",
+        "https://example.com/post.html",
+    )
+    assert (
+        get_elements_by_tag(body, "a")[0].get("href")
+        == "https://cdn.example.net/v2/#frag"
+    )
+
+
+def test_document_base_uri_rules():
+    """HTML-spec base resolution: first <base> with an href wins; a
+    relative base href resolves against the page URL; an href-less
+    <base> is skipped; no <base> → the page URL itself."""
+    from cl_readability_spark.core.dom import parse_html
+    from cl_readability_spark.core.extract import _document_base_uri
+
+    page = "https://example.com/articles/post.html"
+    doc = parse_html(
+        "<html><head><base target='_top'>"
+        "<base href='../static/'><base href='https://other.example/'>"
+        "</head><body></body></html>",
+        None,
+    )
+    assert _document_base_uri(doc, page) == "https://example.com/static/"
+    doc2 = parse_html("<html><head></head><body></body></html>", None)
+    assert _document_base_uri(doc2, page) == page
+    doc3 = parse_html(
+        "<html><head><base href='https://cdn.example.net/a/'></head>"
+        "<body></body></html>",
+        None,
+    )
+    assert _document_base_uri(doc3, None) == "https://cdn.example.net/a/"
+
+
 # --- simplify-nested-elements (readability.lisp:223-243) ---
 def test_simplify_nested_elements_hoists_single_child():
     body = body_of('<div id="outer" data-a="1"><div id="inner"><p>x</p></div></div>')

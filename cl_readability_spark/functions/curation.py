@@ -202,10 +202,16 @@ def curate_near_dups(
     cluster_opts: dict | None = None,
     minhash_carry: str = "auto",
     carry_threshold: int = 100_000,
+    minhash_banding: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Stage 2 of curation — adds ``near_dup_drop`` (MinHash near-dup
     prune over the quality+exact survivors) and ``kept`` to a frame that
     already carries the stage-1 flags.
+
+    ``minhash_banding`` optionally pins the LSH sizing as ``(n_hashes,
+    bands)`` — deployment control for pipelines that trade boundary
+    recall for signature time (and the bench A/B knob); default None =
+    recall-sized banding from the threshold (``minhash_params``).
 
     ``minhash_carry`` selects the minhash exchange plan ("arrays" |
     "rehash" | "auto"; see ``minhash_near_dups``).  "auto" (default)
@@ -260,6 +266,13 @@ def curate_near_dups(
         raise ValueError(
             f"minhash_carry must be auto/arrays/rehash, got {minhash_carry!r}"
         )
+    if minhash_banding is not None and minhash_banding[0] % minhash_banding[1]:
+        # surfaced here, BEFORE the materialization action below — raised
+        # only at the minhash call, an invalid banding would orphan the pin
+        raise ValueError(
+            f"n_hashes ({minhash_banding[0]}) must be divisible by bands "
+            f"({minhash_banding[1]})"
+        )
     df = flagged.withColumn("_row_key", _row_key(key_cols))
     surv_count = None
     survivor_cond = F.col("quality_ok") & F.col("exact_keep")
@@ -298,8 +311,13 @@ def curate_near_dups(
         if surv_count is None:
             surv_count = survivors.count()
         carry = "rehash" if surv_count > carry_threshold else "arrays"
+    banding = (
+        {"n_hashes": minhash_banding[0], "bands": minhash_banding[1]}
+        if minhash_banding
+        else {}
+    )
     pairs = minhash_near_dups(
-        survivors, jaccard_threshold=jaccard_threshold, carry=carry
+        survivors, jaccard_threshold=jaccard_threshold, carry=carry, **banding
     )
     if policy == "clusters":
         clusters = dup_clusters(pairs, **(cluster_opts or {}))
@@ -353,12 +371,14 @@ def curate(
     decontam_seed: int = 42,
     minhash_carry: str = "auto",
     carry_threshold: int = 100_000,
+    minhash_banding: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
     Composition of ``curate_flags`` → ``curate_near_dups``; see
     ``curate_near_dups`` for the ``materialize`` modes (the pin covers the
-    whole extract+flags subtree here) and the near-dup drop ``policy``;
+    whole extract+flags subtree here), the near-dup drop ``policy``, and
+    ``minhash_banding`` (optional pinned LSH sizing);
     ``benchmark_hashes`` (``decontam.benchmark_ngram_hashes``) enables the
     decontamination gate — pass the SAME ``decontam_n``/``decontam_seed``
     the hash set was computed with."""
@@ -369,6 +389,7 @@ def curate(
     return curate_near_dups(
         flagged, text_col, key_cols, jaccard_threshold, materialize,
         policy, cluster_opts, minhash_carry, carry_threshold,
+        minhash_banding,
     )
 
 

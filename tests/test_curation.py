@@ -297,6 +297,33 @@ def test_release_curated_unpersists_the_pin(spark, planted):
     assert release_curated(planted) == 0
 
 
+def test_curate_minhash_banding_passthrough(spark, planted):
+    """minhash_banding pins the LSH sizing through curate() →
+    minhash_near_dups (the deployment recall/cost knob and the bench A/B
+    axis).  On this corpus the near-dup is caught under any banding
+    (NEAR shares most 5-grams with GOOD), so the pinned run must agree
+    with the default recall-sized run; an invalid banding surfaces
+    minhash_near_dups' divisibility error rather than being dropped."""
+    base = {
+        (r.conv_id, r.turn_idx, r.kept)
+        for r in curate(planted, jaccard_threshold=0.7).collect()
+    }
+    pinned = {
+        (r.conv_id, r.turn_idx, r.kept)
+        for r in curate(
+            planted, jaccard_threshold=0.7, minhash_banding=(32, 8)
+        ).collect()
+    }
+    assert pinned == base
+    # the invalid banding raises at plan construction, BEFORE the
+    # materialization action — no pin to orphan
+    with pytest.raises(ValueError, match="divisible"):
+        curate(planted, jaccard_threshold=0.7, minhash_banding=(32, 7))
+    from cl_readability_spark.functions.pins import release_all_pins
+
+    release_all_pins(spark)
+
+
 def test_pin_registry_recovers_lost_handles(spark, planted):
     """A pinned frame derived with .filter() loses the attribute handle;
     the session registry still knows the pin, so leaks are detectable

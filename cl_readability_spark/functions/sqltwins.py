@@ -1440,6 +1440,109 @@ FROM t
 """
 
 
+# --- 18f2. gopher_quality — the Gopher document-quality rules (Rae et
+#     al. 2021 §A1.1, the standard LLM pre-training text filter) as JVM
+#     expressions with a DuckDB twin.  Integer-exact throughout (cross-
+#     multiplication instead of ratios) so the twin hashes identically:
+#     word count in [50, 100k]; mean word length in [3, 10] chars
+#     (3·n ≤ chars ≤ 10·n, chars = non-whitespace length); symbol-to-
+#     word ratio ≤ 0.1 over '#' and '…'-as-'...' (10·symbols ≤ n);
+#     ≥80% of words contain a letter (5·alpha ≥ 4·n); ≥2 distinct
+#     stopwords of the Gopher 8.  The driver word-salad corpus has ~no
+#     stopwords, so every 6th doc gets a stopword-bearing sentence
+#     appended — both flag outcomes exist by construction (pinned below
+#     by the planted class itself: planted docs that meet the other
+#     rules pass, unplanted docs all fail the stopword rule). ---
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_quality(spark, sf_dir):
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(6)) == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" the words and more of that to be clear with everyone"),
+        ),
+    ).otherwise(F.col("text"))
+    lowered = F.lower(F.trim(F.coalesce(planted, F.lit(""))))
+    words = F.split(lowered, r"\s+")
+    n = F.size(words).cast("long")
+    chars = F.length(F.regexp_replace(lowered, r"\s+", "")).cast("long")
+    n_hash = (
+        F.length(lowered) - F.length(F.replace(lowered, F.lit("#")))
+    ).cast("long")
+    n_ellipsis = (
+        (F.length(lowered) - F.length(F.replace(lowered, F.lit("...")))) / 3
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    ok = (
+        n.between(50, 100_000)
+        & (3 * n <= chars)
+        & (chars <= 10 * n)
+        & (10 * (n_hash + n_ellipsis) <= n)
+        & (5 * n_alpha >= 4 * n)
+        & (n_stop >= 2)
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.alias("n_words"),
+        chars.alias("n_chars"),
+        (n_hash + n_ellipsis).alias("n_symbols"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        ok.alias("gopher_ok"),
+    )
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH g AS (
+  SELECT doc_id,
+         lower(trim(coalesce(
+           CASE WHEN doc_id % 6 = 0
+                THEN text || ' the words and more of that to be clear with everyone'
+                ELSE text END, ''))) AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t,
+         regexp_split_to_array(t, '\s+') AS w,
+         CAST(length(regexp_replace(t, '\s+', '', 'g')) AS BIGINT) AS chars,
+         CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+         CAST((length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT)
+           AS n_ellipsis
+  FROM g
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         chars,
+         n_hash + n_ellipsis AS n_symbols,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+           AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(w),
+              ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+           AS n_stopwords
+  FROM s
+)
+SELECT doc_id, n_words, n_chars, n_symbols, n_alpha_words, n_stopwords,
+       n_words BETWEEN 50 AND 100000
+         AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+         AND 10 * n_symbols <= n_words
+         AND 5 * n_alpha_words >= 4 * n_words
+         AND n_stopwords >= 2 AS gopher_ok
+FROM (SELECT doc_id, n_words, chars AS n_chars, n_symbols, n_alpha_words,
+             n_stopwords FROM c)
+"""
+
+
 # --- 18g. pack_invariants — the SQL-expressible half of sequence
 #     packing (functions/packing.py).  Pack IDS are partitioning-
 #     dependent (not SQL-expressible; rows-only pack_sequences query),
@@ -1573,6 +1676,7 @@ SQL_TWINS: dict[str, tuple] = {
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),
     "media_planted": (q_media_planted, SQL_MEDIA_PLANTED),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),

@@ -226,18 +226,34 @@ def media_feature_near_dups(
     ``plant_copies_every`` unions exact copies of every N-th doc (offset
     ids) so the query verifiably yields pairs on any corpus; at threshold
     0.98 the planted identical-feature pairs (cosine 1.0) are guaranteed
-    candidates in every band."""
+    candidates in every band.
+
+    The decoded-feature frame is pinned (DISK_ONLY) before any branch
+    references it: the LSH plan references its input THREE times
+    (signature stage + the two exact-cosine vector joins) and the
+    planted-copies union adds two more — Spark has no cross-branch
+    subplan reuse (PLANS.md), so unpinned, the payload DECODE stage (the
+    dominant cost on real image corpora) would re-run once per branch.
+    Pinned features are ~70 B/row vs re-decoding binary payloads;
+    evaluate-once is accumulator-pinned in tests.  Release via
+    ``pins.release_pinned`` on the returned frame."""
+    from pyspark import StorageLevel
+
+    from cl_readability_spark.functions.pins import attach_pins
     from cl_readability_spark.functions.similarity import embedding_near_dups
 
     feats = decode_image_features(media, fake=True).filter(
         F.col("status") == "ok"
     )
     vecs = feats.select(F.col("doc_id").alias("vec_id"), F.col("features"))
+    vecs = vecs.persist(StorageLevel.DISK_ONLY)
+    corpus = vecs
     if plant_copies_every:
         copies = vecs.filter(F.col("vec_id") % plant_copies_every == 0).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), F.col("features")
         )
-        vecs = vecs.unionByName(copies)
-    return embedding_near_dups(
-        vecs, threshold=threshold, dim=16, vec_col="features"
+        corpus = vecs.unionByName(copies)
+    out = embedding_near_dups(
+        corpus, threshold=threshold, dim=16, vec_col="features"
     )
+    return attach_pins(out, vecs)

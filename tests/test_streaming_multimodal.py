@@ -89,6 +89,36 @@ def _ndup_df(spark, rows):
     )
 
 
+def test_media_near_dups_decodes_each_payload_exactly_once(spark):
+    """The LSH plan references its input in 3 branches (signature stage +
+    two vector joins) and the planted-copies union adds more — with no
+    cross-branch subplan reuse, an unpinned feature frame re-runs the
+    payload DECODE per branch (the dominant cost on real image corpora).
+    The DISK_ONLY pin must hold decode at exactly ONE evaluation, and the
+    pin must release through the standard handle."""
+    from cl_readability_spark.functions.pins import release_pinned
+    from cl_readability_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        media_feature_near_dups,
+        synthetic_media,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+    media = synthetic_media(spark, n=30)
+
+    def _count(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = media.mapInPandas(_count, MEDIA_SCHEMA)
+    out = media_feature_near_dups(counted)
+    n_pairs = out.count()
+    assert n_pairs > 0
+    assert acc.value == 30, f"decode input evaluated {acc.value}/30 rows"
+    assert release_pinned(out) == 1
+
+
 def test_near_dup_reduction_on_unflushed_sink_is_empty(spark, tmp_path):
     """A sink directory that exists but holds no data files yet —
     reduction called before any window has flushed, routine under

@@ -179,28 +179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["embedding_near_dups"] = _q_embedding_near_dups
 
-    def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Training-shard prep (rows-only: pack ids depend on the hash
-        partitioning, not SQL-expressible): whitespace token counts →
-        per-partition best-fit-decreasing packs within a 2048-token
-        budget.  Invariants (budget, exactly-once, oversize isolation)
-        are pytest-pinned in tests/test_packing.py."""
-        from cl_readability_spark.functions.packing import pack_sequences
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id",
-            # split("") yields [""], so guard empty/null text to 0 tokens
-            F.when(
-                F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0,
-                F.lit(0),
-            )
-            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-            .cast("long")
-            .alias("n_tokens"),
-        )
-        return pack_sequences(docs, max_tokens=2048, num_partitions=8)
-
-    out["pack_sequences"] = _q_pack_sequences
+    # NOTE (round 6): the rows-only pack_sequences entry was retired to
+    # fund the hash-checked line_dedup_planted twin under the 50-query
+    # cap — the packer's contract is the stronger check anyway: the
+    # pack_invariants oracle re-aggregates the packer's ACTUAL output and
+    # hash-checks the derived invariants, and tests/test_packing.py pins
+    # the per-row behavior.
 
     def _q_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         from cl_readability_spark.pipeline.diff import explode_spans

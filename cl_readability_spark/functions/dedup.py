@@ -1359,3 +1359,102 @@ def _dup_clusters_rounds(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("rep").alias("cluster_rep"))
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al. 2020
+    §2.2: "we discarded all but one of any three-sentence span occurring
+    more than once", applied here at line granularity — the common
+    implementation unit): every distinct (normalized) line is kept only
+    at its FIRST occurrence corpus-wide, ordered by (id, line index);
+    later occurrences are dropped and each document is reassembled from
+    its surviving lines in original order.  Whitespace-only lines are
+    always kept (they are document structure, not content — deduping
+    them corpus-wide would collapse every blank separator after the
+    first document).
+
+    Returns (id, n_lines, n_kept_lines, deduped_text) — one row per
+    input row, deduped_text NULL only if the input text was NULL.
+
+    ``normalize`` lowercases and trims lines for the duplicate test
+    (the kept line keeps its ORIGINAL bytes — dedup decides survival,
+    never rewrites content).
+
+    Scale shape (100 TB): two keyed exchanges, both on high-cardinality
+    keys — one window partitioned by xxhash64(normalized line) to rank
+    occurrences (hash-distributed: a line's occurrences co-locate, and
+    the heaviest possible key is one line's global duplicate count), and
+    one groupBy on the id to reassemble.  Everything is JVM expressions
+    (split/posexplode/row_number/sort_array/concat) — no python stage,
+    no driver state.  A 64-bit line-hash collision (~n_lines²/2^64)
+    could drop a distinct line as a duplicate; at 10^12 lines use a
+    128-bit key (two xxhash64 seeds) — the structure is unchanged."""
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "_line_idx", "_line"
+        ),
+    )
+    norm = F.trim(F.col("_line"))
+    if normalize:
+        norm = F.lower(norm)
+    lines = lines.withColumn("_is_blank", F.coalesce(norm, F.lit("")) == "")
+    # blank lines get a per-occurrence key: they are all kept anyway, and
+    # a shared xxhash64('') key would gather EVERY blank line in the
+    # corpus into one window partition — the exact skew hotspot the
+    # max_bucket caps exist to prevent elsewhere.  _is_blank in the
+    # partition key keeps a chance 64-bit collision between a blank's
+    # occurrence key and a content line's hash from mixing partitions.
+    lines = lines.withColumn(
+        "_lkey",
+        F.when(
+            F.col("_is_blank"),
+            F.xxhash64(F.col("_id").cast("string"), F.col("_line_idx")),
+        ).otherwise(F.xxhash64(norm)),
+    )
+    w = Window.partitionBy("_is_blank", "_lkey").orderBy("_id", "_line_idx")
+    ranked = lines.withColumn(
+        "_keep",
+        F.col("_line").isNotNull()
+        & (F.col("_is_blank") | (F.row_number().over(w) == 1)),
+    )
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count("_line").cast("long").alias("n_lines"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept_lines"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(
+                                    F.col("_line_idx"), F.col("_line")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("deduped_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_lines",
+            F.coalesce("n_kept_lines", F.lit(0)).alias("n_kept_lines"),
+            # NULL text explodes to a NULL line (posexplode_outer) with
+            # n_lines 0 — surface NULL, not an empty string
+            F.when(F.col("n_lines") > 0, F.col("deduped_text")).alias(
+                "deduped_text"
+            ),
+        )
+    )

@@ -1543,6 +1543,71 @@ FROM (SELECT doc_id, n_words, chars AS n_chars, n_symbols, n_alpha_words,
 """
 
 
+# --- 18f3. line_dedup_planted — C4-style cross-document line dedup
+#     (functions/dedup.py:line_dedup) with a full SQL twin: the planted
+#     corpus gives every doc 4 lines — its word-salad text, a footer line
+#     shared by EVERY doc (kept only at the minimum doc_id), a blank line
+#     (always kept — document structure), and a doc-unique trailer.  The
+#     oracle recomputes first-occurrence-wins from scratch with a window
+#     over the normalized line (the Spark side windows over xxhash64 of
+#     the same normalization — equivalent absent a 64-bit collision,
+#     which the value-hash would catch).  deduped_text is compared
+#     byte-for-byte, so survival AND original-byte preservation AND
+#     reassembly order are all inside the hash. ---
+def q_line_dedup_planted(spark, sf_dir):
+    from cl_readability_spark.functions.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("shared boilerplate footer line"),
+            F.lit(""),
+            F.concat(F.lit("unique trailer "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return line_dedup(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines",
+        "n_kept_lines",
+        "deduped_text",
+    )
+
+
+SQL_LINE_DEDUP_PLANTED = r"""
+WITH base AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text, 'shared boilerplate footer line', '',
+                   'unique trailer ' || CAST(doc_id AS VARCHAR)) AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id, u['idx'] AS idx, u['line'] AS line FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(t, chr(10)),
+                  (x, i) -> {'idx': i, 'line': x})) AS u
+    FROM base
+  )
+),
+ranked AS (
+  SELECT doc_id, idx, line,
+         trim(lower(line)) = '' AS is_blank,
+         row_number() OVER (PARTITION BY lower(trim(line))
+                            ORDER BY doc_id, idx) AS rn
+  FROM l
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_blank OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_lines,
+       string_agg(CASE WHEN is_blank OR rn = 1 THEN line END,
+                  chr(10) ORDER BY idx) AS deduped_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 # --- 18g. pack_invariants — the SQL-expressible half of sequence
 #     packing (functions/packing.py).  Pack IDS are partitioning-
 #     dependent (not SQL-expressible; rows-only pack_sequences query),
@@ -1677,6 +1742,7 @@ SQL_TWINS: dict[str, tuple] = {
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),
     "media_planted": (q_media_planted, SQL_MEDIA_PLANTED),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "line_dedup_planted": (q_line_dedup_planted, SQL_LINE_DEDUP_PLANTED),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),

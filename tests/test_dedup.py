@@ -691,3 +691,34 @@ def test_minhash_scan_pruning_reaches_parquet(spark, tmp_path):
     assert "doc_id" in schema and "text" in schema
     for col in ("lang", "source", "n_chars", "extra_col"):
         assert col not in schema, (col, schema)
+
+
+def test_line_dedup_first_occurrence_wins_and_structure_survives(spark):
+    """C4-style cross-doc line dedup: a line shared by several docs
+    survives only at its first (id, line-idx) occurrence; blank lines are
+    always kept (document structure); the KEPT line keeps its original
+    bytes even when normalization merged case variants; null text comes
+    back NULL with zero counts."""
+    from cl_readability_spark.functions.dedup import line_dedup
+
+    rows = [
+        (1, "Alpha One\nShared Footer\n\nTail 1"),
+        (2, "Beta Two\nshared footer\n\nTail 2"),   # case variant of doc 1's
+        (3, None),
+        (4, "Shared Footer"),                        # already seen -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert out[1].deduped_text == "Alpha One\nShared Footer\n\nTail 1"
+    assert (out[1].n_lines, out[1].n_kept_lines) == (4, 4)
+    # doc 2's footer normalizes to doc 1's -> dropped; blank kept
+    assert out[2].deduped_text == "Beta Two\n\nTail 2"
+    assert (out[2].n_lines, out[2].n_kept_lines) == (4, 3)
+    assert out[3].deduped_text is None
+    assert (out[3].n_lines, out[3].n_kept_lines) == (0, 0)
+    # the whole doc was one already-seen line -> empty doc, not NULL
+    assert out[4].deduped_text == ""
+    assert (out[4].n_lines, out[4].n_kept_lines) == (1, 0)
+    # normalize=False keeps the case variant
+    strict = {r.doc_id: r for r in line_dedup(df, normalize=False).collect()}
+    assert strict[2].deduped_text == "Beta Two\nshared footer\n\nTail 2"

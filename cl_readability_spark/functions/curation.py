@@ -266,12 +266,14 @@ def curate_near_dups(
         raise ValueError(
             f"minhash_carry must be auto/arrays/rehash, got {minhash_carry!r}"
         )
-    if minhash_banding is not None and minhash_banding[0] % minhash_banding[1]:
+    if minhash_banding is not None and (
+        minhash_banding[1] < 1 or minhash_banding[0] % minhash_banding[1]
+    ):
         # surfaced here, BEFORE the materialization action below — raised
         # only at the minhash call, an invalid banding would orphan the pin
         raise ValueError(
             f"n_hashes ({minhash_banding[0]}) must be divisible by bands "
-            f"({minhash_banding[1]})"
+            f"({minhash_banding[1]} >= 1)"
         )
     df = flagged.withColumn("_row_key", _row_key(key_cols))
     surv_count = None

@@ -722,3 +722,47 @@ def test_line_dedup_first_occurrence_wins_and_structure_survives(spark):
     # normalize=False keeps the case variant
     strict = {r.doc_id: r for r in line_dedup(df, normalize=False).collect()}
     assert strict[2].deduped_text == "Beta Two\nshared footer\n\nTail 2"
+
+
+def test_line_dedup_matches_python_oracle_on_random_corpus(spark):
+    """Differential oracle: first-occurrence-wins recomputed in plain
+    python over a seeded corpus with heavy cross-document line sharing,
+    whitespace-only lines, empty docs and a NULL doc — every output field
+    must match byte-for-byte (the DuckDB twin pins the planted shape;
+    this pins arbitrary sharing patterns)."""
+    import random
+
+    from cl_readability_spark.functions.dedup import line_dedup
+
+    rng = random.Random(11)
+    pool = [f"line {i} shared content" for i in range(12)] + ["", "  "]
+    rows = []
+    for doc in range(40):
+        n = rng.randint(0, 6)
+        rows.append(
+            (doc, "\n".join(rng.choice(pool) for _ in range(n)) if n else "")
+        )
+    rows.append((100, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text in sorted(rows, key=lambda r: r[0]):
+        if text is None:
+            expected[doc_id] = (0, 0, None)
+            continue
+        lines = text.split("\n")
+        kept = []
+        for line in lines:
+            norm = line.strip().lower()
+            if norm == "" or norm not in seen:
+                if norm != "":
+                    seen.add(norm)
+                kept.append(line)
+        expected[doc_id] = (len(lines), len(kept), "\n".join(kept))
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.deduped_text)
+        for r in line_dedup(df).collect()
+    }
+    assert got == expected

@@ -1391,9 +1391,12 @@ def line_dedup(
     the heaviest possible key is one line's global duplicate count), and
     one groupBy on the id to reassemble.  Everything is JVM expressions
     (split/posexplode/row_number/sort_array/concat) — no python stage,
-    no driver state.  A 64-bit line-hash collision (~n_lines²/2^64)
-    could drop a distinct line as a duplicate; at 10^12 lines use a
-    128-bit key (two xxhash64 seeds) — the structure is unchanged."""
+    no driver state.  The duplicate test keys on a 128-BIT line hash
+    (two independently-seeded xxhash64s; a collision would silently drop
+    a distinct line as a duplicate, and at 10^12 lines a single 64-bit
+    key's n²/2^65 birthday risk is no longer negligible) — the second
+    long costs ~8 bytes per exchanged row next to the line bytes
+    themselves."""
     from pyspark.sql.window import Window
 
     lines = df.select(
@@ -1410,7 +1413,7 @@ def line_dedup(
     # a shared xxhash64('') key would gather EVERY blank line in the
     # corpus into one window partition — the exact skew hotspot the
     # max_bucket caps exist to prevent elsewhere.  _is_blank in the
-    # partition key keeps a chance 64-bit collision between a blank's
+    # partition key keeps a chance collision between a blank's
     # occurrence key and a content line's hash from mixing partitions.
     lines = lines.withColumn(
         "_lkey",
@@ -1418,8 +1421,15 @@ def line_dedup(
             F.col("_is_blank"),
             F.xxhash64(F.col("_id").cast("string"), F.col("_line_idx")),
         ).otherwise(F.xxhash64(norm)),
+    ).withColumn(
+        "_lkey2",
+        F.when(F.col("_is_blank"), F.lit(0).cast("long")).otherwise(
+            F.xxhash64(norm, F.lit("ld2"))
+        ),
     )
-    w = Window.partitionBy("_is_blank", "_lkey").orderBy("_id", "_line_idx")
+    w = Window.partitionBy("_is_blank", "_lkey", "_lkey2").orderBy(
+        "_id", "_line_idx"
+    )
     ranked = lines.withColumn(
         "_keep",
         F.col("_line").isNotNull()

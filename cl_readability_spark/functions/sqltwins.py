@@ -1550,7 +1550,7 @@ FROM (SELECT doc_id, n_words, chars AS n_chars, n_symbols, n_alpha_words,
 #     (always kept — document structure), and a doc-unique trailer.  The
 #     oracle recomputes first-occurrence-wins from scratch with a window
 #     over the normalized line (the Spark side windows over xxhash64 of
-#     the same normalization — equivalent absent a 64-bit collision,
+#     the same normalization — equivalent absent a 128-bit collision,
 #     which the value-hash would catch).  deduped_text is compared
 #     byte-for-byte, so survival AND original-byte preservation AND
 #     reassembly order are all inside the hash. ---

@@ -357,3 +357,48 @@ def test_pin_registry_recovers_lost_handles(spark, planted):
     assert pins_outstanding(spark) == 3
     assert release_pinned(curated2) == 3
     assert pins_outstanding(spark) == 0
+
+
+def test_line_dedup_composes_with_curate(spark):
+    """The C4-style pipeline order: cross-document LINE dedup first
+    (corpus-wide boilerplate lines vanish), then the doc-level curation
+    chain over the deduped text.  Pins both the plumbing (line_dedup's
+    output feeds curate via text_col/key_cols) and the division of
+    labor: a doc whose every line was already seen dedupes to EMPTY at
+    the line stage — i.e. line dedup subsumes exact doc-dedup — and the
+    doc-level chain absorbs the husk as a quality drop, while docs that
+    merely shared boilerplate lose only those lines and stay kept."""
+    from cl_readability_spark.functions.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter for the latest updates and offers"
+    body_b = (
+        "A different and equally long body of text with stopwords in it, "
+        "which also keeps going for long enough to pass the length gate "
+        "of the curation pipeline, as designed for this row. "
+    ) * 3
+    rows = [
+        (0, GOOD + "\n" + boiler),
+        (1, body_b + "\n" + boiler),  # distinct body, shared boilerplate
+        (2, GOOD + "\n" + boiler),    # every line already seen -> empties
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    deduped = line_dedup(df)
+    texts = {r.doc_id: r.deduped_text for r in deduped.collect()}
+    # doc 0 keeps the boilerplate (first occurrence); doc 1 keeps only
+    # its body; doc 2 loses every line
+    assert texts[0] == GOOD + "\n" + boiler
+    assert texts[1] == body_b
+    assert texts[2] == ""
+    curated = curate(
+        deduped,
+        text_col="deduped_text",
+        key_cols=("doc_id",),
+        min_stopword_bp=0,
+    )
+    kept = {r.doc_id for r in curated.filter(F.col("kept")).collect()}
+    flags = {r.doc_id: r for r in curated.collect()}
+    assert kept == {0, 1}
+    assert not flags[2].quality_ok  # the emptied husk is a quality drop
+    from cl_readability_spark.functions.curation import release_curated
+
+    release_curated(curated)

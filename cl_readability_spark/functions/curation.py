@@ -94,6 +94,70 @@ def quality_flag(
     )
 
 
+# the 8 stopwords of the Gopher rules (Rae et al. 2021 §A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_ratio_bp: int = 1000,
+    min_alpha_word_bp: int = 8000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Adds the Gopher document-quality rule columns (Rae et al. 2021
+    §A1.1 — the standard LLM pre-training text filter): ``n_words``,
+    ``n_chars`` (non-whitespace), ``n_symbols`` ('#' chars + '...'
+    occurrences), ``n_alpha_words`` (words containing a letter),
+    ``n_stopwords`` (distinct hits among the Gopher 8), and the combined
+    ``gopher_ok``.  Ratio thresholds are basis points and every rule is
+    evaluated with integer CROSS-MULTIPLICATION — no floats, so the
+    flags are engine-exact (the ``gopher_quality`` DuckDB twin hash-
+    matches these exact expressions).  Filter ``gopher_ok`` as a
+    pre-training gate, or AND it into ``curate``'s quality gate upstream.
+
+    Plan shape: one whole-stage-codegen projection (the lone HOF —
+    ``filter`` for the alpha count — is interpreted but array-local);
+    no shuffle, no python stage — scan → project at any scale."""
+    lowered = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.split(lowered, r"\s+")
+    n = F.size(words).cast("long")
+    chars = F.length(F.regexp_replace(lowered, r"\s+", "")).cast("long")
+    n_hash = (
+        F.length(lowered) - F.length(F.replace(lowered, F.lit("#")))
+    ).cast("long")
+    n_ellipsis = (
+        (F.length(lowered) - F.length(F.replace(lowered, F.lit("...")))) / 3
+    ).cast("long")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    ok = (
+        n.between(min_words, max_words)
+        & (min_mean_word_len * n <= chars)
+        & (chars <= max_mean_word_len * n)
+        & ((n_hash + n_ellipsis) * 10000 <= n * max_symbol_ratio_bp)
+        & (n_alpha * 10000 >= n * min_alpha_word_bp)
+        & (n_stop >= min_stopwords)
+    )
+    return (
+        df.withColumn("n_words", n)
+        .withColumn("n_chars", chars)
+        .withColumn("n_symbols", (n_hash + n_ellipsis).cast("long"))
+        .withColumn("n_alpha_words", n_alpha)
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("gopher_ok", ok)
+    )
+
+
 def _row_key(key_cols: tuple[str, ...]):
     return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
 

@@ -1453,52 +1453,30 @@ FROM t
 #     appended — both flag outcomes exist by construction (pinned below
 #     by the planted class itself: planted docs that meet the other
 #     rules pass, unplanted docs all fail the stopword rule). ---
-_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
-
-
 def q_gopher_quality(spark, sf_dir):
-    planted = F.when(
-        F.pmod(F.col("doc_id"), F.lit(6)) == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" the words and more of that to be clear with everyone"),
-        ),
-    ).otherwise(F.col("text"))
-    lowered = F.lower(F.trim(F.coalesce(planted, F.lit(""))))
-    words = F.split(lowered, r"\s+")
-    n = F.size(words).cast("long")
-    chars = F.length(F.regexp_replace(lowered, r"\s+", "")).cast("long")
-    n_hash = (
-        F.length(lowered) - F.length(F.replace(lowered, F.lit("#")))
-    ).cast("long")
-    n_ellipsis = (
-        (F.length(lowered) - F.length(F.replace(lowered, F.lit("...")))) / 3
-    ).cast("long")
-    n_alpha = F.size(
-        F.filter(words, lambda w: w.rlike("[a-z]"))
-    ).cast("long")
-    n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(words),
-            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
-        )
-    ).cast("long")
-    ok = (
-        n.between(50, 100_000)
-        & (3 * n <= chars)
-        & (chars <= 10 * n)
-        & (10 * (n_hash + n_ellipsis) <= n)
-        & (5 * n_alpha >= 4 * n)
-        & (n_stop >= 2)
+    # delegates to the REUSABLE operator (curation.gopher_flags) so the
+    # driver hash-checks the exact expressions pipelines filter on; the
+    # planting here only guarantees both flag outcomes exist
+    from cl_readability_spark.functions.curation import gopher_flags
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(6)) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" the words and more of that to be clear with everyone"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
     )
-    return _docs(spark, sf_dir).select(
+    return gopher_flags(planted).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        n.alias("n_words"),
-        chars.alias("n_chars"),
-        (n_hash + n_ellipsis).alias("n_symbols"),
-        n_alpha.alias("n_alpha_words"),
-        n_stop.alias("n_stopwords"),
-        ok.alias("gopher_ok"),
+        "n_words",
+        "n_chars",
+        "n_symbols",
+        "n_alpha_words",
+        "n_stopwords",
+        "gopher_ok",
     )
 
 

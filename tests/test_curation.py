@@ -402,3 +402,36 @@ def test_line_dedup_composes_with_curate(spark):
     from cl_readability_spark.functions.curation import release_curated
 
     release_curated(curated)
+
+
+def test_gopher_flags_operator(spark):
+    """gopher_flags as a standalone gate: threshold knobs steer the
+    integer cross-multiplied rules, all corpus columns survive, and the
+    default thresholds reproduce the oracle-checked gopher_quality twin
+    semantics (both outcomes on a planted corpus)."""
+    from cl_readability_spark.functions.curation import gopher_flags
+
+    good = ("the quick brown fox and the lazy dog keep running with that "
+            "same energy to be sure of it ") * 3  # stopword-rich, 51+ words
+    rows = [
+        (0, good),
+        (1, "word " * 60),                       # no stopwords -> fail
+        (2, good + " ##########" * 2),           # symbol-heavy tail
+        (3, None),
+        (4, "the of and to be that have with"),  # 8 words < min_words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_flags(df).collect()}
+    assert out[0].gopher_ok
+    assert not out[1].gopher_ok and out[1].n_stopwords == 0
+    assert not out[2].gopher_ok and out[2].n_symbols == 20
+    assert not out[3].gopher_ok and out[3].n_chars == 0
+    assert not out[4].gopher_ok and out[4].n_words == 8
+    # knobs: drop the word floor and doc 4 passes (it is pure stopwords)
+    relaxed = {
+        r.doc_id: r.gopher_ok
+        for r in gopher_flags(df, min_words=1).collect()
+    }
+    assert relaxed[4]
+    # all input columns survive the projection
+    assert set(out[0].asDict()) >= {"doc_id", "text", "gopher_ok"}

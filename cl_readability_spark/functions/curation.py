@@ -122,7 +122,12 @@ def gopher_flags(
 
     Plan shape: one whole-stage-codegen projection (the lone HOF —
     ``filter`` for the alpha count — is interpreted but array-local);
-    no shuffle, no python stage — scan → project at any scale."""
+    no shuffle, no python stage — scan → project at any scale.
+
+    NOTE: the six flag columns are added with ``withColumn`` and will
+    REPLACE same-named input columns; rename yours first if they
+    collide (n_words/n_chars/n_symbols/n_alpha_words/n_stopwords/
+    gopher_ok)."""
     lowered = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
     words = F.split(lowered, r"\s+")
     n = F.size(words).cast("long")

@@ -766,3 +766,25 @@ def test_line_dedup_matches_python_oracle_on_random_corpus(spark):
         for r in line_dedup(df).collect()
     }
     assert got == expected
+
+
+def test_line_dedup_plan_shape(spark):
+    """Physical-plan golden for the scale claims (PLANS.md): zero python
+    stages, zero joins, exactly TWO keyed exchanges — the occurrence
+    window on (is_blank, 128-bit line key) and the per-doc reassembly
+    groupBy — with the blank-line per-occurrence keys inside the window
+    partitioning (the corpus-wide-blank skew defusal)."""
+    import re as _re
+
+    from cl_readability_spark.functions.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
+    )
+    plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    keys = _re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
+    assert len(keys) == 2, keys
+    assert any("_lkey2" in k and "_is_blank" in k for k in keys)
+    assert any("_id" in k and "_lkey" not in k for k in keys)

@@ -260,6 +260,34 @@ AUTHORED: dict[str, dict] = {
         ],
         "html_excludes": ["news.example.com", 'href="#frag"'],
     },
+    # base-href-lazy-img — derivation chain (the two ref-TODO
+    # implementations composed, IN ORDER):
+    # 1. fix-lazy-images (prep-article): the src is a base64 data URL
+    #    with payload < 133 chars and ANOTHER attribute (data-src)
+    #    matches the image-ext regex -> placeholder src REMOVED; class
+    #    contains 'lazy' and data-src matches the single-image pattern
+    #    -> data-src copied to src.  (Same two clauses the
+    #    nested-table-lazy-img fixture pins — unchanged here.)
+    # 2. fix-relative-urls: baseURI = the <base href> (absolute, wins
+    #    as-is over the page URL), so the PROMOTED src resolves to
+    #    https://cdn.example.net/assets/v2/photos/hero.jpg — NOT against
+    #    news.example.com.  data-src itself is not a rewrite target
+    #    (src/poster/srcset only, per the JS), so it keeps the relative
+    #    bytes; the base64 placeholder must be gone entirely.
+    # 3. Text: S*12 + the caption paragraph (img contributes nothing).
+    #    Title: 'A | B' pipe split, first part 6 words >= 3 -> kept.
+    "base-href-lazy-img": {
+        "text": (
+            S * 12
+            + "Lazy caption sentence with commas, context, and length to "
+            "stay with the story, naturally."
+        ).strip(),
+        "title": "Lazy Image Under Moved Base Story",
+        "html_contains": [
+            'src="https://cdn.example.net/assets/v2/photos/hero.jpg"',
+        ],
+        "html_excludes": ["base64", "news.example.com"],
+    },
     # replace-brs: the <br><br> run becomes a <p> pulling SEG2 in; SEG1
     # stays as loose text wrapped by the div-children loop; one block.
     "br-runs": {"text": (SEG1 * 3 + SEG2 * 3).strip()},

@@ -244,6 +244,21 @@ CASES: dict[str, tuple[str, str | None]] = {
         "</tr></table></body></html>",
         "https://news.example.org/stories/2026/index.html",
     ),
+    # the two ref-TODO implementations composed: fix-lazy-images promotes
+    # the data-src, THEN fix-relative-urls resolves the promoted src
+    # against the <base>-moved base, not the page URL.
+    "base-href-lazy-img": (
+        "<html><head><title>Lazy Image Under Moved Base Story | Site</title>"
+        "<base href='https://cdn.example.net/assets/v2/'></head>"
+        "<body><div id='page'>"
+        + LONG_P * 3
+        + "<p>Lazy caption sentence with commas, context, and length to stay "
+        "with the story, naturally.</p>"
+        "<img class='lazyload' src='data:image/gif;base64,R0lGODlhAQABAIAAAP"
+        "///wAAACH5BAEAAAAALAAAAAABAAEAAAICRAEAOw==' data-src='photos/hero.jpg'>"
+        "</div></body></html>",
+        "https://news.example.com/articles/today.html",
+    ),
     "data-table-kept": (
         "<html><body><div id='page'>"
         + LONG_P * 3

@@ -6,6 +6,13 @@ deploy (same `spark-submit --py-files clrs.zip` shape as extract_job.py).
       → Readability extraction (salted, vectorized, resumable batches)
       → curation flags (quality gate, exact dedup, MinHash near-dup prune)
       → kept corpus parquet + one-row audit report (JSON on stdout)
+
+C4-style cross-document LINE dedup (functions/dedup.py:line_dedup)
+composes ahead of the doc-level gates when a corpus needs it: run it over
+the written extraction table (so the expensive pass is staged once),
+rewrite extracted_text from deduped_text, then feed this pipeline — the
+division of labor (line dedup subsumes exact doc-dedup; emptied husks
+become quality drops) is pinned in tests/test_curation.py.
 """
 
 from __future__ import annotations

@@ -146,6 +146,18 @@ def test_near_dup_reduction_on_unflushed_sink_is_empty(spark, tmp_path):
             assert kept.count() == 0
         with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
             reducer(spark, str(tmp_path / "missing"))
+    # the recovery hook on an unflushed sink: the ENTIRE corpus is
+    # unjudged (nothing was ever aggregated) — route it all to the batch
+    # backstop rather than treating it as dropped
+    from cl_readability_spark.pipeline.streaming import near_dup_unjudged_ids
+
+    corpus = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    for sink in (bare, unflushed):
+        unjudged = {
+            r.doc_id
+            for r in near_dup_unjudged_ids(spark, str(sink), corpus).collect()
+        }
+        assert unjudged == {1, 2}
 
 
 def test_streaming_near_dup_matches_batch_keep_one(spark, tmp_path):

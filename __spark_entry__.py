@@ -110,7 +110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_documents"] = _q_extract_documents
     out["extract_documents_triaged"] = _q_extract_triaged
     out["extract_metrics_rollup"] = _q_extract_rollup
-    out["readerable_triage"] = _q_readerable_triage
+    # NOTE (round 7): the rows-only readerable_triage entry was retired
+    # to fund the hash-checked span_invariants twin under the 50-query
+    # cap — it was fully subsumed: readerable_triage_sql hash-checks the
+    # SAME triage expression per conversation (digest-CTE twin), and
+    # tests/test_readerable.py pins the python/JVM gate agreement.
+    # _q_readerable_triage stays importable for ad-hoc use.
     out["dedup_minhash"] = lambda spark, sf_dir: minhash_near_dups(
         spark.read.parquet(f"{sf_dir}/documents.parquet"), jaccard_threshold=0.5
     )

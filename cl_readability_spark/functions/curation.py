@@ -117,28 +117,47 @@ def gopher_flags(
     ``gopher_ok``.  Ratio thresholds are basis points and every rule is
     evaluated with integer CROSS-MULTIPLICATION — no floats, so the
     flags are engine-exact (the ``gopher_quality`` DuckDB twin hash-
-    matches these exact expressions).  Filter ``gopher_ok`` as a
-    pre-training gate, or AND it into ``curate``'s quality gate upstream.
+    matches these exact expressions).  Whitespace is the EXPLICIT class
+    ``[ \\t\\n\\f\\r]`` on both engines — java-regex ``\\s`` includes
+    vertical tab U+000B, RE2's does not, so ``\\s`` would silently
+    diverge the two engines' word splits on VT-bearing text.  Filter
+    ``gopher_ok`` as a pre-training gate, or AND it into ``curate``'s
+    quality gate upstream.
 
-    Plan shape: one whole-stage-codegen projection (the lone HOF —
-    ``filter`` for the alpha count — is interpreted but array-local);
-    no shuffle, no python stage — scan → project at any scale.
+    Plan shape: ONE fully whole-stage-codegen projection — the alpha
+    count is a ``regexp_count`` of word-start-to-first-letter matches
+    (definitionally the number of words containing a letter), not a
+    lambda HOF, which Catalyst would run interpreted per row (PLANS.md
+    HOF note; the round-6 1M sweep measured that lambda as real wall
+    time); no shuffle, no python stage — scan → project at any scale.
 
     NOTE: the six flag columns are added with ``withColumn`` and will
     REPLACE same-named input columns; rename yours first if they
     collide (n_words/n_chars/n_symbols/n_alpha_words/n_stopwords/
     gopher_ok)."""
     lowered = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
-    words = F.split(lowered, r"\s+")
+    # explicit whitespace class == RE2's \s (the DuckDB twin's engine);
+    # java \s would add U+000B and split differently on VT-bearing text
+    ws = "[ \t\n\f\r]"
+    words = F.split(lowered, f"{ws}+")
     n = F.size(words).cast("long")
-    chars = F.length(F.regexp_replace(lowered, r"\s+", "")).cast("long")
+    chars = F.length(F.regexp_replace(lowered, f"{ws}+", "")).cast("long")
     n_hash = (
         F.length(lowered) - F.length(F.replace(lowered, F.lit("#")))
     ).cast("long")
     n_ellipsis = (
         (F.length(lowered) - F.length(F.replace(lowered, F.lit("...")))) / 3
     ).cast("long")
-    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("long")
+    # words containing a letter, WITHOUT a lambda HOF (interpreted,
+    # breaks whole-stage codegen): count matches of word-start →
+    # first letter.  A match consumes one separator (or ^) plus the
+    # token's prefix through a letter; \S* cannot cross whitespace and
+    # mid-token positions can never re-match (no ^/separator there), so
+    # matches biject with letter-bearing tokens — definitionally
+    # len(filter(words, contains [a-z])).
+    n_alpha = F.regexp_count(
+        lowered, F.lit(f"(^|{ws})[^ \t\n\f\r]*[a-z]")
+    ).cast("long")
     n_stop = F.size(
         F.array_intersect(
             F.array_distinct(words),

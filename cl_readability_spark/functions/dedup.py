@@ -1361,11 +1361,25 @@ def _dup_clusters_rounds(
     return labels.select("id", F.col("rep").alias("cluster_rep"))
 
 
+# whitespace stripped from line EDGES for the line_dedup duplicate test —
+# an EXPLICIT class, not \s, because the three engines that must agree on
+# it disagree on \s (Java includes U+000B vertical tab, RE2 does not, and
+# python str.strip() takes all of unicode).  Space, tab, form feed,
+# carriage return (so a CRLF corpus dedups against its LF twin — the
+# trailing \r left by splitting CRLF text on \n is edge whitespace), and
+# vertical tab.  \n cannot appear inside a line (lines are split on it).
+# The DuckDB twin (sqltwins.SQL_LINE_DEDUP_PLANTED) and the python oracle
+# (tests/test_dedup.py) apply the SAME class.
+LINE_EDGE_WS = " \t\f\r\x0b"
+_LINE_TRIM_RE = r"^[ \t\f\r\x0B]+|[ \t\f\r\x0B]+$"
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     normalize: bool = True,
+    pin_lines: bool = False,
 ) -> DataFrame:
     """C4-style cross-document line deduplication (Raffel et al. 2020
     §2.2: "we discarded all but one of any three-sentence span occurring
@@ -1376,67 +1390,114 @@ def line_dedup(
     its surviving lines in original order.  Whitespace-only lines are
     always kept (they are document structure, not content — deduping
     them corpus-wide would collapse every blank separator after the
-    first document).
+    first document).  "Whitespace" at line edges is the explicit
+    ``LINE_EDGE_WS`` class (space/tab/FF/CR/VT — NOT java-regex ``\\s``,
+    which disagrees with RE2 and python on vertical tab), so tab-only
+    lines are structure like space-only ones and CRLF documents dedup
+    against LF variants.
 
     Returns (id, n_lines, n_kept_lines, deduped_text) — one row per
     input row, deduped_text NULL only if the input text was NULL.
 
-    ``normalize`` lowercases and trims lines for the duplicate test
+    ``normalize`` lowercases the trimmed line for the duplicate test
     (the kept line keeps its ORIGINAL bytes — dedup decides survival,
     never rewrites content).
 
-    Scale shape (100 TB): two keyed exchanges, both on high-cardinality
-    keys — one window partitioned by xxhash64(normalized line) to rank
-    occurrences (hash-distributed: a line's occurrences co-locate, and
-    the heaviest possible key is one line's global duplicate count), and
-    one groupBy on the id to reassemble.  Everything is JVM expressions
-    (split/posexplode/row_number/sort_array/concat) — no python stage,
-    no driver state.  The duplicate test keys on a 128-BIT line hash
-    (two independently-seeded xxhash64s; a collision would silently drop
-    a distinct line as a duplicate, and at 10^12 lines a single 64-bit
-    key's n²/2^65 birthday risk is no longer negligible) — the second
-    long costs ~8 bytes per exchanged row next to the line bytes
-    themselves."""
-    from pyspark.sql.window import Window
+    Scale shape (100 TB): the first-occurrence winner per line key is a
+    ``groupBy(key).agg(min(struct(id, line_idx)))`` — an AGGREGATION, so
+    a mega-hot line ("Please enable JavaScript", cookie banners) partial-
+    aggregates map-side and crosses the shuffle as one slim row per input
+    partition, never as its full occurrence population.  Keeps are then
+    marked by joining the winners back onto the lines **keyed by
+    (id, line_idx)** — NOT by the line key: (id, line_idx) is unique per
+    row on both sides, so every exchange this plan performs is keyed
+    uniform-or-unique and the hot line simply CANNOT concentrate
+    anywhere.  Contrast the two rejected shapes: a ``row_number`` window
+    partitioned by the line hash pins every occurrence of one hot line
+    into ONE task AQE cannot split; and joining winners back ON the line
+    key leaves the hot key in one probe partition while relying on AQE
+    skew-split to rescue it — which empirically does NOT fire here
+    (OptimizeSkewedJoin pattern-matches only a bare Sort+Shuffle under
+    both join children, and the winners aggregation reuses its own
+    exchange; compressed-size stats also under-detect a highly
+    compressible repeated line).  The (id, idx) keying needs no AQE, no
+    thresholds, no salting.  Everything is JVM expressions
+    (split/posexplode/min-struct/join/sort_array/concat) — no python
+    stage, no driver state.  The duplicate test keys on a 128-BIT line
+    hash (two independently-seeded xxhash64s; a collision would silently
+    drop a distinct line as a duplicate, and at 10^12 lines a single
+    64-bit key's n²/2^65 birthday risk is no longer negligible) — the
+    second long costs ~8 bytes per exchanged row next to the line bytes
+    themselves.
 
+    ``pin_lines``: the winners frame aggregates the SAME exploded-lines
+    subtree the join probes (a self-join — PLANS.md rule), so a
+    NONDETERMINISTIC input plan (rand-salted, sampled, fresh-uuid) could
+    disagree between the two evaluations and silently drop lines whose
+    re-evaluated bytes no longer match any winner.  Pure scans /
+    projections (parquet reads, the sink-staged pipeline frames this
+    repo composes) re-evaluate identically and need nothing; for
+    anything nondeterministic pass ``pin_lines=True`` to materialize the
+    exploded lines DISK_ONLY before the branch — the returned frame then
+    carries the standard ``pins.release_pinned`` handle."""
     lines = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
             "_line_idx", "_line"
         ),
     )
-    norm = F.trim(F.col("_line"))
+    norm = F.regexp_replace(F.col("_line"), _LINE_TRIM_RE, "")
     if normalize:
         norm = F.lower(norm)
     lines = lines.withColumn("_is_blank", F.coalesce(norm, F.lit("")) == "")
-    # blank lines get a per-occurrence key: they are all kept anyway, and
-    # a shared xxhash64('') key would gather EVERY blank line in the
-    # corpus into one window partition — the exact skew hotspot the
-    # max_bucket caps exist to prevent elsewhere.  _is_blank in the
-    # partition key keeps a chance collision between a blank's
-    # occurrence key and a content line's hash from mixing partitions.
-    lines = lines.withColumn(
-        "_lkey",
-        F.when(
-            F.col("_is_blank"),
-            F.xxhash64(F.col("_id").cast("string"), F.col("_line_idx")),
-        ).otherwise(F.xxhash64(norm)),
+    if pin_lines:
+        from pyspark import StorageLevel
+
+        lines = lines.persist(StorageLevel.DISK_ONLY)
+    # first occurrence per content-line key, as a map-side-combinable
+    # min aggregation: the skew-safe formulation — a hot key collapses
+    # to one slim partial row per input partition before the exchange,
+    # so the aggregation's reduce side is uniform however hot a line is.
+    # Blank lines never enter the aggregation (they are all kept — no
+    # per-occurrence key tricks needed, unlike the r6 window shape that
+    # had to defuse a corpus-wide xxhash64('') partition), and the line
+    # keys exist ONLY inside this branch — the probe side never carries
+    # them.
+    winners = (
+        lines.filter(~F.col("_is_blank"))
+        .select(
+            "_id",
+            "_line_idx",
+            F.xxhash64(norm).alias("_lkey"),
+            F.xxhash64(norm, F.lit("ld2")).alias("_lkey2"),
+        )
+        .groupBy("_lkey", "_lkey2")
+        .agg(
+            F.min(F.struct(F.col("_id"), F.col("_line_idx"))).alias("_win")
+        )
+        .select(
+            F.col("_win._id").alias("_id"),
+            F.col("_win._line_idx").alias("_line_idx"),
+            F.lit(True).alias("_is_winner"),
+        )
+    )
+    # mark keeps by joining winners back on (id, line_idx) — unique per
+    # row on BOTH sides, so this join's exchanges are skew-free by
+    # construction (see docstring).  Blank lines never match (winners
+    # come only from content lines and (id, idx) is unique corpus-wide);
+    # their _keep comes from the _is_blank disjunct alone.
+    marked = lines.join(
+        winners, ["_id", "_line_idx"], "left"
     ).withColumn(
-        "_lkey2",
-        F.when(F.col("_is_blank"), F.lit(0).cast("long")).otherwise(
-            F.xxhash64(norm, F.lit("ld2"))
-        ),
-    )
-    w = Window.partitionBy("_is_blank", "_lkey", "_lkey2").orderBy(
-        "_id", "_line_idx"
-    )
-    ranked = lines.withColumn(
         "_keep",
         F.col("_line").isNotNull()
-        & (F.col("_is_blank") | (F.row_number().over(w) == 1)),
+        & (
+            F.col("_is_blank")
+            | F.coalesce(F.col("_is_winner"), F.lit(False))
+        ),
     )
-    return (
-        ranked.groupBy("_id")
+    out = (
+        marked.groupBy("_id")
         .agg(
             F.count("_line").cast("long").alias("n_lines"),
             F.sum(F.col("_keep").cast("long")).alias("n_kept_lines"),
@@ -1468,3 +1529,8 @@ def line_dedup(
             ),
         )
     )
+    if pin_lines:
+        from cl_readability_spark.functions.pins import attach_pins
+
+        out = attach_pins(out, lines)
+    return out

@@ -1490,9 +1490,12 @@ WITH g AS (
   FROM documents
 ),
 s AS (
+  -- explicit whitespace class kept in LOCKSTEP with
+  -- curation.gopher_flags: java \s and RE2 \s disagree on U+000B
   SELECT doc_id, t,
-         regexp_split_to_array(t, '\s+') AS w,
-         CAST(length(regexp_replace(t, '\s+', '', 'g')) AS BIGINT) AS chars,
+         regexp_split_to_array(t, '[ \t\n\f\r]+') AS w,
+         CAST(length(regexp_replace(t, '[ \t\n\f\r]+', '', 'g')) AS BIGINT)
+           AS chars,
          CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
          CAST((length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT)
            AS n_ellipsis
@@ -1569,10 +1572,16 @@ l AS (
   )
 ),
 ranked AS (
+  -- edge-trim with the EXPLICIT dedup.LINE_EDGE_WS class (space/tab/
+  -- FF/CR/VT), never \s: RE2 and java regex disagree on vertical tab
   SELECT doc_id, idx, line,
-         trim(lower(line)) = '' AS is_blank,
-         row_number() OVER (PARTITION BY lower(trim(line))
-                            ORDER BY doc_id, idx) AS rn
+         lower(regexp_replace(line,
+               '^[ \t\f\r\x0B]+|[ \t\f\r\x0B]+$', '', 'g')) = ''
+           AS is_blank,
+         row_number() OVER (
+           PARTITION BY lower(regexp_replace(line,
+               '^[ \t\f\r\x0B]+|[ \t\f\r\x0B]+$', '', 'g'))
+           ORDER BY doc_id, idx) AS rn
   FROM l
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1684,6 +1693,107 @@ FROM toks
 """
 
 
+# --- 18h. span_invariants — the SQL-expressible half of the extraction
+#     span contract (pipeline/diff.py:explode_spans over the REAL
+#     extraction output; the pack_invariants pattern).  Span VALUES are
+#     not SQL-expressible (they come out of the DOM extraction), but the
+#     CONTRACT _build_text_and_spans promises (core/extract.py:1146) is
+#     closed-form, and this re-aggregates the ACTUAL exploded spans to
+#     check it: per turn, spans are indexed 0..n-1 in order, each block
+#     is non-empty (span_len >= 1), block i starts exactly at block
+#     i-1's end + 2 (the "\n\n" joiner), the first starts at 0 and the
+#     last ends exactly at len(extracted_text); the exploded row count
+#     equals size(content_spans) for EVERY turn (outer explode keeps
+#     span-less turns visible).  The oracle recomputes n_turns from the
+#     raw documents table (one turn per doc + one digest turn per
+#     25-doc conversation — the documents_as_transcripts shape) and
+#     asserts the booleans as literals: any violation, including a
+#     dropped or duplicated turn, hash-mismatches.  has_spans pins
+#     non-vacuity (at least one turn actually produced spans). ---
+def q_span_invariants(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from cl_readability_spark.pipeline.diff import explode_spans
+    from cl_readability_spark.pipeline.job import extract_transcripts
+    from cl_readability_spark.pipeline.transcripts import (
+        documents_as_transcripts,
+    )
+
+    res = extract_transcripts(
+        documents_as_transcripts(spark, sf_dir), salt_buckets=8
+    )
+    # single pass over the extraction: outer explode keeps span-less
+    # turns, keep_cols carries the per-turn fields through — no
+    # self-join back onto the expensive extraction subtree
+    ex = explode_spans(
+        res.select(
+            "conv_id",
+            "turn_idx",
+            "content_spans",
+            F.coalesce(F.length("extracted_text"), F.lit(0)).alias("_tlen"),
+            F.coalesce(F.size("content_spans"), F.lit(0)).alias("_nspans"),
+        ),
+        outer=True,
+        keep_cols=("_tlen", "_nspans"),
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("span_idx")
+    ex = ex.withColumn("_prev_end", F.lag("end").over(w))
+    per_turn = ex.groupBy("conv_id", "turn_idx").agg(
+        F.count("span_idx").alias("_n"),
+        F.max("_tlen").alias("_tlen"),
+        F.max("_nspans").alias("_nspans"),
+        F.min(F.coalesce(F.col("span_len") >= 1, F.lit(True))).alias(
+            "_len_ok"
+        ),
+        F.min(
+            F.coalesce(
+                F.when(F.col("span_idx") == 0, F.col("start") == 0).otherwise(
+                    F.col("start") == F.col("_prev_end") + 2
+                ),
+                F.lit(True),
+            )
+        ).alias("_adj_ok"),
+        F.min(F.coalesce(F.col("span_idx"), F.lit(0))).alias("_min_idx"),
+        F.max(F.coalesce(F.col("span_idx"), F.lit(-1))).alias("_max_idx"),
+        F.min("start").alias("_min_start"),
+        F.max("end").alias("_max_end"),
+    )
+    return per_turn.agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.min(F.col("_n") == F.col("_nspans")).alias("span_count_ok"),
+        F.min(
+            (F.col("_n") == 0)
+            | (
+                (F.col("_min_idx") == 0)
+                & (F.col("_max_idx") == F.col("_n") - 1)
+            )
+        ).alias("span_idx_ok"),
+        F.min("_adj_ok").alias("adjacency_ok"),
+        F.min(
+            (F.col("_n") == 0)
+            | (
+                (F.col("_min_start") == 0)
+                & (F.col("_max_end") == F.col("_tlen"))
+            )
+        ).alias("bounds_ok"),
+        F.min("_len_ok").alias("span_len_ok"),
+        F.max(F.col("_n") > 0).alias("has_spans"),
+    )
+
+
+SQL_SPAN_INVARIANTS = """
+SELECT CAST((SELECT COUNT(*) FROM documents)
+            + (SELECT COUNT(DISTINCT CAST(FLOOR(doc_id / 25) AS BIGINT))
+               FROM documents) AS BIGINT) AS n_turns,
+       TRUE AS span_count_ok,
+       TRUE AS span_idx_ok,
+       TRUE AS adjacency_ok,
+       TRUE AS bounds_ok,
+       TRUE AS span_len_ok,
+       TRUE AS has_spans
+"""
+
+
 SQL_TWINS: dict[str, tuple] = {
     "normalize_ws": (q_normalize_ws, SQL_NORMALIZE_WS),
     "word_count": (q_word_count, SQL_WORD_COUNT),
@@ -1714,6 +1824,7 @@ SQL_TWINS: dict[str, tuple] = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "pack_invariants": (q_pack_invariants, SQL_PACK_INVARIANTS),
+    "span_invariants": (q_span_invariants, SQL_SPAN_INVARIANTS),
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),

@@ -735,7 +735,15 @@ def test_line_dedup_matches_python_oracle_on_random_corpus(spark):
     from cl_readability_spark.functions.dedup import line_dedup
 
     rng = random.Random(11)
-    pool = [f"line {i} shared content" for i in range(12)] + ["", "  "]
+    # the pool exercises the EXPLICIT edge-whitespace class (LINE_EDGE_WS):
+    # tab-only and CR-only lines are structure (always kept) like the
+    # space-only one, and a trailing \r (CRLF corpus) dedups against the
+    # bare LF variant of the same line
+    pool = (
+        [f"line {i} shared content" for i in range(12)]
+        + ["", "  ", "\t", " \r", "\x0b"]
+        + ["crlf shared line\r", "crlf shared line", "\tindented shared\t"]
+    )
     rows = []
     for doc in range(40):
         n = rng.randint(0, 6)
@@ -754,7 +762,9 @@ def test_line_dedup_matches_python_oracle_on_random_corpus(spark):
         lines = text.split("\n")
         kept = []
         for line in lines:
-            norm = line.strip().lower()
+            from cl_readability_spark.functions.dedup import LINE_EDGE_WS
+
+            norm = line.strip(LINE_EDGE_WS).lower()
             if norm == "" or norm not in seen:
                 if norm != "":
                     seen.add(norm)
@@ -770,10 +780,14 @@ def test_line_dedup_matches_python_oracle_on_random_corpus(spark):
 
 def test_line_dedup_plan_shape(spark):
     """Physical-plan golden for the scale claims (PLANS.md): zero python
-    stages, zero joins, exactly TWO keyed exchanges — the occurrence
-    window on (is_blank, 128-bit line key) and the per-doc reassembly
-    groupBy — with the blank-line per-occurrence keys inside the window
-    partitioning (the corpus-wide-blank skew defusal)."""
+    stages, NO window over the line key (a row_number window partitioned
+    by the line hash pins every occurrence of one mega-hot boilerplate
+    line into a single unsplittable task — window partitions cannot be
+    skew-split by AQE) — instead a map-side-combinable min-struct
+    AGGREGATION on the 128-bit line key (partial_min in the plan: hot
+    keys collapse to one slim row per input partition before the
+    exchange) plus an equi-JOIN of winners back onto the lines (which
+    AQE CAN skew-split), and the per-doc reassembly groupBy."""
     import re as _re
 
     from cl_readability_spark.functions.dedup import line_dedup
@@ -783,8 +797,71 @@ def test_line_dedup_plan_shape(spark):
     )
     plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # the skew defusal itself: winner selection must be an aggregation
+    # with a map-side partial phase, never a window over the line key
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_min" in plan, plan[:2000]
+    assert "Join" in plan, plan[:2000]
     keys = _re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
-    assert len(keys) == 2, keys
-    assert any("_lkey2" in k and "_is_blank" in k for k in keys)
-    assert any("_id" in k and "_lkey" not in k for k in keys)
+    # exactly one exchange carries the line key (the winners agg, where
+    # hot keys arrive pre-collapsed); the keep-marking join exchanges on
+    # (_id, _line_idx) — unique per row, skew-free by construction —
+    # and the reassembly on _id
+    line_key_exchanges = [k for k in keys if "_lkey" in k]
+    assert len(line_key_exchanges) == 1, keys
+    assert any("_id" in k and "_line_idx" in k and "_lkey" not in k
+               for k in keys), keys
+    assert any("_id" in k and "_line_idx" not in k and "_lkey" not in k
+               for k in keys), keys
+    assert len(keys) <= 4, keys
+
+
+def test_line_dedup_pin_lines_single_evaluation(spark):
+    """The skew-safe formulation is a self-join (winners aggregate the
+    same exploded-lines subtree the join probes), so PLANS.md's
+    materialize-before-self-join rule applies when the input plan is
+    nondeterministic.  pin_lines=True must evaluate the upstream exactly
+    ONCE (accumulator counts rows flowing through a python stage), carry
+    the standard pins release handle, and produce identical results;
+    the default (no pin) evaluates the deterministic upstream twice —
+    the documented trade."""
+    from cl_readability_spark.functions.dedup import line_dedup
+    from cl_readability_spark.functions.pins import (
+        pins_outstanding,
+        release_pinned,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"shared footer\nbody {i}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def _counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    docs = base.repartition(2).mapInPandas(_counting, base.schema)
+    pinned = line_dedup(docs, pin_lines=True)
+    rows = {r.doc_id: r.deduped_text for r in pinned.collect()}
+    assert acc.value == 12, "pinned input must evaluate exactly once"
+    assert rows[0].startswith("shared footer")
+    assert sum("shared footer" in t for t in rows.values()) == 1
+    assert pins_outstanding(spark) >= 1
+    assert release_pinned(pinned) == 1
+    # unpinned on the same (deterministic python-stage) upstream:
+    # two evaluations, same results — the documented default trade
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def _counting2(batches):
+        for pdf in batches:
+            acc2.add(len(pdf))
+            yield pdf
+
+    docs2 = base.repartition(2).mapInPandas(_counting2, base.schema)
+    rows2 = {
+        r.doc_id: r.deduped_text for r in line_dedup(docs2).collect()
+    }
+    assert rows2 == rows
+    assert acc2.value == 24

@@ -109,7 +109,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["extract_documents"] = _q_extract_documents
     out["extract_documents_triaged"] = _q_extract_triaged
-    out["extract_metrics_rollup"] = _q_extract_rollup
+    # NOTE (round 7): the rows-only extract_metrics_rollup entry was
+    # retired to fund the hash-checked curation_line_planted twin under
+    # the 50-query cap — the rollup EXPRESSIONS are hash-checked by the
+    # metrics_rollup twin, and the real-extraction output it rolled up
+    # is pinned by extract_documents (rows+schema) plus the hash-checked
+    # span_invariants re-aggregation of the same output.
+    # _q_extract_rollup stays importable for ad-hoc use (bench.py still
+    # times the composed rollup as extract_corpus).
     # NOTE (round 7): the rows-only readerable_triage entry was retired
     # to fund the hash-checked span_invariants twin under the 50-query
     # cap — it was fully subsumed: readerable_triage_sql hash-checks the

@@ -355,13 +355,18 @@ def curate_near_dups(
             f"minhash_carry must be auto/arrays/rehash, got {minhash_carry!r}"
         )
     if minhash_banding is not None and (
-        minhash_banding[1] < 1 or minhash_banding[0] % minhash_banding[1]
+        minhash_banding[0] < 1
+        or minhash_banding[1] < 1
+        or minhash_banding[0] % minhash_banding[1]
     ):
         # surfaced here, BEFORE the materialization action below — raised
-        # only at the minhash call, an invalid banding would orphan the pin
+        # only at the minhash call, an invalid banding would orphan the
+        # pin.  n_hashes < 1 is rejected too: (0, 1) would pass the
+        # divisibility test yet degenerate to empty signatures — a
+        # single-bucket LSH with an all-pairs candidate blowup (ADVICE r6)
         raise ValueError(
-            f"n_hashes ({minhash_banding[0]}) must be divisible by bands "
-            f"({minhash_banding[1]} >= 1)"
+            f"minhash_banding needs n_hashes >= 1 ({minhash_banding[0]}) "
+            f"divisible by bands >= 1 ({minhash_banding[1]})"
         )
     df = flagged.withColumn("_row_key", _row_key(key_cols))
     surv_count = None
@@ -444,6 +449,42 @@ def curate_near_dups(
 release_curated = release_pinned
 
 
+def line_dedup_rewrite(
+    extracted: DataFrame,
+    text_col: str = "extracted_text",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    pin_lines: bool = False,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The ``curate(line_dedup=True)`` pre-stage as a standalone step
+    (also used by scripts/corpus_pipeline.py's decomposed sink path):
+    C4 cross-document line dedup keyed by the row key, ``text_col``
+    rewritten from the surviving lines, ``line_dedup_n_lines`` /
+    ``line_dedup_n_kept`` audit columns added via a 1:1 skew-free join
+    on the unique row key.  Returns (rewritten frame, pins) — pins
+    non-empty only under ``pin_lines=True``."""
+    from cl_readability_spark.functions.dedup import line_dedup as _ld
+
+    keyed = extracted.withColumn("_ld_key", _row_key(key_cols))
+    deduped = _ld(
+        keyed, id_col="_ld_key", text_col=text_col, pin_lines=pin_lines
+    )
+    pins = list(getattr(deduped, "_clrs_pinned", []) or [])
+    out = (
+        keyed.drop(text_col)
+        .join(
+            deduped.select(
+                "_ld_key",
+                F.col("deduped_text").alias(text_col),
+                F.col("n_lines").alias("line_dedup_n_lines"),
+                F.col("n_kept_lines").alias("line_dedup_n_kept"),
+            ),
+            "_ld_key",
+        )
+        .drop("_ld_key")
+    )
+    return out, pins
+
+
 def curate(
     extracted: DataFrame,
     text_col: str = "extracted_text",
@@ -462,25 +503,55 @@ def curate(
     minhash_carry: str = "auto",
     carry_threshold: int = 100_000,
     minhash_banding: tuple[int, int] | None = None,
+    line_dedup: bool = False,
+    line_dedup_pin: bool = False,
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
-    Composition of ``curate_flags`` → ``curate_near_dups``; see
-    ``curate_near_dups`` for the ``materialize`` modes (the pin covers the
-    whole extract+flags subtree here), the near-dup drop ``policy``, and
-    ``minhash_banding`` (optional pinned LSH sizing);
-    ``benchmark_hashes`` (``decontam.benchmark_ngram_hashes``) enables the
-    decontamination gate — pass the SAME ``decontam_n``/``decontam_seed``
-    the hash set was computed with."""
+    Composition of [``line_dedup`` →] ``curate_flags`` →
+    ``curate_near_dups``; see ``curate_near_dups`` for the
+    ``materialize`` modes (the pin covers the whole extract+flags
+    subtree here), the near-dup drop ``policy``, and ``minhash_banding``
+    (optional pinned LSH sizing); ``benchmark_hashes``
+    (``decontam.benchmark_ngram_hashes``) enables the decontamination
+    gate — pass the SAME ``decontam_n``/``decontam_seed`` the hash set
+    was computed with.
+
+    ``line_dedup=True`` runs C4-style cross-document line dedup
+    (Raffel et al. 2020 §2.2; ``functions.dedup.line_dedup``) as a
+    PRE-stage — the C4 ordering: line-level dedup first, then the
+    doc-level gates — rewriting ``text_col`` from the deduped lines and
+    adding ``line_dedup_n_lines`` / ``line_dedup_n_kept`` audit columns.
+    The division of labor is deliberate and pinned in
+    tests/test_curation.py: line dedup subsumes exact doc-dedup (a
+    whole-doc duplicate's every line duplicates the first copy, so the
+    copy dedups to an empty husk) and the husks then fall to the
+    QUALITY gate — ``dropped_quality`` absorbs what ``dropped_exact_dup``
+    would have counted.  The line stage evaluates the upstream plan more
+    than once before the ``materialize`` pin (its winners aggregation is
+    a self-branch, plus the 1:1 audit join back): free over a
+    sink-staged/scan input — the recommended composition, as in
+    scripts/corpus_pipeline.py — while a NONDETERMINISTIC upstream
+    should either be sink-staged first or set ``line_dedup_pin=True``
+    (forwards ``pin_lines``; the DISK_ONLY handle is attached to the
+    returned frame alongside the curation pins)."""
+    ld_pins: list[DataFrame] = []
+    if line_dedup:
+        extracted, ld_pins = line_dedup_rewrite(
+            extracted, text_col, key_cols, pin_lines=line_dedup_pin
+        )
     flagged = curate_flags(
         extracted, text_col, key_cols, min_chars, max_chars,
         min_stopword_bp, langs, benchmark_hashes, decontam_n, decontam_seed,
     )
-    return curate_near_dups(
+    out = curate_near_dups(
         flagged, text_col, key_cols, jaccard_threshold, materialize,
         policy, cluster_opts, minhash_carry, carry_threshold,
         minhash_banding,
     )
+    if ld_pins:
+        out = attach_pins(out, *ld_pins)
+    return out
 
 
 def curation_report(curated: DataFrame) -> DataFrame:

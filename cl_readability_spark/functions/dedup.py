@@ -449,6 +449,13 @@ def minhash_near_dups(
             "auto_params=True conflicts with explicit n_hashes/bands; "
             "pass one or the other"
         )
+    if bands < 1 or n_hashes < 1:
+        # bands=0 would ZeroDivisionError deep in the band builder and
+        # n_hashes=0 degenerates to empty signatures (single-bucket LSH,
+        # all-pairs candidates) — refuse both up front (ADVICE r6)
+        raise ValueError(
+            f"n_hashes ({n_hashes}) and bands ({bands}) must both be >= 1"
+        )
     if n_hashes % bands:
         raise ValueError(
             f"n_hashes ({n_hashes}) must be divisible by bands ({bands})"
@@ -1380,6 +1387,7 @@ def line_dedup(
     text_col: str = "text",
     normalize: bool = True,
     pin_lines: bool = False,
+    group_col: str | None = None,
 ) -> DataFrame:
     """C4-style cross-document line deduplication (Raffel et al. 2020
     §2.2: "we discarded all but one of any three-sentence span occurring
@@ -1387,7 +1395,20 @@ def line_dedup(
     implementation unit): every distinct (normalized) line is kept only
     at its FIRST occurrence corpus-wide, ordered by (id, line index);
     later occurrences are dropped and each document is reassembled from
-    its surviving lines in original order.  Whitespace-only lines are
+    its surviving lines in original order.
+
+    ``group_col`` selects the dedup GRANULARITY for grouped corpora
+    (transcripts: id = turn, group = conversation).  Default None is the
+    C4 semantics above: strict corpus-wide first-occurrence-wins, so a
+    code block repeated verbatim across two turns — even of the SAME
+    conversation — survives only once.  With ``group_col`` set, a line
+    is owned by the group of its globally-first occurrence: EVERY
+    occurrence inside the owning group is kept (repeated content within
+    one conversation — a shared ``<pre>`` block quoted across turns — is
+    conversational structure, not corpus boilerplate), while all
+    occurrences in other groups drop.  The granularity decision and its
+    extraction interplay are pinned by the authored golden in
+    tests/test_dedup.py (test_line_dedup_extraction_interplay_golden).  Whitespace-only lines are
     always kept (they are document structure, not content — deduping
     them corpus-wide would collapse every blank separator after the
     first document).  "Whitespace" at line edges is the explicit
@@ -1440,8 +1461,10 @@ def line_dedup(
     anything nondeterministic pass ``pin_lines=True`` to materialize the
     exploded lines DISK_ONLY before the branch — the returned frame then
     carries the standard ``pins.release_pinned`` handle."""
+    group_cols = [F.col(group_col).alias("_grp")] if group_col else []
     lines = df.select(
         F.col(id_col).alias("_id"),
+        *group_cols,
         F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
             "_line_idx", "_line"
         ),
@@ -1460,35 +1483,67 @@ def line_dedup(
     # so the aggregation's reduce side is uniform however hot a line is.
     # Blank lines never enter the aggregation (they are all kept — no
     # per-occurrence key tricks needed, unlike the r6 window shape that
-    # had to defuse a corpus-wide xxhash64('') partition), and the line
-    # keys exist ONLY inside this branch — the probe side never carries
-    # them.
-    winners = (
-        lines.filter(~F.col("_is_blank"))
-        .select(
-            "_id",
-            "_line_idx",
-            F.xxhash64(norm).alias("_lkey"),
-            F.xxhash64(norm, F.lit("ld2")).alias("_lkey2"),
-        )
-        .groupBy("_lkey", "_lkey2")
-        .agg(
-            F.min(F.struct(F.col("_id"), F.col("_line_idx"))).alias("_win")
-        )
-        .select(
-            F.col("_win._id").alias("_id"),
-            F.col("_win._line_idx").alias("_line_idx"),
-            F.lit(True).alias("_is_winner"),
-        )
+    # had to defuse a corpus-wide xxhash64('') partition), and in the
+    # default mode the line keys exist ONLY inside this branch — the
+    # probe side never carries them.
+    content = lines.filter(~F.col("_is_blank")).select(
+        "_id",
+        "_line_idx",
+        *(["_grp"] if group_col else []),
+        F.xxhash64(norm).alias("_lkey"),
+        F.xxhash64(norm, F.lit("ld2")).alias("_lkey2"),
     )
-    # mark keeps by joining winners back on (id, line_idx) — unique per
-    # row on BOTH sides, so this join's exchanges are skew-free by
-    # construction (see docstring).  Blank lines never match (winners
-    # come only from content lines and (id, idx) is unique corpus-wide);
-    # their _keep comes from the _is_blank disjunct alone.
-    marked = lines.join(
-        winners, ["_id", "_line_idx"], "left"
-    ).withColumn(
+    if group_col is None:
+        winners = (
+            content.groupBy("_lkey", "_lkey2")
+            .agg(
+                F.min(F.struct(F.col("_id"), F.col("_line_idx"))).alias(
+                    "_win"
+                )
+            )
+            .select(
+                F.col("_win._id").alias("_id"),
+                F.col("_win._line_idx").alias("_line_idx"),
+                F.lit(True).alias("_is_winner"),
+            )
+        )
+        # mark keeps by joining winners back on (id, line_idx) — unique
+        # per row on BOTH sides, so this join's exchanges are skew-free
+        # by construction (see docstring).  Blank lines never match
+        # (winners come only from content lines and (id, idx) is unique
+        # corpus-wide); their _keep comes from the _is_blank disjunct.
+        marked = lines.join(winners, ["_id", "_line_idx"], "left")
+    else:
+        # grouped granularity: the winner GROUP per line key is the
+        # group of the globally-first occurrence (the struct min orders
+        # by (id, idx); _grp rides along, never compared — (id, idx) is
+        # unique).  Keeps join on (line key, group): every occurrence in
+        # the owning group matches.  Skew note: the probe exchange key
+        # is (line key, GROUP), so a corpus-wide-hot line contributes at
+        # most its per-group multiplicity to any one partition — the
+        # same bound as the per-doc reassembly groupBy; the winners
+        # aggregation still collapses map-side.
+        winners = (
+            content.groupBy("_lkey", "_lkey2")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("_id"), F.col("_line_idx"), F.col("_grp")
+                    )
+                ).alias("_win")
+            )
+            .select(
+                "_lkey",
+                "_lkey2",
+                F.col("_win._grp").alias("_grp"),
+                F.lit(True).alias("_is_winner"),
+            )
+        )
+        probe = lines.withColumn("_lkey", F.xxhash64(norm)).withColumn(
+            "_lkey2", F.xxhash64(norm, F.lit("ld2"))
+        )
+        marked = probe.join(winners, ["_lkey", "_lkey2", "_grp"], "left")
+    marked = marked.withColumn(
         "_keep",
         F.col("_line").isNotNull()
         & (

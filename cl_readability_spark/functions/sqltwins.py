@@ -20,6 +20,8 @@ casts to align Spark/DuckDB integer widths.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -884,9 +886,44 @@ FROM embeddings a JOIN embeddings b
 #     driver-checked twin for the media plumbing itself: the payload bytes
 #     and the Arrow decode stage are INSIDE the hashed chain, unlike
 #     dedup_embedding_planted which starts at the vectors. ---
+# media_feature_near_dups pins its decoded-feature frame DISK_ONLY and
+# hands back a pins release handle — but query-registry harnesses (the
+# driver, bench.py) evaluate entries repeatedly and never release, so an
+# unmanaged pin would accrete executor storage once per invocation for
+# the session's lifetime.  The registry entry therefore rotates: each
+# call releases the PREVIOUS invocation's pin (safe — harnesses evaluate
+# sequentially, the prior collect is done) before creating its own, so
+# outstanding media pins are bounded at ONE per session however many
+# times the driver runs the query.  WeakKeyDictionary keyed by the
+# session OBJECT, same aliasing rationale as the pins registry
+# (pins.py module doc).  Pinned in tests/test_streaming_multimodal.py.
+# Generalized as _rotate_pin — curation_line_planted uses it too (its
+# materialize="disk" pin makes the composed line+doc chain evaluate the
+# line stage once instead of once per plan branch).
+_LAST_PINNED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _rotate_pin(spark, tag: str, out=None):
+    """Release the pinned frame a previous invocation of the ``tag``-ged
+    registry query left on this session, then (if ``out`` is given)
+    remember ``out`` as the new one.  Bounds pinning registry queries at
+    one outstanding pin per (session, query) however many times a
+    harness evaluates them."""
+    from cl_readability_spark.functions.pins import release_pinned
+
+    per_session = _LAST_PINNED.setdefault(spark, {})
+    prev = per_session.pop(tag, None)
+    if prev is not None:
+        release_pinned(prev)
+    if out is not None:
+        per_session[tag] = out
+    return out
+
+
 def q_media_planted(spark, sf_dir):
     from cl_readability_spark.pipeline.multimodal import media_feature_near_dups
 
+    _rotate_pin(spark, "media_planted")
     group = F.floor(F.col("vec_id") / 3).cast("long")
     media = _embs(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"),
@@ -895,7 +932,8 @@ def q_media_planted(spark, sf_dir):
             "payload"
         ),
     )
-    return media_feature_near_dups(media, threshold=0.995, plant_copies_every=0)
+    out = media_feature_near_dups(media, threshold=0.995, plant_copies_every=0)
+    return _rotate_pin(spark, "media_planted", out)
 
 
 SQL_MEDIA_PLANTED = """
@@ -1221,6 +1259,118 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(doc_id % 10 IN (1, 2) AS INTEGER)            AS near_dup_drop,
        CAST(doc_id % 10 IN (0, 5, 6, 7, 8, 9) AS INTEGER) AS kept
 FROM documents
+"""
+
+
+# --- 18c2. curation_line_planted — the COMPOSED curate(line_dedup=True)
+#     chain (C4 line dedup → quality gate → exact-dedup window → minhash
+#     near-dups → keep-one) hash-checked end to end on a corpus planting
+#     BOTH line-level and doc-level duplicates.  Per 10-doc group
+#     (role = doc_id mod 10), reusing the curation_planted cycle
+#     construction:
+#     - roles 0,1,2: single-line rotation clique (J=1 after dedup, since
+#       each rotation line is corpus-unique and survives) → near-dup
+#       drop for 1,2; rep = role 0 (min lexicographic key).
+#     - role 3: EXACT copy of role 0's single line.  Under the C4
+#       ordering the LINE stage subsumes exact doc-dedup: role 3's only
+#       line duplicates role 0's (winner "10g" < "10g3" lexicographically
+#       at every digit count), the doc dedups to an empty husk, and the
+#       QUALITY gate absorbs the drop (dropped_quality, not
+#       dropped_exact_dup — the division of labor the corpus_pipeline
+#       docstring documents).
+#     - role 4: the line "tiny" in EVERY group — kept only in the
+#       lexicographically-first role-4 doc, emptied elsewhere; too short
+#       either way → quality drop.
+#     - roles 5-9: unique-vocab filler line + ONE shared boilerplate
+#       footer line planted corpus-wide — the footer survives only in
+#       the lexicographically-first role-5-9 doc (n_kept_lines 2 there,
+#       1 everywhere else); all stay kept.
+#     The twin recomputes the line winners with DuckDB min(VARCHAR)
+#     subqueries (the engine-parity trick: _row_key ordering is
+#     LEXICOGRAPHIC, so the oracle orders by CAST(doc_id AS VARCHAR)).
+#     Any regression in the line stage, its composition order, the
+#     rewritten-text plumbing, or any doc-level gate flips the hash. ---
+def q_curation_line_planted(spark, sf_dir):
+    from cl_readability_spark.functions.curation import curate
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    g = (F.col("doc_id") / 10).cast("long").cast("string")
+    role = F.pmod(F.col("doc_id"), F.lit(10))
+    cycle = [F.lit("the"), F.lit("and"), F.lit("is")] + [
+        F.concat(F.lit("w"), g, F.lit(f"x{j}")) for j in range(7)
+    ]
+
+    def rot(s: int):
+        words = (cycle[s:] + cycle[:s]) * 3
+        return F.concat_ws(" ", *words)
+
+    filler = F.concat_ws(
+        " ",
+        F.lit("the"),
+        F.lit("and"),
+        F.lit("is"),
+        *[
+            F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit(f"x{j}"))
+            for j in range(27)
+        ],
+    )
+    footer = "shared boilerplate footer line planted in every filler doc"
+    text = (
+        F.when(role == 4, F.lit("tiny"))
+        .when(role == 1, rot(1))
+        .when(role == 2, rot(2))
+        .when(role >= 5, F.concat_ws("\n", filler, F.lit(footer)))
+        .otherwise(rot(0))
+    )
+    corpus = docs.select("doc_id", text.alias("text"))
+    # materialize="disk" so the composed line+doc chain evaluates the
+    # line stage ONCE (with "none" every near-dup branch recomputes the
+    # line_dedup join chain: measured 10.1 s vs ~4 s at sf0.01); the
+    # harness-lifecycle pin is bounded by the _rotate_pin rotation.
+    # carry="arrays" as in curation_planted (toy corpus, no build action)
+    _rotate_pin(spark, "curation_line_planted")
+    curated = curate(
+        corpus, text_col="text", key_cols=("doc_id",), policy="clusters",
+        materialize="disk", minhash_carry="arrays", line_dedup=True,
+    )
+    _rotate_pin(spark, "curation_line_planted", curated)
+    return curated.select(
+        "doc_id",
+        F.col("quality_ok").cast("int").alias("quality_ok"),
+        F.col("exact_keep").cast("int").alias("exact_keep"),
+        F.col("near_dup_drop").cast("int").alias("near_dup_drop"),
+        F.col("kept").cast("int").alias("kept"),
+        F.col("line_dedup_n_lines").alias("n_lines"),
+        F.col("line_dedup_n_kept").alias("n_kept_lines"),
+    )
+
+
+SQL_CURATION_LINE_PLANTED = """
+WITH w AS (
+  SELECT min(CAST(doc_id AS VARCHAR)) FILTER (WHERE doc_id % 10 = 4)
+           AS tiny_w,
+         min(CAST(doc_id AS VARCHAR)) FILTER (WHERE doc_id % 10 >= 5)
+           AS shared_w
+  FROM documents
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(d.doc_id % 10 NOT IN (3, 4) AS INTEGER) AS quality_ok,
+       CAST(d.doc_id % 10 NOT IN (3, 4) AS INTEGER) AS exact_keep,
+       CAST(d.doc_id % 10 IN (1, 2) AS INTEGER) AS near_dup_drop,
+       CAST(d.doc_id % 10 IN (0, 5, 6, 7, 8, 9) AS INTEGER) AS kept,
+       CAST(CASE WHEN d.doc_id % 10 >= 5 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_lines,
+       CAST(CASE
+              WHEN d.doc_id % 10 IN (0, 1, 2) THEN 1
+              WHEN d.doc_id % 10 = 3 THEN 0
+              WHEN d.doc_id % 10 = 4 THEN
+                CASE WHEN CAST(d.doc_id AS VARCHAR) = w.tiny_w
+                     THEN 1 ELSE 0 END
+              ELSE
+                CASE WHEN CAST(d.doc_id AS VARCHAR) = w.shared_w
+                     THEN 2 ELSE 1 END
+            END AS BIGINT) AS n_kept_lines
+FROM documents d, w
 """
 
 
@@ -1819,6 +1969,10 @@ SQL_TWINS: dict[str, tuple] = {
     "dedup_winnow_planted": (q_dedup_winnow_planted, SQL_DEDUP_WINNOW_PLANTED),
     "dedup_clusters_planted": (q_dedup_clusters_planted, SQL_DEDUP_CLUSTERS_PLANTED),
     "curation_planted": (q_curation_planted, SQL_CURATION_PLANTED),
+    "curation_line_planted": (
+        q_curation_line_planted,
+        SQL_CURATION_LINE_PLANTED,
+    ),
     "decontam_planted": (q_decontam_planted, SQL_DECONTAM_PLANTED),
     "source_cap": (q_source_cap, SQL_SOURCE_CAP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

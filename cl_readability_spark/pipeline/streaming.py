@@ -304,25 +304,55 @@ def streaming_near_dup_flags(
 
 
 def _read_band_sink(spark: SparkSession, bands_path: str):
-    """Read a streaming band sink, treating a sink directory that exists
-    but holds no data files yet (nothing flushed before the watermark
-    first advanced — routine under availableNow, see the horizon-batch
-    note on the producers) as empty: ``spark.read.parquet`` raises an
-    unable-to-infer-schema AnalysisException there, which made the
-    readers' documented empty-sink guard unreachable.  Returns None for
-    that case; any other AnalysisException (wrong path, corrupt files)
-    propagates untouched."""
+    """Read a streaming band sink, treating an UNFLUSHED sink (nothing
+    flushed before the watermark first advanced — routine under
+    availableNow, see the horizon-batch note on the producers) as empty:
+    ``spark.read.parquet`` raises an unable-to-infer-schema
+    AnalysisException there, which made the readers' documented
+    empty-sink guard unreachable.  Returns None ONLY when the directory
+    bears the file sink's ``_spark_metadata`` — the shape a streaming
+    sink actually leaves before its first flush.  A directory that
+    merely exists and is empty is NOT an unflushed sink; it is most
+    likely a mistyped path, and silently reading it as "nothing flushed
+    yet" would masquerade as an empty corpus (ADVICE r6) — the
+    AnalysisException propagates, like any other (wrong path, corrupt
+    files)."""
     from pyspark.sql.utils import AnalysisException
 
     try:
         return spark.read.parquet(bands_path)
     except AnalysisException as exc:
-        # plain empty dir raises [UNABLE_TO_INFER_SCHEMA]; a dir holding
-        # only the file sink's _spark_metadata (the actual unflushed-sink
-        # shape) raises the bare "Unable to infer schema" message with no
-        # error class — accept both, nothing else
-        msg = str(exc)
-        if "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg:
+        # the unflushed shape raises in two dressings (pinned in memory
+        # and tests): bare empty dir → the UNABLE_TO_INFER_SCHEMA error
+        # class; dir with only _spark_metadata → the bare "Unable to
+        # infer schema" message with NO error class.  Match the class
+        # when the exception carries one, the message otherwise…
+        cls = None
+        # getCondition is the 4.x name; getErrorClass its deprecated 3.x
+        # spelling — try in that order, best-effort
+        get_cls = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        if callable(get_cls):
+            try:
+                cls = get_cls()
+            except Exception:  # noqa: BLE001 — best-effort, fall to msg
+                cls = None
+        inferable = (
+            cls == "UNABLE_TO_INFER_SCHEMA"
+            or "Unable to infer schema" in str(exc)
+        )
+        if not inferable:
+            raise
+        # …then require the _spark_metadata marker before concluding
+        # "unflushed sink" (Hadoop FS API, not os.path — sinks live on
+        # HDFS/S3 at scale)
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(
+            bands_path.rstrip("/") + "/_spark_metadata"
+        )
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
             return None
         raise
 

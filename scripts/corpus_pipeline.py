@@ -8,11 +8,13 @@ deploy (same `spark-submit --py-files clrs.zip` shape as extract_job.py).
       → kept corpus parquet + one-row audit report (JSON on stdout)
 
 C4-style cross-document LINE dedup (functions/dedup.py:line_dedup)
-composes ahead of the doc-level gates when a corpus needs it: run it over
-the written extraction table (so the expensive pass is staged once),
-rewrite extracted_text from deduped_text, then feed this pipeline — the
-division of labor (line dedup subsumes exact doc-dedup; emptied husks
-become quality drops) is pinned in tests/test_curation.py.
+composes ahead of the doc-level gates when a corpus needs it — since
+round 7 operator-level via curate(line_dedup=True) (sink-staged runs
+here pass --line-dedup, which sets exactly that flag over the written
+extraction table so the expensive pass stays staged once); the division
+of labor (line dedup subsumes exact doc-dedup; emptied husks become
+quality drops) is pinned in tests/test_curation.py and hash-checked by
+the curation_line_planted twin.
 """
 
 from __future__ import annotations
@@ -53,6 +55,12 @@ def main(argv: list[str]) -> int:
                         "components over the verified pairs — the principled "
                         "default), 'pairwise' drops the higher-key side of "
                         "each pair (cheaper, key-order-dependent)")
+    p.add_argument("--line-dedup", action="store_true",
+                   help="run C4 cross-document line dedup ahead of the "
+                        "doc-level gates (curate(line_dedup=True); in the "
+                        "decomposed --benchmark sink path the same "
+                        "line_dedup_rewrite pre-stage runs over the staged "
+                        "extraction read-back)")
     p.add_argument("--pin", choices=["sink", "disk", "memory"], default="sink",
                    help="how the single extraction/flag pass is shared by the "
                         "near-dup branch and the write/report consumers: "
@@ -83,6 +91,7 @@ def main(argv: list[str]) -> int:
         min_stopword_bp=args.min_stopword_bp,
         langs=tuple(args.langs.split(",")),
         policy=args.policy,
+        line_dedup=args.line_dedup,
     )
     if args.benchmark:
         from cl_readability_spark.functions.decontam import benchmark_ngram_hashes
@@ -134,8 +143,17 @@ def main(argv: list[str]) -> int:
                 if k in ("min_chars", "min_stopword_bp", "langs",
                          "benchmark_hashes")
             }
+            flags_src = spark.read.parquet(staging1)
+            if args.line_dedup:
+                from cl_readability_spark.functions.curation import (
+                    line_dedup_rewrite,
+                )
+
+                # over the STAGED scan: both line-stage branches are
+                # pruned columnar reads, no pin needed (deterministic)
+                flags_src, _ = line_dedup_rewrite(flags_src)
             curate_flags(
-                spark.read.parquet(staging1), **flag_kwargs
+                flags_src, **flag_kwargs
             ).write.mode("overwrite").parquet(staging2)
             nd_kwargs = {
                 k: v for k, v in kwargs.items()

@@ -404,6 +404,43 @@ def test_line_dedup_composes_with_curate(spark):
     release_curated(curated)
 
 
+def test_curate_line_dedup_flag(spark):
+    """curate(line_dedup=True) runs the same composition as the script-
+    level pattern above but operator-level: text_col rewritten from the
+    surviving lines, line_dedup_n_lines/_kept audit columns added, husks
+    absorbed by the quality gate, and line_dedup_pin=True forwards the
+    exploded-lines DISK_ONLY pin through the standard release handle."""
+    from cl_readability_spark.functions.pins import (
+        pins_outstanding,
+        release_pinned,
+    )
+
+    boiler = "subscribe to our newsletter for the latest updates and offers"
+    rows = [
+        (0, 0, GOOD + "\n" + boiler),
+        (1, 0, GOOD + "\n" + boiler),  # every line already seen -> husk
+        (2, 0, boiler),                 # boiler-only doc -> husk
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, extracted_text string"
+    )
+    curated = curate(
+        df, min_stopword_bp=0, materialize="none", minhash_carry="arrays",
+        line_dedup=True, line_dedup_pin=True,
+    )
+    flags = {r.conv_id: r for r in curated.collect()}
+    assert flags[0].kept and flags[0].line_dedup_n_kept == 2
+    assert not flags[1].quality_ok and flags[1].line_dedup_n_kept == 0
+    assert not flags[2].quality_ok and flags[2].line_dedup_n_kept == 0
+    # extracted_text was REWRITTEN from the surviving lines
+    assert flags[1].extracted_text == ""
+    assert flags[0].extracted_text == GOOD + "\n" + boiler
+    # the forwarded line-stage pin is on the returned frame's handle
+    assert pins_outstanding(spark) >= 1
+    assert release_pinned(curated) >= 1
+    assert pins_outstanding(spark) == 0
+
+
 def test_gopher_flags_operator(spark):
     """gopher_flags as a standalone gate: threshold knobs steer the
     integer cross-multiplied rules, all corpus columns survive, and the

@@ -865,3 +865,105 @@ def test_line_dedup_pin_lines_single_evaluation(spark):
     }
     assert rows2 == rows
     assert acc2.value == 24
+
+
+def test_line_dedup_extraction_interplay_golden(spark):
+    """AUTHORED golden (derived from the written semantics, never from
+    the engine — tests/authored_goldens.py method) for the line_dedup ×
+    extraction interplay: a code helper quoted verbatim across turns.
+
+    Derivation chain, extraction side (SURVEY §2.3-2.4 + core/extract.py
+    sibling rules at :588, JS _grabArticle semantics):
+    (1) body > [article(4 x <p> of U_k*4), p.code]: each U_k*4 paragraph
+        scores 1 + (commas+1) + min(len//100, 3) = 1 + 9 + 3 = 13 (U has
+        2 commas, repeated 4x -> 8; len > 300); article (parent) sums to
+        52, body (grandparent) gets 52/2 + the code-p's ~2 < 52 -> the
+        article is the top candidate, no parent climb.
+    (2) sibling threshold max(10, 0.2*52) = 10.4; the code <p> (sibling
+        of the article under body) has no score but len > 80 with link
+        density 0 -> appended via the JS P-sibling rule.
+    (3) blocks = top-level children of the wrapper = [article, p.code];
+        extracted_text = innerText(article) + "\\n\\n" + CODE, where
+        innerText(article) concatenates the four paragraph texts (each
+        ends in one space; no \\s{2,} runs -> normalization = strip).
+    So each turn's extracted_text has exactly 3 lines:
+    [body_k, "", CODE] — the CODE line byte-identical across turns.
+
+    Dedup side (functions/dedup.py:line_dedup written semantics):
+    - default (C4 corpus-wide): CODE's first occurrence is the
+      lexicographically-least (id, line_idx) = turn a:0; every other
+      occurrence drops — INCLUDING turn a:1 of the same conversation.
+    - group_col semantics: conversation "a" owns CODE (group of the
+      globally-first occurrence), so BOTH a-turns keep it — repeated
+      content inside one conversation is structure — while b:0 still
+      drops it (cross-conversation boilerplate).  Blank separator lines
+      are structure and always survive."""
+    import datetime
+
+    from cl_readability_spark.functions.dedup import line_dedup
+    from cl_readability_spark.pipeline.job import extract_transcripts
+    from cl_readability_spark.pipeline.transcripts import TRANSCRIPTS_SCHEMA
+
+    CODE = (
+        "def transform_batch(rows): return [normalize(r) for r in rows "
+        "if r.status == 'ok'] # shared tool helper"
+    )
+    assert len(CODE) > 80 and "  " not in CODE
+
+    def u(k: int) -> str:
+        return (
+            f"Turn {k} body content sentences with commas, clauses, and "
+            "length enough to score well in candidate selection, which "
+            "keeps this paragraph firmly in the article. "
+        )
+
+    def html(k: int) -> str:
+        paras = "".join(f"<p>{u(k) * 4}</p>" for _ in range(4))
+        return (
+            f"<html><head><title>Interplay Case {k} | Site</title></head>"
+            f"<body><article>{paras}</article><p>{CODE}</p></body></html>"
+        )
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("a", 0, "assistant", html(0), None, ts),
+        ("a", 1, "assistant", html(1), None, ts),
+        ("b", 0, "assistant", html(2), None, ts),
+    ]
+    transcripts = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    extracted = extract_transcripts(transcripts, salt_buckets=2).select(
+        "conv_id", "turn_idx", "extracted_text"
+    )
+    got = {
+        (r.conv_id, r.turn_idx): r.extracted_text for r in extracted.collect()
+    }
+    # the authored extraction expectation, byte for byte
+    expected_text = {
+        ("a", 0): (u(0) * 16).strip() + "\n\n" + CODE,
+        ("a", 1): (u(1) * 16).strip() + "\n\n" + CODE,
+        ("b", 0): (u(2) * 16).strip() + "\n\n" + CODE,
+    }
+    assert got == expected_text
+
+    docs = extracted.select(
+        F.concat_ws(":", "conv_id", "turn_idx").alias("doc_id"),
+        F.col("conv_id").alias("conv"),
+        F.col("extracted_text").alias("text"),
+    )
+    # C4 default: corpus-wide first-occurrence — a:1 loses its quote
+    strict = {
+        r.doc_id: (r.n_kept_lines, r.deduped_text)
+        for r in line_dedup(docs).collect()
+    }
+    assert strict["a:0"] == (3, expected_text[("a", 0)])
+    assert strict["a:1"] == (2, (u(1) * 16).strip() + "\n")
+    assert strict["b:0"] == (2, (u(2) * 16).strip() + "\n")
+    # conversation granularity: the owning conversation keeps ALL its
+    # occurrences; other conversations still dedup
+    grouped = {
+        r.doc_id: (r.n_kept_lines, r.deduped_text)
+        for r in line_dedup(docs, group_col="conv").collect()
+    }
+    assert grouped["a:0"] == (3, expected_text[("a", 0)])
+    assert grouped["a:1"] == (3, expected_text[("a", 1)])
+    assert grouped["b:0"] == (2, (u(2) * 16).strip() + "\n")

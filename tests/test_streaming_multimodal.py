@@ -120,14 +120,15 @@ def test_media_near_dups_decodes_each_payload_exactly_once(spark):
 
 
 def test_near_dup_reduction_on_unflushed_sink_is_empty(spark, tmp_path):
-    """A sink directory that exists but holds no data files yet —
-    reduction called before any window has flushed, routine under
-    availableNow — must reduce to the documented empty kept set instead
-    of raising a schema-inference AnalysisException (ADVICE r5: the
-    empty-sink guard was unreachable in that state).  Covers both the
-    bare empty dir and the real unflushed-sink shape (_spark_metadata
-    only); a genuinely missing path still raises, so a typo'd path can't
-    masquerade as an empty corpus."""
+    """A sink directory bearing only ``_spark_metadata`` — the shape a
+    streaming file sink leaves before any window has flushed, routine
+    under availableNow — must reduce to the documented empty kept set
+    instead of raising a schema-inference AnalysisException (ADVICE r5:
+    the empty-sink guard was unreachable in that state).  A BARE empty
+    directory is NOT that shape: it is most likely a mistyped path, and
+    must raise rather than silently read as an empty corpus (ADVICE r6
+    tightened this — the r5 fix accepted any empty dir).  A genuinely
+    missing path still raises PATH_NOT_FOUND."""
     from pyspark.sql.utils import AnalysisException
 
     from cl_readability_spark.pipeline.streaming import (
@@ -140,10 +141,12 @@ def test_near_dup_reduction_on_unflushed_sink_is_empty(spark, tmp_path):
     unflushed = tmp_path / "unflushed"
     (unflushed / "_spark_metadata").mkdir(parents=True)
     for reducer in (near_dup_kept_ids, near_dup_kept_ids_windowed):
-        for sink in (bare, unflushed):
-            kept = reducer(spark, str(sink))
-            assert kept.columns == ["doc_id"]
-            assert kept.count() == 0
+        kept = reducer(spark, str(unflushed))
+        assert kept.columns == ["doc_id"]
+        assert kept.count() == 0
+        # bare empty dir: mistyped-path protection — must raise
+        with pytest.raises(AnalysisException):
+            reducer(spark, str(bare)).count()
         with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
             reducer(spark, str(tmp_path / "missing"))
     # the recovery hook on an unflushed sink: the ENTIRE corpus is
@@ -152,12 +155,13 @@ def test_near_dup_reduction_on_unflushed_sink_is_empty(spark, tmp_path):
     from cl_readability_spark.pipeline.streaming import near_dup_unjudged_ids
 
     corpus = spark.createDataFrame([(1,), (2,)], "doc_id long")
-    for sink in (bare, unflushed):
-        unjudged = {
-            r.doc_id
-            for r in near_dup_unjudged_ids(spark, str(sink), corpus).collect()
-        }
-        assert unjudged == {1, 2}
+    unjudged = {
+        r.doc_id
+        for r in near_dup_unjudged_ids(spark, str(unflushed), corpus).collect()
+    }
+    assert unjudged == {1, 2}
+    with pytest.raises(AnalysisException):
+        near_dup_unjudged_ids(spark, str(bare), corpus).collect()
 
 
 def test_streaming_near_dup_matches_batch_keep_one(spark, tmp_path):
@@ -634,6 +638,40 @@ def test_media_feature_near_dups_composition(spark):
     n_expected = sum(1 for r in media.collect() if r.doc_id % 3 == 0)
     assert len(planted) == n_expected  # identical copies: guaranteed recall
     assert all(r.cosine_sim_x10k >= 9800 for r in pairs)
+
+
+def test_media_planted_query_pin_lifecycle(spark):
+    """The media_planted registry entry must not accrete executor
+    storage across repeated harness evaluations (driver/bench run query
+    entries many times and never call release_pinned): each invocation
+    releases the previous one's decode pin, so outstanding pins stay
+    bounded at ONE per session, and releasing the last handle returns
+    storage to baseline."""
+    from cl_readability_spark.functions.pins import (
+        pins_outstanding,
+        release_pinned,
+    )
+    from cl_readability_spark.functions.sqltwins import q_media_planted
+
+    from cl_readability_spark.functions.pins import release_all_pins
+
+    # a prior test in this session may itself have run q_media_planted
+    # (the oracle rehearsal does) and left the one rotating pin — start
+    # from a clean session so the baseline is unambiguous
+    release_all_pins(spark)
+    jsc = spark.sparkContext._jsc.sc()
+    base_cached = jsc.getPersistentRDDs().size()
+    last = None
+    for _ in range(3):
+        last = q_media_planted(spark, "/root/testdata/sf0.001")
+        assert last.count() > 0
+        # however many times the harness evaluates, exactly ONE media
+        # pin is outstanding
+        assert pins_outstanding(spark) == 1
+    assert release_pinned(last) == 1
+    assert pins_outstanding(spark) == 0
+    # storage really returns to baseline: the query's cached RDDs are gone
+    assert jsc.getPersistentRDDs().size() <= base_cached
 
 
 def test_resize_images_plumbing(spark):

@@ -123,9 +123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SAME triage expression per conversation (digest-CTE twin), and
     # tests/test_readerable.py pins the python/JVM gate agreement.
     # _q_readerable_triage stays importable for ad-hoc use.
-    out["dedup_minhash"] = lambda spark, sf_dir: minhash_near_dups(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), jaccard_threshold=0.5
-    )
+    # NOTE (round 7): the rows-only dedup_minhash entry (raw minhash over
+    # the real documents table) was retired to fund the hash-checked
+    # gopher_repetition twin under the 50-query cap — the minhash chain
+    # is the stronger-checked surface already: dedup_minhash_planted
+    # hash-checks signature→banding→verify end to end, the pytest
+    # Jaccard oracles pin real-corpus behavior, and bench.py still times
+    # the real-corpus run as dedup_minhash_real.
     # NOTE (round 6): simhash_signatures was retired from the registry — the
     # driver evaluates at most 50 queries, and registering 51 in round 5
     # silently dropped the last one (span_explode).  The simhash surface

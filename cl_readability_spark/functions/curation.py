@@ -182,6 +182,276 @@ def gopher_flags(
     )
 
 
+# Gopher repetition thresholds (Rae et al. 2021 Table A1), in basis
+# points: a document is repetition-flagged when ANY fraction exceeds its
+# threshold.  Shared with the DuckDB twin (closed-form planted corpus).
+GOPHER_REPETITION_THRESHOLDS_BP = {
+    "dup_line_fraction": 3000,
+    "dup_para_fraction": 3000,
+    "dup_line_char_fraction": 2000,
+    "dup_para_char_fraction": 2000,
+    "top_2gram_char_fraction": 2000,
+    "top_3gram_char_fraction": 1800,
+    "top_4gram_char_fraction": 1600,
+    "dup_5gram_char_fraction": 1500,
+    "dup_6gram_char_fraction": 1400,
+    "dup_7gram_char_fraction": 1300,
+    "dup_8gram_char_fraction": 1200,
+    "dup_9gram_char_fraction": 1100,
+    "dup_10gram_char_fraction": 1000,
+}
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Gopher REPETITION rules (Rae et al. 2021 §A1.1 Table A1 —
+    the other half of the MassiveText quality filter next to
+    ``gopher_flags``): per document,
+
+    - ``dup_line_fraction`` / ``dup_para_fraction`` — fraction of
+      non-empty lines (split on ``\\n``) / paragraphs (split on blank
+      lines, ``\\n{2,}``) that are repeats of an earlier identical one;
+    - ``dup_line_char_fraction`` / ``dup_para_char_fraction`` —
+      fraction of those units' characters contained in the repeats;
+    - ``top_{2,3,4}gram_char_fraction`` — fraction of word characters
+      covered by the single most frequent word n-gram (occurrences ×
+      the gram's non-space characters, over total word characters); a
+      gram must occur at least TWICE to count (a unique n-gram is not
+      repetition — without the guard every short document would trip
+      the rule on its longest unique 2-gram);
+    - ``dup_{5..10}gram_char_fraction`` — fraction of word characters
+      covered by n-grams occurring more than once, counting each WORD
+      POSITION at most once however many duplicated grams overlap it
+      (the paper's "taking care not to count characters that occur in
+      overlapping n-grams more than once").
+
+    ``repetition_ok`` is True when no fraction exceeds its Table A1
+    threshold (``GOPHER_REPETITION_THRESHOLDS_BP``); every comparison is
+    integer cross-multiplied, so the flags are engine-exact.  All
+    "characters" are non-separator characters (line/para chars = the
+    unit's bytes as split; gram chars = word characters, excluding the
+    joining spaces); words come from the same explicit whitespace split
+    as ``gopher_flags`` (lowercased — Gopher's dedup normalization).
+
+    Plan shape (100 TB): the line/paragraph stats are ONE whole-stage-
+    codegen projection — no lambda HOFs: dup counts via
+    ``size - size(array_distinct)``, char sums via
+    ``length(concat_ws('', arr))`` vs the distinct array.  The n-gram
+    stats are a single posexplode of words + ONE window pass per doc
+    (``lead(word, k)`` builds every 2..10-gram in one sort, partitions
+    bounded by document length) feeding two keyed aggregations: gram
+    counts on (doc, n, gram-hash) and the positional union on
+    (doc, n, word-idx) — both partial-aggregate map-side and every key
+    is bounded by a single document's size, so no corpus-wide hot keys
+    exist by construction.  Returns one row per input row (id + the 13
+    integer numerator/denominator pairs folded to fractions in basis
+    points + ``repetition_ok``)."""
+    from pyspark.sql.window import Window
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    # --- line / paragraph stats: pure codegen projection ---
+    def unit_stats(sep_pattern: str, prefix: str):
+        trimmed = F.regexp_replace(
+            text, f"^(?:{sep_pattern})+|(?:{sep_pattern})+$", ""
+        )
+        arr = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+            F.split(trimmed, f"(?:{sep_pattern})+")
+        )
+        distinct = F.array_distinct(arr)
+        return {
+            f"n_{prefix}": F.size(arr).cast("long"),
+            f"n_dup_{prefix}": (F.size(arr) - F.size(distinct)).cast("long"),
+            f"{prefix}_chars": F.length(F.concat_ws("", arr)).cast("long"),
+            f"dup_{prefix}_chars": (
+                F.length(F.concat_ws("", arr))
+                - F.length(F.concat_ws("", distinct))
+            ).cast("long"),
+        }
+
+    stats = {**unit_stats(r"\n", "lines"), **unit_stats(r"\n\n", "paras")}
+    lowered = F.lower(F.trim(text))
+    ws = "[ \t\n\f\r]"
+    words = F.when(
+        F.length(lowered) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(lowered, f"{ws}+"))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        words.alias("_words"),
+        *[v.alias(k) for k, v in stats.items()],
+    )
+    base = base.withColumn(
+        "word_chars", F.length(F.concat_ws("", F.col("_words"))).cast("long")
+    )
+
+    # --- n-gram stats: one explode + one lead-window pass ---
+    w_pos = base.select(
+        "_id", F.posexplode("_words").alias("_idx", "_word")
+    )
+    win = Window.partitionBy("_id").orderBy("_idx")
+    lead_cols = [F.col("_word").alias("_w0")] + [
+        F.lead("_word", k).over(win).alias(f"_w{k}") for k in range(1, 10)
+    ]
+    led = w_pos.select("_id", "_idx", *lead_cols)
+    # stack the 2..10-gram per position as (n, gram) structs; a gram is
+    # valid only when its last word exists (lead returned non-null)
+    gram_structs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                F.when(
+                    F.col(f"_w{n - 1}").isNotNull(),
+                    F.concat_ws(
+                        " ", *[F.col(f"_w{k}") for k in range(n)]
+                    ),
+                ).alias("gram"),
+            )
+            for n in range(2, 11)
+        ]
+    )
+    grams = (
+        led.select(
+            "_id", "_idx", F.explode(gram_structs).alias("_g")
+        )
+        .select(
+            "_id",
+            "_idx",
+            F.col("_g.n").alias("_n"),
+            F.col("_g.gram").alias("_gram"),
+        )
+        .filter(F.col("_gram").isNotNull())
+    )
+    # gram occurrence counts; char length of a gram's words excludes the
+    # n-1 joining spaces
+    gram_counts = grams.groupBy("_id", "_n", "_gram").agg(
+        F.count("*").alias("_cnt"),
+        F.collect_list("_idx").alias("_starts"),
+    )
+    gram_counts = gram_counts.withColumn(
+        "_gram_chars",
+        (F.length("_gram") - (F.col("_n") - 1)).cast("long"),
+    )
+    # top gram per (doc, n) for n in 2..4 — deterministic tie-break via
+    # the struct ordering (count, covered chars, gram)
+    top = (
+        gram_counts.filter(F.col("_n") <= 4)
+        .groupBy("_id", "_n")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_cnt"),
+                    (F.col("_cnt") * F.col("_gram_chars")).alias("_cov"),
+                    F.col("_gram"),
+                )
+            ).alias("_top")
+        )
+        .groupBy("_id")
+        .pivot("_n", [2, 3, 4])
+        # a gram occurring ONCE is not repetition: without the count>=2
+        # guard every short document trips the top-gram rule (a unique
+        # 2-gram easily covers >20% of a 10-word doc), which is not the
+        # filter's intent (Rae et al. flag REPEATED content)
+        .agg(
+            F.first(
+                F.when(
+                    F.col("_top._cnt") > 1, F.col("_top._cov")
+                ).otherwise(F.lit(0))
+            )
+        )
+        .select(
+            "_id",
+            *[
+                F.coalesce(F.col(str(n)), F.lit(0))
+                .cast("long")
+                .alias(f"top_{n}gram_chars")
+                for n in (2, 3, 4)
+            ],
+        )
+    )
+    # duplicated 5..10-grams: union of covered WORD POSITIONS per (doc,
+    # n), then sum those words' lengths — the no-double-counting rule
+    covered = (
+        gram_counts.filter((F.col("_n") >= 5) & (F.col("_cnt") > 1))
+        .select(
+            "_id",
+            "_n",
+            F.explode("_starts").alias("_start"),
+        )
+        .select(
+            "_id",
+            "_n",
+            F.explode(
+                F.sequence(
+                    F.col("_start"), F.col("_start") + F.col("_n") - 1
+                )
+            ).alias("_idx"),
+        )
+        .distinct()
+        .join(w_pos, ["_id", "_idx"])
+        .groupBy("_id")
+        .pivot("_n", list(range(5, 11)))
+        .agg(F.sum(F.length("_word")))
+        .select(
+            "_id",
+            *[
+                F.coalesce(F.col(str(n)), F.lit(0))
+                .cast("long")
+                .alias(f"dup_{n}gram_chars")
+                for n in range(5, 11)
+            ],
+        )
+    )
+    joined = (
+        base.drop("_words")
+        .join(top, "_id", "left")
+        .join(covered, "_id", "left")
+    )
+    for n in (2, 3, 4):
+        joined = joined.withColumn(
+            f"top_{n}gram_chars",
+            F.coalesce(F.col(f"top_{n}gram_chars"), F.lit(0)).cast("long"),
+        )
+    for n in range(5, 11):
+        joined = joined.withColumn(
+            f"dup_{n}gram_chars",
+            F.coalesce(F.col(f"dup_{n}gram_chars"), F.lit(0)).cast("long"),
+        )
+    thr = GOPHER_REPETITION_THRESHOLDS_BP
+    exceed = (
+        (
+            F.col("n_dup_lines") * 10000
+            > F.col("n_lines") * thr["dup_line_fraction"]
+        )
+        | (
+            F.col("n_dup_paras") * 10000
+            > F.col("n_paras") * thr["dup_para_fraction"]
+        )
+        | (
+            F.col("dup_lines_chars") * 10000
+            > F.col("lines_chars") * thr["dup_line_char_fraction"]
+        )
+        | (
+            F.col("dup_paras_chars") * 10000
+            > F.col("paras_chars") * thr["dup_para_char_fraction"]
+        )
+    )
+    for n in (2, 3, 4):
+        exceed = exceed | (
+            F.col(f"top_{n}gram_chars") * 10000
+            > F.col("word_chars") * thr[f"top_{n}gram_char_fraction"]
+        )
+    for n in range(5, 11):
+        exceed = exceed | (
+            F.col(f"dup_{n}gram_chars") * 10000
+            > F.col("word_chars") * thr[f"dup_{n}gram_char_fraction"]
+        )
+    return joined.withColumn("repetition_ok", ~exceed).withColumnRenamed(
+        "_id", id_col
+    )
+
+
 def _row_key(key_cols: tuple[str, ...]):
     return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
 

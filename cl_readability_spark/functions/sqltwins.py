@@ -1523,6 +1523,110 @@ FROM documents
 """
 
 
+# --- 18g1b. gopher_repetition — the FULL Gopher Table-A1 repetition
+#     battery (curation.gopher_repetition_flags) hash-checked on a
+#     planted corpus whose metrics are pure functions of the role
+#     (doc_id mod 5): every token is exactly 3 characters, so char sums
+#     are role constants independent of doc_id.  Expected values were
+#     derived BY HAND from the documented formulas:
+#     - role 0 "clean": 2 lines / 2 paragraphs, 9 distinct words — every
+#       repetition metric 0, ok.
+#     - role 1 "dup lines": the line "aa1 bb2 cc3" x3 + one other line.
+#       Word stream = [aa1 bb2 cc3]x3 ++ [dd4 ee5 ff6]: top-2-gram
+#       "aa1 bb2"/"bb2 cc3" count 3 -> 3x6=18; top-3-gram
+#       "aa1 bb2 cc3" count 3 -> 3x9=27; duplicated 5-grams {start 0 ==
+#       start 3} and {1 == 4} cover word positions 0..8 -> 27 chars; no
+#       duplicated 10-gram (3 starts, all suffix-distinct).
+#     - role 2 "hot 2-gram": "xx1 yy2 " x10 (one 80-char line incl. the
+#       trailing space; words trim to 20).  top2 = 10x6 = 60; top3 =
+#       count-9 tie x9 = 81 (top-gram coverage counts occurrences x
+#       chars, overlaps included — the paper reserves the union rule
+#       for the DUPLICATED-gram metrics); all 5..10-grams duplicated ->
+#       union covers all 20 words = 60 chars.
+#     - role 3 "dup paragraphs": paragraph "aa1 bb2 cc3" twice + one
+#       other; 1/3 paragraphs (and lines) duplicated -> 33bp > 30bp
+#       flags; top2 "aa1 bb2" 2x6=12, top3 2x9=18; no duplicated
+#       5-gram (9 words, all 5-gram starts distinct).
+#     - role 4: empty text — all zeros, ok.
+#     The middle n's (4, 6..9) share the single parameterized code path
+#     pinned per-n by the python differential oracle
+#     (tests/test_curation.py); the twin pins both ends + the flag. ---
+def q_gopher_repetition(spark, sf_dir):
+    from cl_readability_spark.functions.curation import (
+        gopher_repetition_flags,
+    )
+
+    role = F.pmod(F.col("doc_id"), F.lit(5))
+    text = (
+        F.when(role == 0, F.lit("aa1 bb2 cc3 dd4 ee5\n\nff6 gg7 hh8 ii9"))
+        .when(
+            role == 1,
+            F.lit("aa1 bb2 cc3\naa1 bb2 cc3\naa1 bb2 cc3\ndd4 ee5 ff6"),
+        )
+        .when(role == 2, F.lit("xx1 yy2 " * 10))
+        .when(
+            role == 3, F.lit("aa1 bb2 cc3\n\naa1 bb2 cc3\n\ndd4 ee5 ff6")
+        )
+        .otherwise(F.lit(""))
+    )
+    corpus = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), text.alias("text")
+    )
+    return gopher_repetition_flags(corpus).select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        "lines_chars",
+        "dup_lines_chars",
+        "n_paras",
+        "n_dup_paras",
+        "paras_chars",
+        "dup_paras_chars",
+        "word_chars",
+        "top_2gram_chars",
+        "top_3gram_chars",
+        "dup_5gram_chars",
+        "dup_10gram_chars",
+        "repetition_ok",
+    )
+
+
+SQL_GOPHER_REPETITION = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 1
+                            WHEN 3 THEN 3 ELSE 0 END AS BIGINT) AS n_lines,
+       CAST(CASE doc_id % 5 WHEN 1 THEN 2 WHEN 3 THEN 1
+                            ELSE 0 END AS BIGINT) AS n_dup_lines,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 34 WHEN 1 THEN 44 WHEN 2 THEN 80
+                            WHEN 3 THEN 33 ELSE 0 END AS BIGINT)
+         AS lines_chars,
+       CAST(CASE doc_id % 5 WHEN 1 THEN 22 WHEN 3 THEN 11
+                            ELSE 0 END AS BIGINT) AS dup_lines_chars,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1
+                            WHEN 3 THEN 3 ELSE 0 END AS BIGINT) AS n_paras,
+       CAST(CASE doc_id % 5 WHEN 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_dup_paras,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 34 WHEN 1 THEN 47 WHEN 2 THEN 80
+                            WHEN 3 THEN 33 ELSE 0 END AS BIGINT)
+         AS paras_chars,
+       CAST(CASE doc_id % 5 WHEN 3 THEN 11 ELSE 0 END AS BIGINT)
+         AS dup_paras_chars,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 27 WHEN 1 THEN 36 WHEN 2 THEN 60
+                            WHEN 3 THEN 27 ELSE 0 END AS BIGINT)
+         AS word_chars,
+       CAST(CASE doc_id % 5 WHEN 1 THEN 18 WHEN 2 THEN 60 WHEN 3 THEN 12
+                            ELSE 0 END AS BIGINT) AS top_2gram_chars,
+       CAST(CASE doc_id % 5 WHEN 1 THEN 27 WHEN 2 THEN 81 WHEN 3 THEN 18
+                            ELSE 0 END AS BIGINT) AS top_3gram_chars,
+       CAST(CASE doc_id % 5 WHEN 1 THEN 27 WHEN 2 THEN 60
+                            ELSE 0 END AS BIGINT) AS dup_5gram_chars,
+       CAST(CASE doc_id % 5 WHEN 2 THEN 60 ELSE 0 END AS BIGINT)
+         AS dup_10gram_chars,
+       doc_id % 5 IN (0, 4) AS repetition_ok
+FROM documents
+"""
+
+
 # --- 18g2. repetition_score — intra-document repetition (the
 #     Gopher/MassiveText duplicate-n-gram quality rule: heavily
 #     self-repeating documents are low-quality training text).  Counts
@@ -1980,6 +2084,7 @@ SQL_TWINS: dict[str, tuple] = {
     "pack_invariants": (q_pack_invariants, SQL_PACK_INVARIANTS),
     "span_invariants": (q_span_invariants, SQL_SPAN_INVARIANTS),
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
+    "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),

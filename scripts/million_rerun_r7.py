@@ -39,7 +39,7 @@ def main() -> None:
     from cl_readability_spark.functions.curation import gopher_flags
     from cl_readability_spark.functions.dedup import line_dedup
     from cl_readability_spark.pipeline.job import extract_transcripts
-    from cl_readability_spark.pipeline.metrics import metrics_rollup
+    from cl_readability_spark.pipeline.job import metrics_rollup
     from cl_readability_spark.pipeline.session import build_spark
     from cl_readability_spark.pipeline.transcripts import (
         synthetic_transcripts,
@@ -89,17 +89,15 @@ def main() -> None:
     best, chars = None, None
     for _ in range(2):
         t0 = time.perf_counter()
-        row = (
-            metrics_rollup(
-                extract_transcripts(
-                    src, salt_buckets=16, num_partitions=128
-                )
-            )
-            .collect()[0]
-        )
+        rows = metrics_rollup(
+            extract_transcripts(src, salt_buckets=16, num_partitions=128)
+        ).collect()
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
-        chars = (row.chars_in, row.chars_kept)
+        chars = (
+            sum(r.total_chars_in or 0 for r in rows),
+            sum(r.total_chars_kept or 0 for r in rows),
+        )
     out["extract_1m_min_s"] = round(best, 1)
     out["extract_1m_turns_per_s"] = round(n_turns / best, 0)
     out["chars_in"], out["chars_kept"] = chars
@@ -135,7 +133,11 @@ def main() -> None:
         F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias(
             "doc_id"
         ),
-        F.regexp_replace(F.col("text"), r"</p>\s*<p>", "\n").alias("text"),
+        # EXACT r6 recipe ("</p>" -> "</p>\n") so the line/drop counts
+        # are comparable round-over-round
+        F.replace(F.col("text"), F.lit("</p>"), F.lit("</p>\n")).alias(
+            "text"
+        ),
     )
     ld_full, ld_counts = None, None
     for _ in range(2):

@@ -472,3 +472,154 @@ def test_gopher_flags_operator(spark):
     assert relaxed[4]
     # all input columns survive the projection
     assert set(out[0].asDict()) >= {"doc_id", "text", "gopher_ok"}
+
+
+def test_gopher_repetition_flags_matches_python_oracle(spark):
+    """Differential oracle for the full Gopher Table-A1 repetition
+    battery: every numerator/denominator recomputed in plain python
+    (including the positional-union no-double-counting rule for the
+    duplicated 5..10-grams) over a seeded corpus mixing clean text,
+    repeated lines/paragraphs, hot 2-grams, repeated long spans, empty
+    and NULL docs — all 13 metrics plus the flag must match exactly."""
+    import random
+    import re as _re
+
+    from cl_readability_spark.functions.curation import (
+        GOPHER_REPETITION_THRESHOLDS_BP,
+        gopher_repetition_flags,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = []
+    for doc in range(40):
+        kind = doc % 5
+        if kind == 0:  # clean-ish random text, multi-paragraph
+            paras = [
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25)))
+                for _ in range(rng.randint(1, 4))
+            ]
+            text = "\n\n".join(paras)
+        elif kind == 1:  # repeated lines
+            line = " ".join(rng.choice(vocab) for _ in range(6))
+            other = " ".join(rng.choice(vocab) for _ in range(8))
+            text = "\n".join([line] * rng.randint(2, 5) + [other])
+        elif kind == 2:  # hot 2-gram
+            text = f"{rng.choice(vocab)} {rng.choice(vocab)} " * rng.randint(
+                4, 20
+            )
+        elif kind == 3:  # repeated long span (dup 5..10-grams)
+            span = " ".join(rng.choice(vocab) for _ in range(12))
+            filler = " ".join(rng.choice(vocab) for _ in range(10))
+            text = f"{span} {filler} {span}"
+        else:  # short / degenerate
+            text = rng.choice(["", " ", "one two three", "x"])
+        rows.append((doc, text))
+    rows += [(100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_metrics(text):
+        text = text or ""
+
+        def units(sep):
+            t = _re.sub(f"^(?:{sep})+|(?:{sep})+$", "", text)
+            return [] if t == "" else _re.split(f"(?:{sep})+", t)
+
+        m = {}
+        for sep, p in ((r"\n", "lines"), (r"\n\n", "paras")):
+            arr = units(sep)
+            seen, dup_n, dup_c = set(), 0, 0
+            for u in arr:
+                if u in seen:
+                    dup_n += 1
+                    dup_c += len(u)
+                else:
+                    seen.add(u)
+            m[f"n_{p}"] = len(arr)
+            m[f"n_dup_{p}"] = dup_n
+            m[f"{p}_chars"] = sum(len(u) for u in arr)
+            m[f"dup_{p}_chars"] = dup_c
+        words = _re.split(
+            "[ \t\n\f\r]+", text.strip().lower()
+        ) if text.strip() else []
+        m["word_chars"] = sum(len(w) for w in words)
+        for n in range(2, 5):
+            counts = {}
+            for i in range(len(words) - n + 1):
+                g = " ".join(words[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+            best = 0
+            for g, c in counts.items():
+                if c > 1:
+                    cov = c * (len(g) - (n - 1))
+                    key = (c, cov, g)
+                    bk = best if best == 0 else best_key
+                    if best == 0 or key > best_key:
+                        best, best_key = cov, key
+            m[f"top_{n}gram_chars"] = best
+        for n in range(5, 11):
+            counts = {}
+            for i in range(len(words) - n + 1):
+                g = " ".join(words[i : i + n])
+                counts.setdefault(g, []).append(i)
+            covered = set()
+            for g, starts in counts.items():
+                if len(starts) > 1:
+                    for s in starts:
+                        covered.update(range(s, s + n))
+            m[f"dup_{n}gram_chars"] = sum(len(words[i]) for i in covered)
+        thr = GOPHER_REPETITION_THRESHOLDS_BP
+        exceed = (
+            m["n_dup_lines"] * 10000 > m["n_lines"] * thr["dup_line_fraction"]
+            or m["n_dup_paras"] * 10000
+            > m["n_paras"] * thr["dup_para_fraction"]
+            or m["dup_lines_chars"] * 10000
+            > m["lines_chars"] * thr["dup_line_char_fraction"]
+            or m["dup_paras_chars"] * 10000
+            > m["paras_chars"] * thr["dup_para_char_fraction"]
+        )
+        for n in (2, 3, 4):
+            exceed = exceed or (
+                m[f"top_{n}gram_chars"] * 10000
+                > m["word_chars"] * thr[f"top_{n}gram_char_fraction"]
+            )
+        for n in range(5, 11):
+            exceed = exceed or (
+                m[f"dup_{n}gram_chars"] * 10000
+                > m["word_chars"] * thr[f"dup_{n}gram_char_fraction"]
+            )
+        m["repetition_ok"] = not exceed
+        return m
+
+    got = {r.doc_id: r.asDict() for r in gopher_repetition_flags(df).collect()}
+    assert set(got) == {r[0] for r in rows}
+    for doc_id, text in rows:
+        exp = py_metrics(text)
+        g = got[doc_id]
+        for k, v in exp.items():
+            assert g[k] == v, (doc_id, k, g[k], v, repr(text)[:80])
+
+
+def test_gopher_repetition_flags_plan_has_no_lambda_hofs(spark):
+    """The scale claim: the line/para stats are codegen expressions and
+    the gram machinery is explode + lead-window + keyed aggs — no
+    interpreted lambda HOFs anywhere in the plan, and every exchange
+    keys on doc-bounded keys (never a bare gram)."""
+    from cl_readability_spark.functions.curation import (
+        gopher_repetition_flags,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    plan = (
+        gopher_repetition_flags(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lambdafunction" not in plan.lower(), plan[:2000]
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    import re as _re
+
+    keys = _re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
+    assert keys, "expected keyed exchanges for the gram aggregations"
+    assert all("_id" in k for k in keys), keys

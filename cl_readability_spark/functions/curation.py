@@ -206,6 +206,7 @@ def gopher_repetition_flags(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pin_input: bool = False,
 ) -> DataFrame:
     """The Gopher REPETITION rules (Rae et al. 2021 §A1.1 Table A1 —
     the other half of the MassiveText quality filter next to
@@ -248,7 +249,14 @@ def gopher_repetition_flags(
     is bounded by a single document's size, so no corpus-wide hot keys
     exist by construction.  Returns one row per input row (id + the 13
     integer numerator/denominator pairs folded to fractions in basis
-    points + ``repetition_ok``)."""
+    points + ``repetition_ok``).
+
+    The gram aggregates are joined back onto the per-doc base — the
+    input subtree is referenced in several plan branches, so run this
+    over a scan/sink-staged frame (deterministic, re-evaluates
+    identically) or pass ``pin_input=True`` to materialize the tokenized
+    base DISK_ONLY (standard ``pins.release_pinned`` handle on the
+    returned frame) — the PLANS.md materialize-before-self-join rule."""
     from pyspark.sql.window import Window
 
     text = F.coalesce(F.col(text_col), F.lit(""))
@@ -271,7 +279,10 @@ def gopher_repetition_flags(
             ).cast("long"),
         }
 
-    stats = {**unit_stats(r"\n", "lines"), **unit_stats(r"\n\n", "paras")}
+    # paragraphs split on \n{2,} (any blank-line run), not literal
+    # \n\n — an odd-length newline run must not glue a stray \n onto
+    # the next paragraph (round-7 review finding)
+    stats = {**unit_stats(r"\n", "lines"), **unit_stats(r"\n{2,}", "paras")}
     lowered = F.lower(F.trim(text))
     ws = "[ \t\n\f\r]"
     words = F.when(
@@ -285,6 +296,10 @@ def gopher_repetition_flags(
     base = base.withColumn(
         "word_chars", F.length(F.concat_ws("", F.col("_words"))).cast("long")
     )
+    if pin_input:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.DISK_ONLY)
 
     # --- n-gram stats: one explode + one lead-window pass ---
     w_pos = base.select(
@@ -447,9 +462,12 @@ def gopher_repetition_flags(
             F.col(f"dup_{n}gram_chars") * 10000
             > F.col("word_chars") * thr[f"dup_{n}gram_char_fraction"]
         )
-    return joined.withColumn("repetition_ok", ~exceed).withColumnRenamed(
+    out = joined.withColumn("repetition_ok", ~exceed).withColumnRenamed(
         "_id", id_col
     )
+    if pin_input:
+        out = attach_pins(out, base)
+    return out
 
 
 def _row_key(key_cols: tuple[str, ...]):
@@ -731,14 +749,27 @@ def line_dedup_rewrite(
     rewritten from the surviving lines, ``line_dedup_n_lines`` /
     ``line_dedup_n_kept`` audit columns added via a 1:1 skew-free join
     on the unique row key.  Returns (rewritten frame, pins) — pins
-    non-empty only under ``pin_lines=True``."""
+    non-empty only under ``pin_lines=True``.
+
+    ``pin_lines=True`` materializes the KEYED INPUT frame (DISK_ONLY),
+    not just line_dedup's exploded lines: this stage references the
+    input in three plan branches (the line stage's winners aggregation
+    and probe, plus the audit join's left side), and for a
+    nondeterministic upstream every branch must read the same bytes —
+    pinning only the exploded lines would leave the audit join's probe
+    side re-evaluating the raw upstream (round-7 review finding)."""
     from cl_readability_spark.functions.dedup import line_dedup as _ld
 
     keyed = extracted.withColumn("_ld_key", _row_key(key_cols))
-    deduped = _ld(
-        keyed, id_col="_ld_key", text_col=text_col, pin_lines=pin_lines
-    )
-    pins = list(getattr(deduped, "_clrs_pinned", []) or [])
+    pins: list[DataFrame] = []
+    if pin_lines:
+        from pyspark import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.DISK_ONLY)
+        pins.append(keyed)
+    # the line stage's own self-branch now reads the pinned frame, so
+    # its internal pin_lines is unnecessary
+    deduped = _ld(keyed, id_col="_ld_key", text_col=text_col)
     out = (
         keyed.drop(text_col)
         .join(
@@ -802,9 +833,11 @@ def curate(
     a self-branch, plus the 1:1 audit join back): free over a
     sink-staged/scan input — the recommended composition, as in
     scripts/corpus_pipeline.py — while a NONDETERMINISTIC upstream
-    should either be sink-staged first or set ``line_dedup_pin=True``
-    (forwards ``pin_lines``; the DISK_ONLY handle is attached to the
-    returned frame alongside the curation pins)."""
+    should either be sink-staged first or set ``line_dedup_pin=True``,
+    which materializes the keyed INPUT frame DISK_ONLY so all three
+    line-stage branches read the same bytes (the handle is attached to
+    the returned frame alongside the curation pins — ``release_curated``
+    drops them all)."""
     ld_pins: list[DataFrame] = []
     if line_dedup:
         extracted, ld_pins = line_dedup_rewrite(

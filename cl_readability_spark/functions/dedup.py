@@ -1419,6 +1419,10 @@ def line_dedup(
 
     Returns (id, n_lines, n_kept_lines, deduped_text) — one row per
     input row, deduped_text NULL only if the input text was NULL.
+    ``id_col`` values must be NON-NULL and unique per row (pipeline row
+    keys are by construction; see the contract note in the body);
+    ``group_col`` MAY contain NULLs — they form one shared group, and
+    group identity is compared as strings.
 
     ``normalize`` lowercases the trimmed line for the duplicate test
     (the kept line keeps its ORIGINAL bytes — dedup decides survival,
@@ -1461,7 +1465,22 @@ def line_dedup(
     anything nondeterministic pass ``pin_lines=True`` to materialize the
     exploded lines DISK_ONLY before the branch — the returned frame then
     carries the standard ``pins.release_pinned`` handle."""
-    group_cols = [F.col(group_col).alias("_grp")] if group_col else []
+    # CONTRACT: id_col must be NON-NULL and unique per row (the pipeline
+    # row keys are, by construction).  A NULL id would make "first
+    # occurrence" ill-defined (and, since the keep-marking is an
+    # equi-join on the id, its lines would never match their winner —
+    # dropping every occurrence including the winner's own).  NULL
+    # groups are handled: they compare as one shared group via a
+    # sentinel (group identity is string-compared).
+    group_cols = (
+        [
+            F.coalesce(
+                F.col(group_col).cast("string"), F.lit("\x00<null-group>")
+            ).alias("_grp")
+        ]
+        if group_col
+        else []
+    )
     lines = df.select(
         F.col(id_col).alias("_id"),
         *group_cols,

@@ -54,6 +54,15 @@ _REGISTRY: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
 
 def attach_pins(df: DataFrame, *pinned: DataFrame) -> DataFrame:
     pins = [p for p in pinned if p is not None]
+    # MERGE with pins already attached to this exact object — a second
+    # attach_pins call on the same frame (curate() adding the line-stage
+    # pins after curate_near_dups attached the materialize/minhash ones)
+    # must not orphan the earlier handles (round-7 review finding: the
+    # old overwrite made release_pinned(out) leak the DISK_ONLY
+    # materialize pin whenever line_dedup_pin stacked on top)
+    existing = list(getattr(df, "_clrs_pinned", []) or [])
+    known_here = {id(p) for p in existing}
+    pins = existing + [p for p in pins if id(p) not in known_here]
     df._clrs_pinned = pins
     if pins:
         # idempotent per pin object: operators forward inner pins to

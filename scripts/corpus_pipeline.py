@@ -163,8 +163,27 @@ def main(argv: list[str]) -> int:
                 spark.read.parquet(staging2), materialize="none", **nd_kwargs
             ).write.mode("overwrite").parquet(staging3)
         else:
+            flags_src = spark.read.parquet(staging1)
+            ckwargs = dict(kwargs)
+            if args.line_dedup:
+                # stage the line-stage OUTPUT as its own table: under
+                # materialize="none" the near-dup branch re-references
+                # the flags plan, and embedding the line chain (two
+                # shuffles + a join) in that re-evaluated subtree was
+                # measured at ~2.5x the staged cost (the
+                # curation_line_planted twin's materialize note); the
+                # audit columns ride along into the flagged table
+                from cl_readability_spark.functions.curation import (
+                    line_dedup_rewrite,
+                )
+
+                staging1b = base + ".linededup"
+                rewritten, _ = line_dedup_rewrite(flags_src)
+                rewritten.write.mode("overwrite").parquet(staging1b)
+                flags_src = spark.read.parquet(staging1b)
+                ckwargs["line_dedup"] = False
             curate(
-                spark.read.parquet(staging1), materialize="none", **kwargs
+                flags_src, materialize="none", **ckwargs
             ).write.mode("overwrite").parquet(staging3)
         flagged = spark.read.parquet(staging3)
         (

@@ -121,8 +121,7 @@ def main() -> None:
             .collect()[0]
         )
         dt = time.perf_counter() - t0
-        gopher_best = dt if gopher_best is None or dt < gopher_best else dt
-        gopher_best = min(gopher_best, dt)
+        gopher_best = dt if gopher_best is None else min(gopher_best, dt)
     out["gopher_1m_min_s"] = round(gopher_best, 1)
     out["gopher_1m_turns_per_s"] = round(n_turns / gopher_best, 0)
     out["gopher_ok_docs"] = row.ok

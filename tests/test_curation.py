@@ -526,7 +526,7 @@ def test_gopher_repetition_flags_matches_python_oracle(spark):
             return [] if t == "" else _re.split(f"(?:{sep})+", t)
 
         m = {}
-        for sep, p in ((r"\n", "lines"), (r"\n\n", "paras")):
+        for sep, p in ((r"\n", "lines"), (r"\n{2,}", "paras")):
             arr = units(sep)
             seen, dup_n, dup_c = set(), 0, 0
             for u in arr:
@@ -548,13 +548,12 @@ def test_gopher_repetition_flags_matches_python_oracle(spark):
             for i in range(len(words) - n + 1):
                 g = " ".join(words[i : i + n])
                 counts[g] = counts.get(g, 0) + 1
-            best = 0
+            best, best_key = 0, None
             for g, c in counts.items():
                 if c > 1:
                     cov = c * (len(g) - (n - 1))
                     key = (c, cov, g)
-                    bk = best if best == 0 else best_key
-                    if best == 0 or key > best_key:
+                    if best_key is None or key > best_key:
                         best, best_key = cov, key
             m[f"top_{n}gram_chars"] = best
         for n in range(5, 11):
@@ -623,3 +622,31 @@ def test_gopher_repetition_flags_plan_has_no_lambda_hofs(spark):
     keys = _re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
     assert keys, "expected keyed exchanges for the gram aggregations"
     assert all("_id" in k for k in keys), keys
+
+
+def test_curate_line_dedup_pin_stacking_releases_all(spark):
+    """Round-7 review regression: curate() attaches the line-stage pin
+    ON TOP of the pins curate_near_dups already attached (materialize
+    pin and/or minhash rehash pins) — attach_pins must MERGE, not
+    overwrite, or release_curated(out) leaks the DISK_ONLY extract+flags
+    pin for the session's lifetime."""
+    from cl_readability_spark.functions.pins import (
+        pins_outstanding,
+        release_all_pins,
+        release_pinned,
+    )
+
+    release_all_pins(spark)
+    rows = [(i, 0, GOOD + f"\nunique tail {i}") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, extracted_text string"
+    )
+    curated = curate(
+        df, min_stopword_bp=0, materialize="disk", minhash_carry="arrays",
+        line_dedup=True, line_dedup_pin=True,
+    )
+    assert curated.count() == 6
+    # both the keyed line-stage pin AND the materialize pin are live
+    assert pins_outstanding(spark) == 2
+    assert release_pinned(curated) == 2
+    assert pins_outstanding(spark) == 0

@@ -967,3 +967,26 @@ def test_line_dedup_extraction_interplay_golden(spark):
     assert grouped["a:0"] == (3, expected_text[("a", 0)])
     assert grouped["a:1"] == (3, expected_text[("a", 1)])
     assert grouped["b:0"] == (2, (u(2) * 16).strip() + "\n")
+
+
+def test_line_dedup_group_col_null_groups_share_a_group(spark):
+    """NULL group values form ONE shared group (sentinel) rather than
+    never-equal join keys that would silently drop every occurrence of
+    a line whose winner lives in a NULL group (round-7 review)."""
+    from cl_readability_spark.functions.dedup import line_dedup
+
+    rows = [
+        ("a0", None, "shared helper line of text\nbody zero"),
+        ("a1", None, "shared helper line of text\nbody one"),
+        ("b0", "convB", "shared helper line of text\nbody two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, conv string, text string")
+    out = {
+        r.doc_id: (r.n_kept_lines, r.deduped_text)
+        for r in line_dedup(df, group_col="conv").collect()
+    }
+    # winner = a0 (lexicographic min id) -> the NULL group owns the
+    # line; BOTH null-group docs keep it, convB drops it
+    assert out["a0"] == (2, "shared helper line of text\nbody zero")
+    assert out["a1"] == (2, "shared helper line of text\nbody one")
+    assert out["b0"] == (1, "body two")

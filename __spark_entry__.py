@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from cl_readability_spark.functions.dedup import minhash_near_dups
 from cl_readability_spark.functions.similarity import (
     embedding_near_dups,
-    ivf_topk,
     lsh_bucketed_topk,
     plant_near_dups,
 )
@@ -149,15 +148,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ann_lsh_topk"] = _q_ann_lsh
 
-    def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """IVF-flat ANN (cell-pruned exact cosine); rows-only check — the
-        probe set is recall<1 by design (oracle would need n_probe=n_cells,
-        which is the already-oracled brute force)."""
-        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        q = list(embs.filter(F.col("vec_id") == 0).select("embedding").first()[0])
-        return ivf_topk(embs.filter(F.col("vec_id") != 0), q, k=10)
-
-    out["ann_ivf_topk"] = _q_ann_ivf
+    # NOTE (round 7): the rows-only ann_ivf_topk entry (IVF top-k over
+    # the raw embeddings table) was retired to fund the hash-checked
+    # c4_planted twin under the 50-query cap — the IVF chain is the
+    # stronger-checked surface already: ann_ivf_planted hash-checks the
+    # SAME ivf_topk operator (cell assignment, probe selection, in-cell
+    # scoring) end to end against brute force on a planted-certain
+    # corpus, and tests/test_similarity.py pins recall/n_probe behavior.
 
     # NOTE (round 6): the rows-only media_near_dups entry was replaced by
     # the hash-checked media_planted twin (sqltwins.py) — same chain

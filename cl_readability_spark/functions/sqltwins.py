@@ -54,6 +54,61 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
+# --- C4 line/page cleaning pattern literals (Raffel et al. 2020 §2.2).
+# functions/curation.py:c4_filters builds the Spark expressions and
+# SQL_C4_PLANTED builds the DuckDB oracle from these SAME literals, so
+# the two engines are in lockstep by construction.  Valid in BOTH Java
+# regex and RE2: no lookaround, ``[^\n]`` instead of ``.`` (Java's dot
+# excludes \r and the unicode line separators, RE2's only \n), explicit
+# whitespace classes (java \s and RE2 \s disagree on U+000B), and the
+# Spark side prepends ``(?d)`` (UNIX_LINES) so Java's multiline ^ treats
+# ONLY \n as a line break — which RE2 always does.  Line filters apply
+# to ``text || '\n'`` with a MANDATORY trailing \n in each pattern (the
+# "terminator convention"): no pattern can match the empty string, so
+# the engines' divergent empty-match behaviors never engage (probed:
+# RE2 double-counts interior empty lines under ^...$, Java refuses ^ at
+# end-of-input; with the mandatory \n both agree on every case of the
+# randomized differential suite in tests/test_curation.py).
+C4_INTRA_WS = r"[ \t\f\r]"  # intra-line ws (NOT \x0b: VT is word-
+#                             internal, matching gopher_flags' class)
+C4_NONWS = r"[^ \t\f\r\n]"  # one word character (non-ws, non-newline)
+C4_TERMINAL_PUNCT = '.!?"”'  # period ! ? straight + curly end quote
+C4_JS_LINE_RE = r"(?i:[^\n]*javascript[^\n]*)"
+C4_NO_TERMINAL_RE = r"[^\n]*[^ \t\f\r\n.!?\"”]" + C4_INTRA_WS + "*"
+C4_SENTENCE_RE = r"[.!?]+"  # sentence-terminal runs (count heuristic)
+
+
+def c4_short_line_re(min_words: int) -> str:
+    """Full-line regex matching lines with FEWER than ``min_words``
+    whitespace-separated words (word = maximal C4_NONWS run).  For
+    ``min_words <= 0`` returns None (nothing is short)."""
+    if min_words <= 0:
+        return None
+    w, nw = C4_INTRA_WS, C4_NONWS
+    if min_words == 1:
+        return f"{w}*"
+    return f"{w}*(?:{nw}+{w}+){{0,{min_words - 2}}}{nw}*{w}*"
+
+
+def c4_drop_line_re(min_words: int = 3) -> str:
+    """The composed drop-line pattern body (no engine prefix): a full
+    line matching ANY of javascript / too-few-words / no-terminal-
+    punctuation, INCLUDING its mandatory trailing newline."""
+    short = c4_short_line_re(min_words)
+    alts = [C4_JS_LINE_RE] + ([short] if short else []) + [C4_NO_TERMINAL_RE]
+    return "^(?:" + "|".join(alts) + ")\\n"
+
+
+def c4_badword_re(badwords) -> str:
+    """Word-boundary-ish alternation over plain lowercase words for the
+    page-level bad-word flag, without ``\\b`` (metachar-free boundary
+    classes keep Java and RE2 in lockstep).  Match against lowercased
+    text."""
+    import re as _re
+
+    alts = "|".join(_re.escape(w) for w in badwords)
+    return f"(?:^|[^a-z0-9])(?:{alts})(?:[^a-z0-9]|$)"
+
 TOKEN_RE = r"\w+|[^\w\s]"
 
 
@@ -1734,6 +1789,123 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+# --- 18f2b. c4_planted — the C4 cleaning battery (Raffel et al. 2020
+#     §2.2, curation.c4_filters) hash-checked end to end.  The planted
+#     corpus appends to every doc's word-salad text one line per filter
+#     category (a kept sentence, a short line, a javascript line, a
+#     no-terminal line) plus modulo-classed page-flag lines (curly brace
+#     %5, badword %7, lorem ipsum %3, a 5-sentence booster %2), so every
+#     line rule, every drop-attribution bucket, and both page-verdict
+#     outcomes exist by construction.  The DuckDB oracle recomputes the
+#     WHOLE battery from the SAME shared pattern literals (module top:
+#     terminator convention, (?d) only on the Java side) — c4_text is
+#     compared byte-for-byte, so line survival, byte preservation, and
+#     the count algebra are all inside the hash. ---
+def q_c4_planted(spark, sf_dir):
+    from cl_readability_spark.functions.curation import c4_filters
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Keep this planted sentence."),
+            F.lit("short one"),
+            F.lit("JavaScript required to view this page."),
+            F.lit("this line has no terminal punctuation"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                F.lit("One. Two! Three? Four. Five."),
+            ),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                F.lit("Curly brace { page marker."),
+            ),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+                F.lit("the naughty word appears here."),
+            ),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.lit("Lorem ipsum dolor sit amet."),
+            ),
+        ).alias("text"),
+    )
+    return c4_filters(corpus, badwords=("naughty",)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "c4_text",
+        "n_lines",
+        "n_kept_lines",
+        "n_drop_javascript",
+        "n_drop_short_line",
+        "n_drop_no_terminal",
+        "has_lorem_ipsum",
+        "has_curly_brace",
+        "has_badword",
+        "n_sentences",
+        "c4_keep",
+    )
+
+
+def _c4_sql_lit(pattern: str) -> str:
+    return "'" + pattern.replace("'", "''") + "'"
+
+
+_C4_DROP_LIT = _c4_sql_lit("(?m)" + c4_drop_line_re(3))
+_C4_JS_LIT = _c4_sql_lit("(?m)^(?:" + C4_JS_LINE_RE + ")\\n")
+_C4_JSS_LIT = _c4_sql_lit(
+    "(?m)^(?:" + C4_JS_LINE_RE + "|" + c4_short_line_re(3) + ")\\n"
+)
+_C4_SENT_LIT = _c4_sql_lit(C4_SENTENCE_RE)
+_C4_BAD_LIT = _c4_sql_lit(c4_badword_re(("naughty",)))
+
+SQL_C4_PLANTED = f"""
+WITH c AS (
+  SELECT doc_id, concat_ws(chr(10), text,
+    'Keep this planted sentence.',
+    'short one',
+    'JavaScript required to view this page.',
+    'this line has no terminal punctuation',
+    CASE WHEN doc_id % 2 = 0 THEN 'One. Two! Three? Four. Five.' END,
+    CASE WHEN doc_id % 5 = 0 THEN 'Curly brace {{ page marker.' END,
+    CASE WHEN doc_id % 7 = 0 THEN 'the naughty word appears here.' END,
+    CASE WHEN doc_id % 3 = 0 THEN 'Lorem ipsum dolor sit amet.' END
+  ) AS text FROM documents
+), k AS (
+  SELECT doc_id, text, text || chr(10) AS t,
+         regexp_replace(text || chr(10), {_C4_DROP_LIT}, '', 'g') AS kt
+  FROM c
+), m AS (
+  SELECT doc_id, text,
+         CASE WHEN kt = '' THEN ''
+              ELSE substr(kt, 1, length(kt) - 1) END AS c4_text,
+         CAST(len(regexp_extract_all(t, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(regexp_extract_all(kt, chr(10))) AS BIGINT)
+           AS n_kept_lines,
+         CAST(len(regexp_extract_all(t, {_C4_JS_LIT})) AS BIGINT) AS n_js,
+         CAST(len(regexp_extract_all(t, {_C4_JSS_LIT})) AS BIGINT) AS n_jss
+  FROM k
+), s AS (
+  SELECT doc_id, text, c4_text, n_lines, n_kept_lines, n_js, n_jss,
+         CAST(len(regexp_extract_all(c4_text, {_C4_SENT_LIT})) AS BIGINT)
+           AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(text, '{{') AS has_curly_brace,
+         regexp_matches(lower(text), {_C4_BAD_LIT}) AS has_badword
+  FROM m
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, c4_text, n_lines, n_kept_lines,
+       n_js AS n_drop_javascript,
+       n_jss - n_js AS n_drop_short_line,
+       n_lines - n_kept_lines - n_jss AS n_drop_no_terminal,
+       has_lorem_ipsum, has_curly_brace, has_badword, n_sentences,
+       NOT has_lorem_ipsum AND NOT has_curly_brace AND NOT has_badword
+         AND n_sentences >= 5 AS c4_keep
+FROM s
+"""
+
+
 SQL_GOPHER_QUALITY = r"""
 WITH g AS (
   SELECT doc_id,
@@ -2089,6 +2261,7 @@ SQL_TWINS: dict[str, tuple] = {
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),
     "media_planted": (q_media_planted, SQL_MEDIA_PLANTED),
+    "c4_planted": (q_c4_planted, SQL_C4_PLANTED),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "line_dedup_planted": (q_line_dedup_planted, SQL_LINE_DEDUP_PLANTED),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),

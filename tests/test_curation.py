@@ -650,3 +650,141 @@ def test_curate_line_dedup_pin_stacking_releases_all(spark):
     assert pins_outstanding(spark) == 2
     assert release_pinned(curated) == 2
     assert pins_outstanding(spark) == 0
+
+
+def _c4_py_oracle(text, min_words=3, min_sentences=5, badwords=()):
+    """Independent python implementation of the written c4_filters
+    semantics (Raffel et al. 2020 §2.2 as documented on the operator)."""
+    import re as _re
+
+    if text is None:
+        return (None, 0, 0, 0, 0, 0, False, False, False, 0, False)
+    lines = text.split("\n")
+    kept, n_js, n_short, n_noterm = [], 0, 0, 0
+    for ln in lines:
+        if "javascript" in ln.lower():
+            n_js += 1
+            continue
+        stripped = ln.strip(" \t\f\r")
+        words = [w for w in _re.split(r"[ \t\f\r]+", stripped) if w]
+        if len(words) < min_words:
+            n_short += 1
+            continue
+        if stripped[-1] not in '.!?"”':
+            n_noterm += 1
+            continue
+        kept.append(ln)
+    cleaned = "\n".join(kept)
+    lowered = text.lower()
+    has_lorem = "lorem ipsum" in lowered
+    has_curly = "{" in text
+    has_bad = any(
+        _re.search(r"(?:^|[^a-z0-9])" + _re.escape(w) + r"(?:[^a-z0-9]|$)",
+                   lowered)
+        for w in badwords
+    )
+    n_sent = len(_re.findall(r"[.!?]+", cleaned))
+    keep = (not has_lorem and not has_curly and not has_bad
+            and n_sent >= min_sentences)
+    return (cleaned, len(lines), len(kept), n_js, n_short, n_noterm,
+            has_lorem, has_curly, has_bad, n_sent, keep)
+
+
+def _c4_cols(r):
+    return (r.c4_text, r.n_lines, r.n_kept_lines, r.n_drop_javascript,
+            r.n_drop_short_line, r.n_drop_no_terminal, r.has_lorem_ipsum,
+            r.has_curly_brace, r.has_badword, r.n_sentences, r.c4_keep)
+
+
+def test_c4_filters_matches_python_oracle(spark):
+    """Randomized differential corpus incl. the hostile shapes the regex
+    formulation must survive: CRLF, tabs, vertical tab (word-internal by
+    the documented class), curly end quote, mixed-case javascript,
+    empty/whitespace lines, trailing-newline variants, no-newline tails."""
+    import random
+
+    from cl_readability_spark.functions.curation import c4_filters
+
+    rng = random.Random(1207)
+    vocab = ["word", "the", "a.", "b!", "nope", "javascript", "JaVaScRiPt",
+             "x", "tab\t", " ", "end?", "quote”", "{", "lorem", "ipsum",
+             "\r", "v\x0bt.", 'dquote"']
+    cases = [
+        None, "", "\n", "\n\n", "Last line dropped no newline",
+        "a\r\nCRLF line ends fine.\r\nnope\r\n",
+        "line with\x0bvertical tab one word?\nThis one is kept now.",
+        "Tab\tseparated words kept here.\n   \t  \nJAVASCRIPT LINE GONE.",
+        "trailing spaces kept line.   \nmid\n\nEnd of page now done.",
+    ]
+    for _ in range(150):
+        n = rng.randint(0, 8)
+        lines = [" ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(0, 6)))
+                 for _ in range(n)]
+        cases.append("\n".join(lines) + ("\n" if rng.random() < 0.5 else ""))
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    got = {r.i: _c4_cols(r)
+           for r in c4_filters(df, badwords=("nope", "lorem")).collect()}
+    for i, c in enumerate(cases):
+        exp = _c4_py_oracle(c, badwords=("nope", "lorem"))
+        assert got[i] == exp, (i, c, got[i], exp)
+        # attribution identity: drops partition the non-kept lines
+        _, nl, nk, njs, nsh, nnt, *_rest = got[i]
+        assert nl == nk + njs + nsh + nnt
+
+
+def test_c4_filters_page_gates_and_params(spark):
+    from cl_readability_spark.functions.curation import c4_filters
+
+    base = "One good line stays here.\nAnother full sentence stays too!"
+    rows = [
+        (0, base),                              # clean, 2 sentences
+        (1, base + "\nlorem IPSUM dolor."),     # lorem page flag
+        (2, base + "\nhas a { brace."),         # curly page flag
+        (3, base + "\nscunthorpe problem ok."), # badword INSIDE a word: no
+        (4, base + "\nthorpe standing alone."), # badword with boundaries
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_filters(
+        df, min_sentences=2, badwords=("thorpe",)).collect()}
+    assert out[0].c4_keep and out[0].n_sentences == 2
+    assert out[1].has_lorem_ipsum and not out[1].c4_keep
+    assert out[2].has_curly_brace and not out[2].c4_keep
+    assert not out[3].has_badword and out[3].c4_keep
+    assert out[4].has_badword and not out[4].c4_keep
+    # min_sentences gate uses the CLEANED text
+    strict = {r.doc_id: r for r in c4_filters(
+        df, min_sentences=3, badwords=("thorpe",)).collect()}
+    assert not strict[0].c4_keep  # only 2 sentences survive cleaning
+
+
+def test_c4_filters_min_words_per_line_variants(spark):
+    from cl_readability_spark.functions.curation import c4_filters
+
+    text = "one.\ntwo words.\nthree words here.\nfour words right here."
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    for k, exp_kept in [(0, 4), (1, 4), (2, 3), (3, 2), (4, 1), (5, 0)]:
+        r = c4_filters(df, min_words_per_line=k).collect()[0]
+        assert r.n_kept_lines == exp_kept, (k, r.n_kept_lines)
+        assert r.n_lines == 4
+        assert r.n_drop_short_line == 4 - exp_kept
+
+
+def test_c4_filters_plan_is_single_codegen_projection(spark):
+    """The battery must stay ONE whole-stage-codegen projection: no
+    Exchange, no explode, no interpreted lambda HOF, no python stage
+    (the PLANS.md HOF rule) — scan -> project at any scale."""
+    from cl_readability_spark.functions.curation import c4_filters
+
+    df = spark.createDataFrame(
+        [(0, "Some line of text here.")], "doc_id long, text string"
+    )
+    plan = c4_filters(df, badwords=("bad",))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan            # no explode
+    assert "lambdafunction" not in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the codegen'd single projection renders as "*(1) Project [...]"
+    assert plan.lstrip().startswith("*(1) Project")

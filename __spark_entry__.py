@@ -15,12 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cl_readability_spark.functions.dedup import minhash_near_dups
-from cl_readability_spark.functions.similarity import (
-    embedding_near_dups,
-    lsh_bucketed_topk,
-    plant_near_dups,
-)
+from cl_readability_spark.functions.similarity import lsh_bucketed_topk
 from cl_readability_spark.functions.sqltwins import SQL_TWINS
 from cl_readability_spark.pipeline.job import extract_transcripts, metrics_rollup
 from cl_readability_spark.pipeline.transcripts import documents_as_transcripts
@@ -181,16 +176,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["curation_report"] = _q_curation_report
 
-    def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Banded-LSH near-dup detection over the embeddings table plus
-        deterministically planted perturbed copies (cosine 0.903-0.95, NOT
-        near-identical), so the query verifiably returns >0 pairs; dim=64
-        is the testdata embedding width (no construction-time probe)."""
-        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        corpus = plant_near_dups(embs, every=5, gamma=0.43, seed=7)
-        return embedding_near_dups(corpus, threshold=0.9, dim=64)
-
-    out["embedding_near_dups"] = _q_embedding_near_dups
+    # NOTE (round 7): the rows-only embedding_near_dups entry (banded
+    # LSH over embeddings + planted perturbed copies) was retired to
+    # fund the hash-checked substring_dedup_planted twin under the
+    # 50-query cap — the embedding chain is the stronger-checked
+    # surface already: dedup_embedding_planted hash-checks the SAME
+    # embedding_near_dups operator (banding, Hamming prefilter, cosine
+    # verify) end to end, and bench.py still times the planted-corpus
+    # run as embedding_near_dups.
 
     # NOTE (round 6): the rows-only pack_sequences entry was retired to
     # fund the hash-checked line_dedup_planted twin under the 50-query

@@ -1608,3 +1608,214 @@ def line_dedup(
 
         out = attach_pins(out, lines)
     return out
+
+
+# Token split class for substring_dedup — the EXPLICIT whitespace set the
+# repo standardized on after the gopher \s finding (java \s and RE2 \s
+# disagree on vertical tab U+000B): space/tab/LF/FF/CR.  Shared verbatim
+# with the DuckDB twin (sqltwins.q_substring_dedup_planted) so both
+# engines tokenize identically.
+TOKEN_SPLIT_RE = r"[ \t\n\f\r]+"
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    keep: str = "none",
+    normalize: bool = True,
+    dup_join_salt: int = 8,
+    pin_tokens: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-substring removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", §4.1
+    ExactSubstr), at TOKEN granularity: a token is removed iff it lies
+    inside a run of >= ``k`` consecutive tokens whose (normalized) text
+    occurs more than once in the corpus — counting multiplicity, so a
+    run repeated twice within ONE document is duplicated too.  This is
+    exact, not approximate: any duplicated run of length >= k contains a
+    duplicated k-gram, and every duplicated k-gram IS a duplicated run,
+    so the union of duplicated-k-gram spans equals the union of
+    duplicated runs of length >= k.  Documents shorter than k tokens can
+    never lose tokens (no >= k run exists — whole-document duplicates at
+    that length are exact-dedup's job, `dedup_exact`).
+
+    ``keep``: "none" (default) removes EVERY occurrence of a duplicated
+    k-gram — the semantics of the paper's released suffix-array tool,
+    which its authors argue is safest for memorization; "first" exempts
+    each duplicated gram's globally-first occurrence (min (id, pos)), so
+    the first appearance of a shared run survives and later copies are
+    cut — the keep-one analogue of `line_dedup`.  With "first",
+    ``id_col`` values must be non-null and orderable (same contract as
+    `line_dedup`; pipeline row keys are).
+
+    ``normalize`` lowercases tokens for the duplicate TEST only; the
+    rebuilt text keeps original token bytes.  ``dedup_text`` is the kept
+    tokens joined by single spaces — a WHITESPACE-NORMALIZED rebuild
+    (the operator is token-based; original inter-token whitespace is not
+    preserved — callers needing byte-exact text should run this before
+    formatting-sensitive stages, as C4-style pipelines do).  NULL text
+    stays NULL; non-null text always yields a string ('' if everything
+    was removed).  Returns (id, n_tokens, n_kept_tokens, dedup_text).
+
+    Scale shape (100 TB, 10^12 turns):
+
+    - Gram keys come from ONE doc-partitioned window pass (the
+      `gopher_repetition_flags` pattern): per-token xxhash64 of the
+      normalized token, k-1 ``lead``s of that LONG, and two independent
+      128-bit-grade gram keys as xxhash64 over the k hash columns —
+      whole-stage-codegen projections around a single WindowExec whose
+      partitions are bounded by one document.  No polynomial arithmetic
+      (Spark 4 ANSI mode makes long wraparound an error), no
+      interpreted lambda HOF, no python stage anywhere in the operator.
+    - Duplicate detection is ``groupBy(gram).agg(count, min(struct))``
+      — an AGGREGATION, so a mega-hot boilerplate gram partial-
+      aggregates map-side and crosses the shuffle as one slim row per
+      input partition (the `line_dedup` lesson).
+    - Marking occurrences of duplicated grams is the one join that a
+      hot gram key COULD concentrate, and AQE's OptimizeSkewedJoin
+      provably does not fire on it (it pattern-matches a bare
+      Sort+Shuffle under both children; the dup side is an aggregation
+      reusing its own exchange — measured in round 7, PLANS.md), so the
+      join is SALTED deterministically: the probe side salts by
+      pmod(xxhash64(id, pos), S) and the dup side replicates each key S
+      times (``dup_join_salt``, default 8) — per-task fan-in is bounded
+      to multiplicity/S by construction, cost is S slim replicas
+      (two longs + winner struct) of the dup-key set.
+    - Coverage expansion explodes each duplicated occurrence to its k
+      covered positions as SLIM (id, pos) rows, collapsed by a
+      map-side-combinable distinct whose key multiplicity is <= k
+      (overlapping grams), then keeps are marked by joining back on
+      **(id, pos)** — unique per row on BOTH sides, skew-free by
+      construction — and documents reassemble with the same
+      sort-structs groupBy as `line_dedup`.
+
+    ``pin_tokens``: the gram branch aggregates the SAME exploded-tokens
+    subtree the keep-join probes (a self-join — PLANS.md rule); for a
+    NONDETERMINISTIC input plan pass True to materialize the tokens
+    DISK_ONLY first (release via the standard `pins.release_pinned`
+    handle on the returned frame).  Pure scans/projections need nothing.
+
+    Reference scope note: cl-readability ends at extraction (no dedup
+    counterpart); semantics follow the public paper + released tool.
+    """
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (gram width in tokens), got {k}")
+    if dup_join_salt < 1:
+        raise ValueError(f"dup_join_salt must be >= 1, got {dup_join_salt}")
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).isNotNull().alias("_has_text"),
+        F.posexplode_outer(
+            F.array_remove(F.split(F.col(text_col), TOKEN_SPLIT_RE), "")
+        ).alias("_pos", "_tok"),
+    )
+    if pin_tokens:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.DISK_ONLY)
+
+    norm_tok = F.lower(F.col("_tok")) if normalize else F.col("_tok")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    hashed = toks.filter(F.col("_tok").isNotNull()).select(
+        "_id", "_pos", F.xxhash64(norm_tok).alias("_th")
+    )
+    gram_cols = [F.col("_th")] + [
+        F.lead("_th", j).over(w).alias(f"_l{j}") for j in range(1, k)
+    ]
+    grams = (
+        hashed.select("_id", "_pos", *gram_cols)
+        # positions are dense per doc, so the last lead being non-null
+        # implies all earlier leads are — this row starts a full k-gram
+        .filter(F.col(f"_l{k - 1}").isNotNull())
+        .select(
+            "_id",
+            "_pos",
+            F.xxhash64(F.col("_th"), *[F.col(f"_l{j}") for j in range(1, k)]).alias(
+                "_g1"
+            ),
+            F.xxhash64(
+                F.lit("sd2"), F.col("_th"), *[F.col(f"_l{j}") for j in range(1, k)]
+            ).alias("_g2"),
+        )
+    )
+    # keep="none" needs only the count; the winner struct is aggregated
+    # only when "first" will exempt it (both partial-aggregate map-side)
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if keep == "first":
+        aggs.append(F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_win"))
+    dups = (
+        grams.groupBy("_g1", "_g2")
+        .agg(*aggs)
+        .filter(F.col("_cnt") >= 2)
+        .withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(dup_join_salt - 1))),
+        )
+    )
+    probe = grams.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("_id"), F.col("_pos")), F.lit(dup_join_salt)).cast(
+            "int"
+        ),
+    )
+    removed = probe.join(dups, ["_g1", "_g2", "_salt"], "inner")
+    if keep == "first":
+        removed = removed.filter(
+            ~(
+                (F.col("_id") == F.col("_win._id"))
+                & (F.col("_pos") == F.col("_win._pos"))
+            )
+        )
+    covered = (
+        removed.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(k - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+        .withColumn("_covered", F.lit(True))
+    )
+    marked = toks.join(covered, ["_id", "_pos"], "left").withColumn(
+        "_keep",
+        F.col("_tok").isNotNull() & F.col("_covered").isNull(),
+    )
+    out = (
+        marked.groupBy("_id")
+        .agg(
+            F.count("_tok").cast("long").alias("n_tokens"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept_tokens"),
+            F.first("_has_text").alias("_has_text"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_pos"), F.col("_tok")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_tok"],
+                ),
+            ).alias("_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
+            F.when(F.col("_has_text"), F.col("_text")).alias("dedup_text"),
+        )
+    )
+    if pin_tokens:
+        from cl_readability_spark.functions.pins import attach_pins
+
+        out = attach_pins(out, toks)
+    return out

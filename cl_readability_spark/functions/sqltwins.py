@@ -2021,6 +2021,115 @@ GROUP BY doc_id
 """
 
 
+# --- 18f4. substring_dedup_planted — ExactSubstr-style duplicated-
+#     substring removal (functions/dedup.py:substring_dedup, Lee et al.
+#     2021 §4.1) with a fully GENERIC SQL twin: the oracle re-derives
+#     token k-grams, duplicate grams (count >= 2 corpus-wide, counting
+#     within-doc multiplicity), covered positions, and the surviving-
+#     token rebuild from scratch in DuckDB — string grams vs the Spark
+#     side's two xxhash64 gram keys over per-token hashes (equivalent
+#     absent a 128-bit-grade collision, which the value hash would
+#     catch).  The planted corpus layers three duplication shapes on the
+#     real documents text: a 12-token block shared by every doc_id%3==0
+#     (cross-document run), a doc-specific 8-token sentence repeated
+#     TWICE in doc_id%7==0 docs (within-document multiplicity — both
+#     copies must go under keep="none"), and a doc-unique tail token
+#     (pins the trailing-gram edge).  Natural k=8 dups in the real text
+#     are detected identically by both engines.  dedup_text is compared
+#     byte-for-byte, so removal, original-token preservation, and
+#     rebuild order are all inside the hash. ---
+SUBSTR_SHARED = (
+    "the shared boilerplate navigation footer block appears on many "
+    "pages verbatim"
+)
+
+
+def q_substring_dedup_planted(spark, sf_dir):
+    from cl_readability_spark.functions.dedup import substring_dedup
+
+    docs = _docs(spark, sf_dir)
+    rep = F.concat(
+        F.lit("rw"),
+        F.col("doc_id").cast("string"),
+        F.lit(" q1 q2 q3 q4 q5 q6 q7"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(SUBSTR_SHARED)),
+            F.when(F.col("doc_id") % 7 == 0, rep),
+            F.when(F.col("doc_id") % 7 == 0, rep),
+            F.concat(F.lit("tail"), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return substring_dedup(planted, k=8, dup_join_salt=4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_kept_tokens",
+        "dedup_text",
+    )
+
+
+SQL_SUBSTRING_DEDUP_PLANTED = (
+    r"""
+WITH base AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+           CASE WHEN doc_id % 3 = 0 THEN '__SHARED__' END,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'rw' || CAST(doc_id AS VARCHAR) || ' q1 q2 q3 q4 q5 q6 q7' END,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'rw' || CAST(doc_id AS VARCHAR) || ' q1 q2 q3 q4 q5 q6 q7' END,
+           'tail' || CAST(doc_id AS VARCHAR)) AS t
+  FROM documents
+),
+-- tokenize with the EXPLICIT dedup.TOKEN_SPLIT_RE whitespace class
+-- (space/tab/LF/FF/CR — never \s: java and RE2 disagree on VT)
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(t, '[ \t\n\f\r]+'),
+                     x -> x <> '') AS toks
+  FROM base
+),
+gidx AS (
+  SELECT doc_id, toks, unnest(range(greatest(len(toks) - 7, 0))) AS pos
+  FROM tok
+),
+g AS (
+  -- gram key = the lowercased token run itself (the Spark side keys on
+  -- two xxhash64s of the per-token hash run — same equality)
+  SELECT doc_id, pos, lower(array_to_string(toks[pos + 1 : pos + 8], ' ')) AS gram
+  FROM gidx
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT m.doc_id, m.pos + o.o AS cpos
+  FROM (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)) m
+  CROSS JOIN (SELECT unnest(range(8)) AS o) o
+),
+tokrow AS (
+  SELECT doc_id, u['i'] - 1 AS pos, u['tok'] AS tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(toks, (x, i) -> {'i': i, 'tok': x})) AS u
+        FROM tok)
+),
+kept AS (
+  SELECT t.doc_id, count(*) AS nk, string_agg(t.tok, ' ' ORDER BY t.pos) AS txt
+  FROM tokrow t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+  WHERE c.doc_id IS NULL
+  GROUP BY t.doc_id
+)
+SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
+       CAST(len(tok.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(kept.nk, 0) AS BIGINT) AS n_kept_tokens,
+       coalesce(kept.txt, '') AS dedup_text
+FROM tok LEFT JOIN kept ON tok.doc_id = kept.doc_id
+""".replace("__SHARED__", SUBSTR_SHARED)
+)
+
+
 # --- 18g. pack_invariants — the SQL-expressible half of sequence
 #     packing (functions/packing.py).  Pack IDS are partitioning-
 #     dependent (not SQL-expressible; rows-only pack_sequences query),
@@ -2264,6 +2373,10 @@ SQL_TWINS: dict[str, tuple] = {
     "c4_planted": (q_c4_planted, SQL_C4_PLANTED),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "line_dedup_planted": (q_line_dedup_planted, SQL_LINE_DEDUP_PLANTED),
+    "substring_dedup_planted": (
+        q_substring_dedup_planted,
+        SQL_SUBSTRING_DEDUP_PLANTED,
+    ),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),

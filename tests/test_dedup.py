@@ -990,3 +990,219 @@ def test_line_dedup_group_col_null_groups_share_a_group(spark):
     assert out["a0"] == (2, "shared helper line of text\nbody zero")
     assert out["a1"] == (2, "shared helper line of text\nbody one")
     assert out["b0"] == (1, "body two")
+
+
+def _ref_substring_dedup(rows, k, keep="none", normalize=True):
+    """Plain-python reimplementation of substring_dedup's written
+    semantics (token k-grams, duplicated = count >= 2 corpus-wide with
+    multiplicity, coverage union, keep='first' exempts the global min
+    (id, pos) occurrence) — derived from the docstring, never from the
+    engine."""
+    import re
+
+    tok = {}
+    for i, t in rows:
+        tok[i] = (
+            None
+            if t is None
+            else [x for x in re.split("[ \t\n\f\r]+", t) if x]
+        )
+    occ: dict[tuple, list] = {}
+    for i in sorted(tok):
+        ts = tok[i]
+        if not ts:
+            continue
+        norm = [t.lower() for t in ts] if normalize else ts
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(tuple(norm[p : p + k]), []).append((i, p))
+    cov = {i: set() for i in tok}
+    for g, os_ in occ.items():
+        if len(os_) < 2:
+            continue
+        win = min(os_)
+        for i, p in os_:
+            if keep == "first" and (i, p) == win:
+                continue
+            cov[i].update(range(p, p + k))
+    out = {}
+    for i, ts in tok.items():
+        if ts is None:
+            out[i] = (0, 0, None)
+            continue
+        kept = [t for j, t in enumerate(ts) if j not in cov[i]]
+        out[i] = (len(ts), len(kept), " ".join(kept))
+    return out
+
+
+def test_substring_dedup_matches_python_oracle_on_random_corpus(spark):
+    """Differential oracle for substring_dedup over a seeded corpus with
+    heavy cross-document run sharing, within-document repeats, hostile
+    whitespace (tabs / CRLF / multi-space — the explicit TOKEN_SPLIT_RE
+    class), case variants, sub-threshold short docs, empty / whitespace-
+    only / NULL docs — both keep modes and both normalize settings must
+    match the written-semantics reimplementation byte-for-byte."""
+    import random
+
+    from cl_readability_spark.functions.dedup import substring_dedup
+
+    rng = random.Random(23)
+    k = 4
+    shared_runs = [
+        ["alpha", "beta", "gamma", "delta", "epsilon"],     # len 5 >= k
+        ["one", "two", "three", "four"],                    # len 4 == k
+        ["Red", "Green", "Blue", "Cyan", "Magenta"],        # case variant below
+        ["red", "green", "blue", "cyan", "magenta"],
+        ["too", "short", "run"],                            # len 3 < k: immune
+    ]
+    rows = []
+    for doc in range(30):
+        parts = [f"u{doc}w{j}" for j in range(rng.randint(0, 5))]
+        for _ in range(rng.randint(0, 3)):
+            parts.extend(rng.choice(shared_runs))
+            parts.append(f"u{doc}s{len(parts)}")
+        # hostile separators: the join below uses a random ws run
+        seps = [" ", "\t", "  ", " \r\n", "\n", "\f"]
+        text = ""
+        for j, p in enumerate(parts):
+            text += (rng.choice(seps) if j else "") + p
+        rows.append((doc, text))
+    rows += [(100, None), (101, ""), (102, " \t\n "), (103, "solo")]
+    # a doc where one run repeats TWICE internally (multiplicity counts)
+    rows.append((104, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 end104"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for keep in ("none", "first"):
+        for normalize in (True, False):
+            got = {
+                r.doc_id: (r.n_tokens, r.n_kept_tokens, r.dedup_text)
+                for r in substring_dedup(
+                    df, k=k, keep=keep, normalize=normalize, dup_join_salt=3
+                ).collect()
+            }
+            exp = _ref_substring_dedup(rows, k, keep=keep, normalize=normalize)
+            assert got == exp, (keep, normalize)
+
+
+def test_substring_dedup_threshold_and_keep_semantics(spark):
+    """The written contract's load-bearing cases, asserted directly:
+    runs shorter than k survive ANY multiplicity; a duplicated >=k run
+    is cut everywhere under keep='none' but survives at its globally-
+    first occurrence under keep='first'; the within-doc second copy is
+    never the winner; docs with < k tokens are untouchable."""
+    from cl_readability_spark.functions.dedup import substring_dedup
+
+    rows = [
+        (1, "alpha beta gamma delta tail1"),
+        (2, "head2 alpha beta gamma delta"),
+        (3, "alpha beta gamma"),            # < k tokens: immune
+        (4, "rep rep rep rep rep rep rep rep"),  # self-overlapping run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    none = {
+        r.doc_id: r.dedup_text
+        for r in substring_dedup(df, k=4, dup_join_salt=2).collect()
+    }
+    assert none[1] == "tail1" and none[2] == "head2"
+    assert none[3] == "alpha beta gamma"
+    # 'rep'*8 with k=4: grams at pos 0..4 are all identical (count 5)
+    # -> whole doc covered
+    assert none[4] == ""
+    first = {
+        r.doc_id: r.dedup_text
+        for r in substring_dedup(df, k=4, keep="first", dup_join_salt=2).collect()
+    }
+    # global first occurrence is (doc 1, pos 0) -> doc 1 keeps the run
+    assert first[1] == "alpha beta gamma delta tail1"
+    assert first[2] == "head2"
+    # doc 4: only the winner gram occurrence (4, 0) is exempt — the
+    # overlapping non-winner occurrences at pos 1..4 still cover
+    # positions 1..7, so just the first token survives (keep='first' is
+    # a GRAM-level exemption; inside a self-overlapping run the later
+    # grams are duplicates of the first and are cut)
+    assert first[4] == "rep"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        substring_dedup(df, keep="last")
+    with _pytest.raises(ValueError, match="k must"):
+        substring_dedup(df, k=1)
+    with _pytest.raises(ValueError, match="dup_join_salt"):
+        substring_dedup(df, dup_join_salt=0)
+
+
+def test_substring_dedup_plan_shape(spark):
+    """Physical-plan golden for the scale claims: zero python stages;
+    duplicate detection is a map-side-combinable AGGREGATION on the gram
+    key (partial_count in the plan — a mega-hot boilerplate gram crosses
+    the shuffle as one slim row per input partition); the occurrence-
+    marking join is SALTED (its exchanges carry _salt next to the gram
+    key — AQE's OptimizeSkewedJoin provably does not fire under an
+    aggregation child, round-7 PLANS.md) so exactly one exchange carries
+    the bare gram key (the partial agg); the keep-join exchanges on
+    (_id, _pos) — unique per row, skew-free by construction; the only
+    Window is the doc-partitioned lead pass (bounded by one document)."""
+    import re as _re
+
+    from cl_readability_spark.functions.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    plan = (
+        substring_dedup(df, k=3, dup_join_salt=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan, plan[:2000]
+    keys = _re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
+    bare_gram = [k for k in keys if "_g1" in k and "_salt" not in k]
+    salted = [k for k in keys if "_g1" in k and "_salt" in k]
+    assert len(bare_gram) == 1, keys
+    assert salted, keys
+    assert any("_id" in k and "_pos" in k and "_g1" not in k for k in keys), keys
+    # the lead window partitions by the doc id only (doc-bounded tasks)
+    wins = _re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert wins and all("_id" in w for w in wins), (wins, plan[:1500])
+
+
+def test_substring_dedup_pin_tokens_single_evaluation(spark):
+    """substring_dedup's gram branch aggregates the same exploded-tokens
+    subtree the keep-join probes (self-join — PLANS.md rule):
+    pin_tokens=True must evaluate the upstream exactly once, carry the
+    standard pins release handle, and match the unpinned result."""
+    from cl_readability_spark.functions.dedup import substring_dedup
+    from cl_readability_spark.functions.pins import (
+        pins_outstanding,
+        release_pinned,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"shared run alpha beta gamma delta u{i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def _counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    docs = base.repartition(2).mapInPandas(_counting, base.schema)
+    pinned = substring_dedup(docs, k=4, pin_tokens=True, dup_join_salt=2)
+    rows = {r.doc_id: r.dedup_text for r in pinned.collect()}
+    assert acc.value == 10, "pinned input must evaluate exactly once"
+    # every doc loses the shared 6-token run, keeps 'shared run' prefix?
+    # no: grams of k=4 over 'shared run alpha beta gamma delta u{i}' —
+    # 'shared run alpha beta', 'run alpha beta gamma', 'alpha beta gamma
+    # delta' are shared by all docs -> positions 0..5 covered; u{i} kept
+    assert all(rows[i] == f"u{i}" for i in range(10)), rows
+    assert pins_outstanding(spark) >= 1
+    assert release_pinned(pinned) == 1
+    unpinned = {
+        r.doc_id: r.dedup_text
+        for r in substring_dedup(base, k=4, dup_join_salt=2).collect()
+    }
+    assert unpinned == rows

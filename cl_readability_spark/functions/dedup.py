@@ -1683,13 +1683,15 @@ def substring_dedup(
       times (``dup_join_salt``, default 8) — per-task fan-in is bounded
       to multiplicity/S by construction, cost is S slim replicas
       (two longs + winner struct) of the dup-key set.
-    - Coverage expansion explodes each duplicated occurrence to its k
-      covered positions as SLIM (id, pos) rows, collapsed by a
-      map-side-combinable distinct whose key multiplicity is <= k
-      (overlapping grams), then keeps are marked by joining back on
-      **(id, pos)** — unique per row on BOTH sides, skew-free by
-      construction — and documents reassemble with the same
-      sort-structs groupBy as `line_dedup`.
+    - Coverage expansion first MERGES marked gram starts into disjoint
+      per-doc runs (one slim exchange by id; lag-window + (id, run)
+      aggregation, both doc-bounded) and explodes only the coverage
+      UNION — bounded by the doc's token count, where a per-occurrence
+      explode would amplify a heavily-templated corpus's marked rows
+      k-fold.  Keeps are then marked by joining back on **(id, pos)**
+      — unique per row on BOTH sides, skew-free by construction — and
+      documents reassemble with the same sort-structs groupBy as
+      `line_dedup`.
 
     ``pin_tokens``: the gram branch aggregates the SAME exploded-tokens
     subtree the keep-join probes (a self-join — PLANS.md rule); for a
@@ -1772,15 +1774,42 @@ def substring_dedup(
                 & (F.col("_pos") == F.col("_win._pos"))
             )
         )
-    covered = (
-        removed.select(
-            "_id",
-            F.explode(
-                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(k - 1))
-            ).alias("_pos"),
+    # collapse marked gram starts into MERGED coverage runs per doc
+    # before exploding: a templated corpus marks nearly every position,
+    # and exploding per-occurrence (x k rows, then a distinct) would
+    # amplify the slim rows k-fold — the union explode is bounded by the
+    # doc's token count instead.  One slim exchange by id; the lag
+    # window and the (id, run) aggregation are both doc-bounded, and the
+    # merged intervals are disjoint by construction (a new run starts
+    # only when the gap exceeds k), so no distinct is needed before the
+    # keep-join.
+    wrun = Window.partitionBy("_id").orderBy("_pos")
+    runs = (
+        removed.select("_id", "_pos")
+        .withColumn(
+            "_new_run",
+            F.when(
+                F.col("_pos") > F.lag("_pos").over(wrun) + F.lit(k), 1
+            )
+            .otherwise(0)
+            .cast("long"),
         )
-        .distinct()
-        .withColumn("_covered", F.lit(True))
+        .withColumn(
+            "_run",
+            F.sum("_new_run").over(
+                wrun.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("_id", "_run")
+        .agg(
+            F.min("_pos").alias("_s"),
+            (F.max("_pos") + F.lit(k - 1)).alias("_e"),
+        )
+    )
+    covered = runs.select(
+        "_id",
+        F.explode(F.sequence(F.col("_s"), F.col("_e"))).alias("_pos"),
+        F.lit(True).alias("_covered"),
     )
     marked = toks.join(covered, ["_id", "_pos"], "left").withColumn(
         "_keep",

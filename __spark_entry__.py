@@ -15,7 +15,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cl_readability_spark.functions.similarity import lsh_bucketed_topk
 from cl_readability_spark.functions.sqltwins import SQL_TWINS
 from cl_readability_spark.pipeline.job import extract_transcripts, metrics_rollup
 from cl_readability_spark.pipeline.transcripts import documents_as_transcripts
@@ -136,12 +135,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-checked rolling_hash + dedup_winnow_planted chain and the
     # pytest Jaccard oracles in tests/test_dedup.py.
 
-    def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        q = list(embs.filter(F.col("vec_id") == 0).select("embedding").first()[0])
-        return lsh_bucketed_topk(embs.filter(F.col("vec_id") != 0), q, k=10)
-
-    out["ann_lsh_topk"] = _q_ann_lsh
+    # NOTE (round 7): the rows-only ann_lsh_topk entry (LSH-bucketed
+    # top-k over the raw embeddings) was retired to fund the
+    # hash-checked mix_sample twin under the 50-query cap — the LSH
+    # chain is the stronger-checked surface already: ann_lsh_planted
+    # hash-checks the SAME lsh_bucketed_topk operator (hyperplane
+    # bucketing, multiprobe, in-bucket scoring) end to end against
+    # brute force on a planted-certain corpus, and bench.py still
+    # times the raw-corpus run as ann_lsh_topk.
 
     # NOTE (round 7): the rows-only ann_ivf_topk entry (IVF top-k over
     # the raw embeddings table) was retired to fund the hash-checked

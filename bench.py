@@ -149,6 +149,21 @@ def main() -> None:
         ).count(),
     )
 
+    # 7. raw-corpus ANN LSH top-k (the retired rows-only registry entry
+    # lives on here; the operator's correctness row is ann_lsh_planted)
+    from cl_readability_spark.functions.similarity import lsh_bucketed_topk
+
+    def _ann_lsh_topk():
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = list(
+            embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        )
+        return lsh_bucketed_topk(
+            embs.filter(F.col("vec_id") != 0), q, k=10
+        ).count()
+
+    run("ann_lsh_topk", _ann_lsh_topk)
+
     total = round(sum(timings.values()), 3)
     throughput = {
         "extract_documents_turns_per_sec": round(

@@ -998,3 +998,95 @@ def curation_report(curated: DataFrame) -> DataFrame:
         F.sum(F.col("near_dup_drop").cast("long")).alias("dropped_near_dup"),
         F.sum(F.col("kept").cast("long")).alias("rows_kept"),
     )
+
+
+def source_mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source mixture sampling — the "mixture weights"
+    stage of multi-source training corpora (The Pile, Gao et al. 2020
+    §1, assembles sources at per-source epoch counts like Wikipedia×3;
+    DoReMi, Xie et al. 2023, reweights domains the same way): each
+    source gets a weight ``w >= 0``, and every row is emitted
+    ``floor(w)`` times plus one more with probability ``frac(w)`` — so
+    ``w = 0.25`` downsamples to a quarter, ``w = 2.5`` yields 2-3 copies
+    per row (expected row mass is exactly ``w`` per source), ``w = 0``
+    drops the source, and integral weights replicate exactly.  Sources
+    absent from ``weights`` get ``default_weight``.
+
+    Sampling is a pure HASH function of (seed, ``key_col``) — no RNG
+    state, no ``F.rand()``: re-running the job, changing partitioning,
+    or resuming after a crash selects the SAME rows (the repo-wide
+    determinism contract; `split_assign`'s md5 recipe extended from one
+    hex nibble to a 32-bit uniform).  The fractional draw u is
+    ``int(md5(seed \\x1f key)[:8 hex]) / 2^32``; changing ``seed``
+    redraws independently.  ``key_col`` values should be unique per row
+    (pipeline row keys are) — duplicate keys draw identically.
+
+    Adds ``mix_weight`` (the resolved per-row weight) and ``epoch``
+    (0-based copy index, so downstream shuffles/packing can treat
+    replicas as distinct rows); all input columns pass through.
+
+    Scale shape: one whole-stage-codegen projection (md5 + literal-map
+    lookup) and a Generate for the replication — NO shuffle, no python,
+    no skew surface at any corpus size.  Upsampled mass is created
+    row-local, so a 10x source never concentrates anywhere.
+
+    Reference scope note: cl-readability ends at extraction; semantics
+    follow the public mixture-weight recipes cited above.
+    """
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for source {s!r} must be >= 0, got {w}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(str(seed)),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    if weights:
+        wmap = F.create_map(
+            *[
+                F.lit(v)
+                for key in sorted(weights)
+                for v in (key, float(weights[key]))
+            ]
+        )
+        w = F.coalesce(
+            F.element_at(wmap, F.col(source_col).cast("string")),
+            F.lit(float(default_weight)),
+        )
+    else:
+        w = F.lit(float(default_weight))
+    epochs = (
+        F.floor(w).cast("int")
+        + F.when(u < w - F.floor(w), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        df.withColumn("mix_weight", w.cast("double"))
+        .withColumn("_epochs", epochs)
+        .filter(F.col("_epochs") >= 1)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_epochs") - 1))
+        )
+        .drop("_epochs")
+    )

@@ -1526,6 +1526,55 @@ FROM documents
 """
 
 
+# --- 18e2. mix_sample — deterministic per-source mixture sampling
+#     (functions/curation.py:source_mix_sample).  The oracle recomputes
+#     the md5-hash uniform, the weight resolution (explicit weights +
+#     default), the floor(w)+Bernoulli(frac) epoch count, and the
+#     epoch-row replication from scratch in DuckDB.  Weights cover every
+#     semantic class: a dropped source (0.0), a fractional downsample
+#     (0.4), a fractional upsample (2.5 -> 2-3 copies), an exact
+#     replicator (2.0), and the 0.75 default for the other 16 sources.
+#     u = int(md5(seed\x1fkey)[:8])/2^32 is EXACT in double (32-bit int
+#     over 2^32), so the u < frac comparison is bit-identical on both
+#     engines. ---
+MIX_WEIGHTS = {"src0": 0.0, "src1": 0.4, "src2": 2.5, "src3": 2.0}
+MIX_DEFAULT_W = 0.75
+
+
+def q_mix_sample(spark, sf_dir):
+    from cl_readability_spark.functions.curation import source_mix_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    return source_mix_sample(
+        docs, MIX_WEIGHTS, seed=42, default_weight=MIX_DEFAULT_W
+    ).select("doc_id", "source", "mix_weight", "epoch")
+
+
+SQL_MIX_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('42' || chr(31) || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS UBIGINT) / 4294967296.0 AS u,
+         CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.4
+                     WHEN 'src2' THEN 2.5 WHEN 'src3' THEN 2.0
+                     ELSE 0.75 END AS mw
+  FROM documents
+),
+e AS (
+  SELECT doc_id, source, mw,
+         CAST(floor(mw) AS INTEGER)
+           + CASE WHEN u < mw - floor(mw) THEN 1 ELSE 0 END AS epochs
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(mw AS DOUBLE) AS mix_weight,
+       CAST(unnest(range(epochs)) AS INTEGER) AS epoch
+FROM e
+"""
+
+
 # --- 18f. pii_redact — the PII scrub twin, planted so every pattern
 #     class is non-vacuous: each doc gets a synthetic email, SSN, phone
 #     (doc_id-varied grouping), card and IPv4 appended, then redacted.
@@ -2362,6 +2411,7 @@ SQL_TWINS: dict[str, tuple] = {
     "source_cap": (q_source_cap, SQL_SOURCE_CAP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
     "pack_invariants": (q_pack_invariants, SQL_PACK_INVARIANTS),
     "span_invariants": (q_span_invariants, SQL_SPAN_INVARIANTS),
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),

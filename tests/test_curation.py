@@ -788,3 +788,68 @@ def test_c4_filters_plan_is_single_codegen_projection(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the codegen'd single projection renders as "*(1) Project [...]"
     assert plan.lstrip().startswith("*(1) Project")
+
+
+def test_source_mix_sample_semantics(spark):
+    """Weight classes from the written contract: 0 drops the source;
+    integral weights replicate exactly (epoch 0..w-1 per row);
+    fractional weights keep/extend a hash-chosen subset whose observed
+    rate is near the weight on 2000 rows; unknown sources get
+    default_weight; expected total mass ~= sum of per-source weights."""
+    from cl_readability_spark.functions.curation import source_mix_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_mix_sample(
+        df,
+        {"s0": 0.0, "s1": 2.0, "s2": 0.5},
+        default_weight=2.25,  # s3
+        seed=7,
+    )
+    got = out.groupBy("source", "epoch").count().collect()
+    by = {(r.source, r.epoch): r["count"] for r in got}
+    assert not any(s == "s0" for s, _ in by), "weight 0 must drop the source"
+    assert by[("s1", 0)] == 500 and by[("s1", 1)] == 500
+    assert ("s1", 2) not in by, "integral weight must not over-replicate"
+    assert 200 <= by[("s2", 0)] <= 300, by  # 0.5 of 500, hash-exact subset
+    assert ("s2", 1) not in by
+    assert by[("s3", 0)] == 500 and by[("s3", 1)] == 500
+    assert 75 <= by[("s3", 2)] <= 175, by  # frac 0.25 of 500
+    w = {r.source: r.mix_weight for r in out.select("source", "mix_weight").distinct().collect()}
+    assert w == {"s1": 2.0, "s2": 0.5, "s3": 2.25}
+
+    # determinism: same seed -> byte-identical selection; different
+    # seed -> a different subset of the fractional source
+    a = sorted(r.doc_id for r in source_mix_sample(
+        df, {"s2": 0.5}, default_weight=0.0, seed=7).collect())
+    b = sorted(r.doc_id for r in source_mix_sample(
+        df, {"s2": 0.5}, default_weight=0.0, seed=7).collect())
+    c = sorted(r.doc_id for r in source_mix_sample(
+        df, {"s2": 0.5}, default_weight=0.0, seed=8).collect())
+    assert a == b and a != c
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="default_weight"):
+        source_mix_sample(df, {}, default_weight=-0.1)
+    with _pytest.raises(ValueError, match="weight for source"):
+        source_mix_sample(df, {"s1": -1.0})
+
+
+def test_source_mix_sample_plan_is_shuffle_free(spark):
+    """The mixture sampler must stay a pure projection + Generate: no
+    exchange, no python stage — upsampled mass is created row-local."""
+    from cl_readability_spark.functions.curation import source_mix_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    plan = (
+        source_mix_sample(df, {"a": 2.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" in plan, plan[:1500]

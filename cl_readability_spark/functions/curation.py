@@ -905,6 +905,54 @@ def line_dedup_rewrite(
     return out, pins
 
 
+def substring_dedup_rewrite(
+    extracted: DataFrame,
+    text_col: str = "extracted_text",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    k: int = 50,
+    keep: str = "none",
+    pin_tokens: bool = False,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The ``curate(substring_dedup_k=)`` pre-stage as a standalone
+    step: ExactSubstr duplicated-run removal (``functions.dedup.
+    substring_dedup``, Lee et al. 2021) keyed by the row key,
+    ``text_col`` rewritten from the surviving tokens (NOTE: the rebuild
+    is whitespace-normalized — single spaces — per the operator
+    contract), ``substr_dedup_n_tokens`` / ``substr_dedup_n_kept``
+    audit columns added via a 1:1 skew-free join on the unique row key.
+    Returns (rewritten frame, pins) — pins non-empty only under
+    ``pin_tokens=True``, which materializes the KEYED INPUT frame
+    (DISK_ONLY): this stage references the input in three plan branches
+    (the operator's gram aggregation and probe, plus the audit join's
+    left side), the same exposure `line_dedup_rewrite` pins."""
+    from cl_readability_spark.functions.dedup import (
+        substring_dedup as _sd,
+    )
+
+    keyed = extracted.withColumn("_sd_key", _row_key(key_cols))
+    pins: list[DataFrame] = []
+    if pin_tokens:
+        from pyspark import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.DISK_ONLY)
+        pins.append(keyed)
+    deduped = _sd(keyed, id_col="_sd_key", text_col=text_col, k=k, keep=keep)
+    out = (
+        keyed.drop(text_col)
+        .join(
+            deduped.select(
+                "_sd_key",
+                F.col("dedup_text").alias(text_col),
+                F.col("n_tokens").alias("substr_dedup_n_tokens"),
+                F.col("n_kept_tokens").alias("substr_dedup_n_kept"),
+            ),
+            "_sd_key",
+        )
+        .drop("_sd_key")
+    )
+    return out, pins
+
+
 def curate(
     extracted: DataFrame,
     text_col: str = "extracted_text",
@@ -925,6 +973,9 @@ def curate(
     minhash_banding: tuple[int, int] | None = None,
     line_dedup: bool = False,
     line_dedup_pin: bool = False,
+    substring_dedup_k: int | None = None,
+    substring_dedup_keep: str = "none",
+    substring_dedup_pin: bool = False,
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
@@ -956,12 +1007,37 @@ def curate(
     which materializes the keyed INPUT frame DISK_ONLY so all three
     line-stage branches read the same bytes (the handle is attached to
     the returned frame alongside the curation pins — ``release_curated``
-    drops them all)."""
+    drops them all).
+
+    ``substring_dedup_k`` (an int, e.g. 50) additionally runs
+    ExactSubstr duplicated-run removal (Lee et al. 2021;
+    ``functions.dedup.substring_dedup``) after the line stage and
+    before the doc-level gates, rewriting ``text_col`` from the
+    surviving tokens (whitespace-normalized rebuild — the operator
+    contract) and adding ``substr_dedup_n_tokens`` /
+    ``substr_dedup_n_kept`` audit columns.  Under the paper-faithful
+    default ``substring_dedup_keep="none"`` an exact whole-document
+    duplicate of >= k tokens empties EVERY copy (the first included —
+    the paper's anti-memorization stance), so the husks fall to the
+    QUALITY gate like the line-stage note above; pass
+    ``substring_dedup_keep="first"`` for keep-one curation.  Same
+    self-branch caveat as the line stage: sink-stage a
+    nondeterministic upstream or set ``substring_dedup_pin=True``."""
     ld_pins: list[DataFrame] = []
     if line_dedup:
         extracted, ld_pins = line_dedup_rewrite(
             extracted, text_col, key_cols, pin_lines=line_dedup_pin
         )
+    if substring_dedup_k is not None:
+        extracted, sd_pins = substring_dedup_rewrite(
+            extracted,
+            text_col,
+            key_cols,
+            k=substring_dedup_k,
+            keep=substring_dedup_keep,
+            pin_tokens=substring_dedup_pin,
+        )
+        ld_pins.extend(sd_pins)
     flagged = curate_flags(
         extracted, text_col, key_cols, min_chars, max_chars,
         min_stopword_bp, langs, benchmark_hashes, decontam_n, decontam_seed,

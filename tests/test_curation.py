@@ -853,3 +853,84 @@ def test_source_mix_sample_plan_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan[:1500]
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "Generate" in plan, plan[:1500]
+
+
+def test_curate_substring_dedup_stage(spark):
+    """curate(substring_dedup_k=) runs ExactSubstr removal before the
+    doc gates: text_col rewritten from surviving tokens (whitespace-
+    normalized rebuild), substr_dedup audit columns added, a doc that is
+    entirely a duplicated run becomes a husk absorbed by the QUALITY
+    gate (keep='none' empties every copy — the paper-faithful default),
+    the flag composes with the manual substring_dedup_rewrite + curate
+    chain, and substring_dedup_pin=True forwards the keyed-input pin
+    through the standard release handle."""
+    from cl_readability_spark.functions.curation import (
+        substring_dedup_rewrite,
+    )
+    from cl_readability_spark.functions.pins import (
+        pins_outstanding,
+        release_pinned,
+    )
+
+    # two DIFFERENT non-repeating quality bodies (GOOD repeats one
+    # sentence x3, which k=8 substring dedup would itself cut)
+    good0 = (
+        "the report covers what happened in the long meeting and it "
+        "explains the reasons behind each decision with enough detail "
+        "to be useful for anyone reading the notes again later today"
+    )
+    good1 = (
+        "a second article walks through the deployment checklist and "
+        "describes which steps were slow this quarter so that the team "
+        "can plan the next rollout with far fewer surprises overall"
+    )
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, 0, good0 + " " + run),
+        (1, 0, good1 + " " + run),
+        (2, 0, run),  # duplicated-run-only doc -> empty husk
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, extracted_text string"
+    )
+    curated = curate(
+        df, min_stopword_bp=0, materialize="none", minhash_carry="arrays",
+        substring_dedup_k=8, substring_dedup_pin=True,
+    )
+    flags = {r.conv_id: r for r in curated.collect()}
+    assert flags[0].kept and flags[0].extracted_text == good0
+    assert flags[1].kept and flags[1].extracted_text == good1
+    assert not flags[2].quality_ok and flags[2].extracted_text == ""
+    n0 = len(good0.split()) + 8
+    assert flags[0].substr_dedup_n_tokens == n0
+    assert flags[0].substr_dedup_n_kept == n0 - 8
+    assert flags[2].substr_dedup_n_kept == 0
+    assert pins_outstanding(spark) >= 1
+    assert release_pinned(curated) >= 1
+    assert pins_outstanding(spark) == 0
+
+    # the flag is exactly the manual pre-stage composition
+    staged, pins = substring_dedup_rewrite(df, k=8)
+    assert pins == []
+    manual = curate(
+        staged, min_stopword_bp=0, materialize="none",
+        minhash_carry="arrays",
+    )
+    a = sorted(
+        (r.conv_id, r.extracted_text, r.kept, r.substr_dedup_n_kept)
+        for r in manual.collect()
+    )
+    b = sorted(
+        (r.conv_id, r.extracted_text, r.kept, r.substr_dedup_n_kept)
+        for r in curated.collect()
+    )
+    assert a == b
+
+    # keep='first' keeps the globally-first copy of the run (doc 0)
+    first = curate(
+        df, min_stopword_bp=0, materialize="none", minhash_carry="arrays",
+        substring_dedup_k=8, substring_dedup_keep="first",
+    )
+    t = {r.conv_id: r.extracted_text for r in first.collect()}
+    assert t[0] == good0 + " " + run
+    assert t[1] == good1 and t[2] == ""

@@ -162,10 +162,21 @@ def embedding_near_dups(
     dim: int | None = None,
     return_stats: bool = False,
     refine_hamming: int | None = None,
+    group_col: str | None = None,
 ):
     """All-pairs embedding-cosine near-duplicate detection via banded
     random-hyperplane LSH (OR-construction, same shape as dedup.py's
     MinHash banding), exact-cosine verified.
+
+    ``group_col`` (optional) restricts candidacy to SAME-GROUP pairs: the
+    group value joins the bucket key (band_idx, band_sig, group), so rows
+    in different groups never share a bucket and never ship a candidate.
+    This is the SemDeDup composition hook (``semantic_dedup`` passes the
+    k-means cell) and also the natural per-language / per-source
+    restriction; at scale it additionally SHRINKS buckets (each bucket
+    holds one group's rows), so oversized-bucket refinement triggers
+    later.  The group column rides the one band exchange — no extra
+    shuffle.
 
     Candidate recall for a pair at cosine similarity s is
     ``1 - (1 - p**n_planes)**n_bands`` with ``p = 1 - arccos(s)/pi``:
@@ -265,11 +276,13 @@ def embedding_near_dups(
         out = np.concatenate([band_sigs, refine_sigs[:, None]], axis=1)
         return pd.Series(list(out))
 
+    grp = [F.col(group_col).alias("_grp")] if group_col else []
     sig_df = embeddings.select(
-        F.col(id_col).alias("_id"), _sigs(F.col(vec_col)).alias("_sigs")
+        F.col(id_col).alias("_id"), *grp, _sigs(F.col(vec_col)).alias("_sigs")
     )
     banded = sig_df.select(
         "_id",
+        *(["_grp"] if group_col else []),
         F.element_at("_sigs", n_bands + 1).alias("refine_sig"),
         F.posexplode(F.slice("_sigs", 1, n_bands)).alias("band_idx", "band_sig"),
     )
@@ -280,7 +293,8 @@ def embedding_near_dups(
     # the 128-dot-product signature stage twice and shuffles three times.
     from pyspark.sql.window import Window
 
-    bucket_w = Window.partitionBy("band_idx", "band_sig")
+    bucket_keys = ["band_idx", "band_sig"] + (["_grp"] if group_col else [])
+    bucket_w = Window.partitionBy(*bucket_keys)
     # oversized buckets sub-split on a 16-BIT PREFIX of the refinement
     # signature, never the full n_refine bits: a qualifying pair at
     # cosine 0.9 (per-bit disagreement ~0.144) shares a 16-bit prefix
@@ -296,7 +310,7 @@ def embedding_near_dups(
     )
     keyed = keyed.withColumn("oversized", F.col("count") > max_bucket)
     buckets = (
-        keyed.groupBy("band_idx", "band_sig", "sub", "oversized")
+        keyed.groupBy(*bucket_keys, "sub", "oversized")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("_id"), F.col("refine_sig")))
@@ -652,3 +666,185 @@ def lsh_bucketed_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    centroids=None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "low_centroid_sim",
+    dim: int | None = None,
+    n_bands: int = 8,
+    n_planes: int = 8,
+    max_bucket: int = 512,
+    checkpoint_mode: str = "local",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — coarse k-means clustering,
+    WITHIN-cluster cosine near-duplicate detection at ``threshold`` (the
+    paper's 1 - eps), connected-component duplicate groups, keep ONE
+    representative per group.
+
+    The paper's pipeline is (a) cluster the corpus so the O(n²) pairwise
+    cosine only ever runs within a cluster, (b) call a pair a semantic
+    duplicate above 1-eps, (c) keep the example with the LOWEST cosine to
+    its cluster centroid (retaining the "edge" of each semantic region
+    preserves diversity; §4 of the paper).  This implementation keeps (a)
+    and (c) exactly and strengthens (b): within a cluster it does NOT do
+    all-pairs — it reuses ``embedding_near_dups``'s banded-LSH +
+    Hamming-prefilter + exact-cosine-verify pipeline with the cluster id
+    joined into the bucket key (``group_col``), so within-cluster
+    candidacy is still sub-quadratic and oversized buckets stay capped.
+    The known SemDeDup recall caveat is inherited by design: a pair above
+    ``threshold`` that straddles a cluster boundary is NOT a duplicate
+    (pinned in tests/test_similarity.py).
+
+    ``centroids``: pass ``ivf_train(...)`` output for data-adapted cells
+    (balanced clusters, the paper's setting); default is the hash-derived
+    direction set (training-free, executor-independent — fine as the
+    partition-pruning role, weaker as a semantic clustering).
+    ``keep``: "low_centroid_sim" (paper §4 — per duplicate group keep the
+    member farthest from its centroid, ties by min id) or "min_id"
+    (deterministic canonical representative, the ``dup_clusters``
+    convention).
+
+    Returns (id, sem_cell, centroid_sim_x10k, dup_group, kept):
+    ``dup_group`` = the component's min id (singletons: own id), ``kept``
+    boolean per the keep rule (singletons always kept).
+
+    At 100 TB: the cell/centroid-sim stage is one numpy matmul per Arrow
+    batch (centroids are a broadcast closure ndarray, a few KB); the
+    assigned frame is DISK_ONLY-pinned so that stage runs once, not once
+    per plan branch (the LSH pipeline references its input three times —
+    no cross-branch subplan reuse, PLANS.md); the pair pipeline shuffles
+    on the group-salted bucket key with bounded fan-in; the keep decision
+    is a map-side-combining groupBy on the component id (hot components
+    collapse before the shuffle) joined back on the UNIQUE row id — never
+    a window over the component key (the line_dedup skew lesson,
+    dedup.py).  The caller releases the pin via ``pins.release_pinned``
+    on the returned frame; the registry twin rotates it
+    (sqltwins._rotate_pin)."""
+    if keep not in ("low_centroid_sim", "min_id"):
+        raise ValueError(
+            f"keep must be low_centroid_sim|min_id, got {keep!r}"
+        )
+    if dim is None:
+        head = embeddings.select(vec_col).head(1)
+        if not head:
+            return embeddings.select(
+                F.col(id_col),
+                F.lit(0).cast("int").alias("sem_cell"),
+                F.lit(0).cast("long").alias("centroid_sim_x10k"),
+                F.col(id_col).alias("dup_group"),
+                F.lit(True).alias("kept"),
+            ).limit(0)
+        dim = len(head[0][0])
+
+    import numpy as np
+    import pandas as pd
+    from pyspark import StorageLevel
+    from pyspark.sql.functions import pandas_udf
+
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _hash_centroids(dim, n_cells, seed)
+    )
+    cnorm = np.linalg.norm(cents, axis=1)
+    cents_unit = cents / np.where(cnorm > 0, cnorm, 1.0)[:, None]
+
+    # one matmul per Arrow batch: cell = argmax centroid cosine, sim = the
+    # winning cosine x10k HALF_UP (matches Spark round() for the sims that
+    # matter; a negative best-cosine rounds half away from zero toward
+    # +inf — documented, not oracle-checked)
+    @pandas_udf("struct<cell:int, sim:bigint>")
+    def _cell_sim(v):
+        if v.empty:
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series([], dtype="int32"),
+                    "sim": pd.Series([], dtype="int64"),
+                }
+            )
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
+        norms = np.linalg.norm(m, axis=1)
+        mu = m / np.where(norms > 0, norms, 1.0)[:, None]
+        dots = mu @ cents_unit.T
+        cell = dots.argmax(axis=1)
+        sim = dots[np.arange(len(m)), cell]
+        return pd.DataFrame(
+            {
+                "cell": cell.astype("int32"),
+                "sim": np.floor(sim * 10000 + 0.5).astype("int64"),
+            }
+        )
+
+    assigned = (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col), _cell_sim(F.col(vec_col)).alias("_cs")
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.col("_cs.cell").alias("sem_cell"),
+            F.col("_cs.sim").alias("centroid_sim_x10k"),
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
+
+    from cl_readability_spark.functions.dedup import dup_clusters
+    from cl_readability_spark.functions.pins import attach_pins
+
+    pairs = embedding_near_dups(
+        assigned,
+        threshold=threshold,
+        n_bands=n_bands,
+        n_planes=n_planes,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket=max_bucket,
+        dim=dim,
+        group_col="sem_cell",
+    ).select("id_a", "id_b")
+    labels = dup_clusters(
+        pairs,
+        checkpoint_mode=checkpoint_mode,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    slim = assigned.select(id_col, "sem_cell", "centroid_sim_x10k")
+    labeled = slim.join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("dup_group", F.coalesce(F.col("cluster_rep"), F.col(id_col)))
+
+    if keep == "min_id":
+        out = labeled.withColumn("kept", F.col("dup_group") == F.col(id_col))
+    else:
+        # per-component winner by (centroid_sim asc, id asc) — a map-side-
+        # combining aggregation (hot components collapse before the
+        # shuffle), then a join back on the UNIQUE id to mark the winner
+        # (skew-free by construction; never a window over the component)
+        winners = (
+            labeled.filter(F.col("cluster_rep").isNotNull())
+            .groupBy("cluster_rep")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("centroid_sim_x10k"), F.col(id_col).alias("_kid")
+                    )
+                ).alias("_w")
+            )
+            .select(F.col("_w._kid").alias(id_col), F.lit(True).alias("_kw"))
+        )
+        out = labeled.join(winners, id_col, "left").withColumn(
+            "kept", F.col("cluster_rep").isNull() | F.col("_kw").isNotNull()
+        )
+    out = out.select(
+        id_col, "sem_cell", "centroid_sim_x10k", "dup_group", "kept"
+    )
+    return attach_pins(out, assigned)

@@ -999,6 +999,56 @@ FROM embeddings a JOIN embeddings b
 """
 
 
+# --- 19d. semdedup_planted — the FULL SemDeDup chain (Arrow cell/centroid-
+#     sim stage → within-cell banded LSH → Hamming prefilter → exact-cosine
+#     verify → connected components → keep-one-per-group) made
+#     hash-verifiable by the identical-group construction: vectors are a
+#     pure function of group = vec_id DIV 10, so group members share their
+#     cell and centroid-sim EXACTLY — guaranteed same-cell candidacy in
+#     every band, cosine exactly 1 (→ pairs = the group all-pairs),
+#     components = the groups, and the paper's low-centroid-sim keep rule
+#     provably degrades to its min-id tiebreak (sims equal within a
+#     group).  Expected output is closed-form: dup_group = the group's min
+#     vec_id, kept = (vec_id == that min).  Cross-group chance collisions
+#     are killed by the cell key in the bucket (group_col), the Hamming
+#     prefilter, and the 0.99 threshold, in that order.  sem_cell /
+#     centroid_sim_x10k depend on the hash centroids (not SQL-computable)
+#     and are projected away.  A broken cell assignment that SPLITS a
+#     group is caught (identical vectors land together or the construction
+#     is violated); a broken keep rule, pair producer, or component
+#     labeling each flip the hash. ---
+def q_semdedup_planted(spark, sf_dir):
+    from cl_readability_spark.functions.similarity import semantic_dedup
+
+    _rotate_pin(spark, "semdedup_planted")
+    group = F.floor(F.col("vec_id") / 10).cast("long")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.concat_ws(":", group, i, F.lit("sd"))), F.lit(2001))
+            - 1000
+        ).cast("double")
+        / 100.0,
+    )
+    corpus = _embs(spark, sf_dir).select("vec_id", vec.alias("embedding"))
+    out = semantic_dedup(corpus, threshold=0.99, dim=64)
+    out = _rotate_pin(spark, "semdedup_planted", out)
+    return out.select(
+        "vec_id",
+        F.col("dup_group").cast("long").alias("dup_group"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+SQL_SEMDEDUP_PLANTED = """
+SELECT vec_id,
+       MIN(vec_id) OVER (PARTITION BY vec_id // 10) AS dup_group,
+       CAST(vec_id = MIN(vec_id) OVER (PARTITION BY vec_id // 10)
+            AS INTEGER) AS kept
+FROM embeddings
+"""
+
+
 # --- 20. ann_lsh_planted — hyperplane-LSH ANN made hash-verifiable by the
 #     same scaled-copy construction as ann_ivf_planted: sign(c·q · plane)
 #     = sign(q · plane) for c > 0, so every planted copy shares the
@@ -2419,6 +2469,7 @@ SQL_TWINS: dict[str, tuple] = {
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),
+    "semdedup_planted": (q_semdedup_planted, SQL_SEMDEDUP_PLANTED),
     "media_planted": (q_media_planted, SQL_MEDIA_PLANTED),
     "c4_planted": (q_c4_planted, SQL_C4_PLANTED),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),

@@ -434,3 +434,105 @@ def test_near_dup_params_sizing():
     assert recall >= 0.9, (b2, r2, recall)
     # monotone: bigger corpus never means fewer planes
     assert near_dup_params(10_000_000)[1] >= r2
+
+
+# --- SemDeDup (semantic_dedup) ---
+
+
+def _release(df):
+    from cl_readability_spark.functions.pins import release_pinned
+
+    release_pinned(df)
+
+
+def test_semantic_dedup_keep_rule_paper_vs_min_id(spark):
+    """Abbas et al. 2023 §4: per duplicate group keep the member with the
+    LOWEST cosine to its cluster centroid.  The corpus is built so the
+    paper rule and the min-id rule DISAGREE: the farthest-from-centroid
+    member (id 7, centroid cosine 0.98) has the highest id, while the
+    closest (id 3, cosine 1.0) has the lowest."""
+    from cl_readability_spark.functions.similarity import semantic_dedup
+
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0]]
+    rows = [
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (5, [0.998, 0.0599, 0.0, 0.0]),
+        (7, [0.98, 0.199, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),  # singleton in the other cell
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.95, centroids=cents, dim=4)
+    got = {r.vec_id: r for r in out.collect()}
+    _release(out)
+    assert {i for i, r in got.items() if r.kept} == {7, 1}
+    assert [got[i].dup_group for i in (3, 5, 7)] == [3, 3, 3]
+    assert got[1].dup_group == 1
+    # centroid sims surface x10k: exact for the aligned member
+    assert got[3].centroid_sim_x10k == 10000
+    assert got[7].centroid_sim_x10k == 9800
+
+    out2 = semantic_dedup(
+        df, threshold=0.95, centroids=cents, dim=4, keep="min_id"
+    )
+    got2 = {r.vec_id: r for r in out2.collect()}
+    _release(out2)
+    assert {i for i, r in got2.items() if r.kept} == {3, 1}
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """The SemDeDup recall caveat, pinned as intended semantics: a pair at
+    cosine ~0.9994 that straddles a cluster boundary (45° ± 1° between two
+    orthogonal centroids) is NOT a duplicate — candidacy is within-cell by
+    construction (group_col in the bucket key)."""
+    import math
+
+    from cl_readability_spark.functions.similarity import semantic_dedup
+
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0]]
+    rows = [
+        (10, [math.cos(math.radians(46)), math.sin(math.radians(46)), 0.0, 0.0]),
+        (11, [math.cos(math.radians(44)), math.sin(math.radians(44)), 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.95, centroids=cents, dim=4)
+    got = {r.vec_id: r for r in out.collect()}
+    _release(out)
+    assert got[10].sem_cell != got[11].sem_cell
+    assert all(r.kept and r.dup_group == i for i, r in got.items())
+
+
+def test_near_dups_group_col_restricts_candidacy(spark):
+    """group_col joins the bucket key: identical vectors in different
+    groups never pair; same group pairs as before."""
+    from cl_readability_spark.functions.similarity import embedding_near_dups
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame(
+        [(1, 0, v), (2, 1, v), (3, 0, v)],
+        "vec_id long, grp int, embedding array<double>",
+    )
+    pairs = embedding_near_dups(
+        df, threshold=0.99, dim=4, group_col="grp"
+    ).collect()
+    assert [(p.id_a, p.id_b, p.cosine_sim_x10k) for p in pairs] == [
+        (1, 3, 10000)
+    ]
+    ungrouped = embedding_near_dups(df, threshold=0.99, dim=4).count()
+    assert ungrouped == 3  # all three pairs without the restriction
+
+
+def test_semantic_dedup_empty_and_kwargs(spark):
+    from cl_readability_spark.functions.similarity import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(empty, dim=None)
+    assert out.count() == 0
+    assert out.columns == [
+        "vec_id",
+        "sem_cell",
+        "centroid_sim_x10k",
+        "dup_group",
+        "kept",
+    ]
+    with pytest.raises(ValueError, match="keep must be"):
+        semantic_dedup(empty, keep="random")

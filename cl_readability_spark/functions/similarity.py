@@ -732,6 +732,13 @@ def semantic_dedup(
         raise ValueError(
             f"keep must be low_centroid_sim|min_id, got {keep!r}"
         )
+    # validate BEFORE any action or persist (the round-6 curate lesson):
+    # n_cells=0 with default centroids would otherwise fail as an argmax
+    # over an empty axis deep inside an executor batch
+    if centroids is None and n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    if centroids is not None and len(centroids) == 0:
+        raise ValueError("centroids must be non-empty when provided")
     if dim is None:
         head = embeddings.select(vec_col).head(1)
         if not head:

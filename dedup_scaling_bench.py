@@ -125,6 +125,28 @@ def run_level(cores: int, reps: int, stack: str, rows: int) -> dict:
     extra = {}
     if stack == "minhash":
         job = lambda: minhash_near_dups(df, jaccard_threshold=0.8).count()  # noqa: E731
+    elif stack == "semdedup":
+        # the FULL SemDeDup chain: Arrow cell/centroid-sim stage →
+        # within-cell banded LSH → components → keep-one.  n_cells sized
+        # to ~2k rows/cell; banding sized as the embedding stack (the
+        # cell key in the bucket only shrinks buckets further).  The
+        # returned count is the KEPT rows (the 'pairs' field below).
+        from cl_readability_spark.functions.pins import release_pinned
+        from cl_readability_spark.functions.similarity import semantic_dedup
+
+        n_bands, n_planes = near_dup_params(n, threshold=0.9)
+        n_cells = max(16, n // 2000)
+        extra = {"n_bands": n_bands, "n_planes": n_planes, "n_cells": n_cells}
+
+        def job():
+            out = semantic_dedup(
+                df, threshold=0.9, n_cells=n_cells,
+                n_bands=n_bands, n_planes=n_planes, dim=64,
+            )
+            kept = out.filter("kept").count()
+            release_pinned(out)
+            return kept
+
     else:
         n_bands, n_planes = near_dup_params(n, threshold=0.9)
         extra = {"n_bands": n_bands, "n_planes": n_planes}

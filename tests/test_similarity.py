@@ -536,3 +536,32 @@ def test_semantic_dedup_empty_and_kwargs(spark):
     ]
     with pytest.raises(ValueError, match="keep must be"):
         semantic_dedup(empty, keep="random")
+    with pytest.raises(ValueError, match="n_cells"):
+        semantic_dedup(empty, n_cells=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        semantic_dedup(empty, centroids=[])
+
+
+def test_near_dups_group_col_plan_shape(spark):
+    """The group restriction rides the ONE band exchange: partition keys
+    are (band_idx, band_sig, _grp) — no extra shuffle vs the ungrouped
+    plan (pinned ungrouped in test_near_dups_plan_shape)."""
+    import re as _re
+
+    from cl_readability_spark.functions.similarity import embedding_near_dups
+
+    fresh = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "grp", (F.col("vec_id") % 4).cast("int")
+    )
+    plan = (
+        embedding_near_dups(fresh, threshold=0.9, dim=64, group_col="grp")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    band_exchanges = _re.findall(
+        r"Exchange hashpartitioning\(band_idx[^)]*\)", plan
+    )
+    assert len(band_exchanges) == 1, plan[:2000]
+    assert "_grp" in band_exchanges[0], band_exchanges[0]
+    assert plan.count("ArrowEvalPython") == 2

@@ -1303,7 +1303,10 @@ FROM (
 #     Any regression in gating, fingerprinting, windowing, hashing,
 #     banding, verification, label propagation, or the keep-one policy
 #     flips the hash. ---
-def q_curation_planted(spark, sf_dir):
+def _curation_planted_curated(spark, sf_dir):
+    """The shared planted-corpus curate() run behind curation_planted
+    (per-row flags) and curation_report_planted (the one-row report over
+    the SAME run) — one construction, two verification surfaces."""
     from cl_readability_spark.functions.curation import curate
 
     docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
@@ -1344,10 +1347,14 @@ def q_curation_planted(spark, sf_dir):
     # auto would run a count action at build time and the rehash plan
     # pins candidate frames the harnesses never release; the corpus is
     # 5k toy docs, squarely on the arrays side of the crossover.
-    curated = curate(
+    return curate(
         corpus, text_col="text", key_cols=("doc_id",), policy="clusters",
         materialize="none", minhash_carry="arrays",
     )
+
+
+def q_curation_planted(spark, sf_dir):
+    curated = _curation_planted_curated(spark, sf_dir)
     return curated.select(
         "doc_id",
         F.col("quality_ok").cast("int").alias("quality_ok"),
@@ -1363,6 +1370,41 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(doc_id % 10 NOT IN (3, 4) AS INTEGER)        AS exact_keep,
        CAST(doc_id % 10 IN (1, 2) AS INTEGER)            AS near_dup_drop,
        CAST(doc_id % 10 IN (0, 5, 6, 7, 8, 9) AS INTEGER) AS kept
+FROM documents
+"""
+
+
+# --- 18c1. curation_report_planted — curation_report's one-row audit
+#     (rows_in, hierarchical per-gate drops, rows_kept) over the SAME
+#     planted curate() run as curation_planted: every per-role outcome is
+#     closed-form (the 18c construction), so the report's aggregates are
+#     too.  This hash-checks the report EXPRESSIONS — in particular the
+#     hierarchical-attribution partition invariant rows_in ==
+#     dropped_quality + dropped_contaminated + dropped_exact_dup +
+#     dropped_near_dup + rows_kept (the oracle's five sums add to its
+#     COUNT(*) by construction, so a double- or un-counted row on the
+#     Spark side flips the hash).  No benchmark set is passed, pinning
+#     dropped_contaminated = 0 rather than leaving the column untested.
+#     Replaces the rows-only real-corpus curation_report registry entry
+#     (the real extract→curate composition stays benched as bench.py
+#     curation_pipeline and pytest-covered in tests/test_curation.py). ---
+def q_curation_report_planted(spark, sf_dir):
+    from cl_readability_spark.functions.curation import curation_report
+
+    return curation_report(_curation_planted_curated(spark, sf_dir))
+
+
+SQL_CURATION_REPORT_PLANTED = """
+SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+       CAST(SUM(CASE WHEN doc_id % 10 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dropped_quality,
+       CAST(0 AS BIGINT) AS dropped_contaminated,
+       CAST(SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dropped_exact_dup,
+       CAST(SUM(CASE WHEN doc_id % 10 IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT)
+           AS dropped_near_dup,
+       CAST(SUM(CASE WHEN doc_id % 10 IN (0, 5, 6, 7, 8, 9) THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_kept
 FROM documents
 """
 
@@ -2453,6 +2495,10 @@ SQL_TWINS: dict[str, tuple] = {
     "dedup_winnow_planted": (q_dedup_winnow_planted, SQL_DEDUP_WINNOW_PLANTED),
     "dedup_clusters_planted": (q_dedup_clusters_planted, SQL_DEDUP_CLUSTERS_PLANTED),
     "curation_planted": (q_curation_planted, SQL_CURATION_PLANTED),
+    "curation_report_planted": (
+        q_curation_report_planted,
+        SQL_CURATION_REPORT_PLANTED,
+    ),
     "curation_line_planted": (
         q_curation_line_planted,
         SQL_CURATION_LINE_PLANTED,

@@ -149,6 +149,22 @@ def main() -> None:
         ).count(),
     )
 
+    # 6b. DSIR importance resampling over the documents table (target =
+    # every 10th doc): fit both hashed-ngram distributions, weight every
+    # doc, Gumbel-top-k 1% — the data-selection stack's bench row (its
+    # correctness rows are the LOCAL_TWINS dsir_logw DuckDB twin and the
+    # python differential in tests/test_selection.py)
+    from cl_readability_spark.functions.selection import dsir_sample
+
+    def _dsir():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        target = docs.filter(F.col("doc_id") % 10 == 0)
+        return dsir_sample(docs, target, k=100).count()
+
+    run("dsir_sample", _dsir)
+
     # 7. raw-corpus ANN LSH top-k (the retired rows-only registry entry
     # lives on here; the operator's correctness row is ann_lsh_planted)
     from cl_readability_spark.functions.similarity import lsh_bucketed_topk

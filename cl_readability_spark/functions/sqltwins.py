@@ -2470,6 +2470,67 @@ SELECT CAST((SELECT COUNT(*) FROM documents)
 """
 
 
+# --- LOCAL twin: dsir_logw — DSIR importance log-weights (Xie et al.
+#     2023) recomputed GENERICALLY in DuckDB: tokenize with the
+#     engine-parity whitespace class, bucket by the md5-32-bit recipe,
+#     fit target (doc_id % 10 = 0) and source (all docs) bucket counts
+#     with α=1 smoothing over B=64 buckets, λ-join, per-doc sum — the
+#     substring_dedup_planted style of oracle (re-derivation, not a
+#     planted closed form).  Unigrams only (the SQL stays tractable; the
+#     bigram path is covered by the python differential in
+#     tests/test_selection.py).  Lives in LOCAL_TWINS, not SQL_TWINS:
+#     the driver registry is at its 50-entry cap and every remaining row
+#     is load-bearing, so this twin is enforced by the LOCAL rehearsal
+#     (tests/test_queries_oracle.py) only. ---
+def q_dsir_logw(spark, sf_dir):
+    from cl_readability_spark.functions.selection import dsir_logweights
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    out = dsir_logweights(docs, target, n_buckets=64, ngrams=(1,))
+    return out.select(
+        "doc_id", F.round("dsir_logw", 6).alias("dsir_logw")
+    )
+
+
+SQL_DSIR_LOGW = """
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(text),
+                        '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '[ \t\n\f\r]+')) AS g
+  FROM norm WHERE t <> ''
+),
+bt AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % 64
+              AS BIGINT) AS b
+  FROM toks
+),
+tc AS (SELECT b, COUNT(*) AS ct FROM bt WHERE doc_id % 10 = 0 GROUP BY b),
+scn AS (SELECT b, COUNT(*) AS cs FROM bt GROUP BY b),
+tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS tt,
+               (SELECT COALESCE(SUM(cs), 0) FROM scn) AS st),
+lam AS (
+  SELECT s.b,
+         ln((COALESCE(t.ct, 0) + 1.0) / (tot.tt + 64.0))
+           - ln((s.cs + 1.0) / (tot.st + 64.0)) AS lam
+  FROM scn s LEFT JOIN tc t USING (b), tot
+),
+w AS (
+  SELECT bt.doc_id, SUM(lam.lam) AS w
+  FROM bt JOIN lam ON bt.b = lam.b
+  GROUP BY bt.doc_id
+)
+SELECT d.doc_id,
+       CAST(ROUND(COALESCE(w.w, 0.0), 6) AS DOUBLE) AS dsir_logw
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+"""
+
+
 SQL_TWINS: dict[str, tuple] = {
     "normalize_ws": (q_normalize_ws, SQL_NORMALIZE_WS),
     "word_count": (q_word_count, SQL_WORD_COUNT),
@@ -2528,4 +2589,13 @@ SQL_TWINS: dict[str, tuple] = {
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),
     "user_event_seq": (q_user_event_seq, SQL_USER_EVENT_SEQ),
+}
+
+
+# DuckDB-parity twins enforced ONLY by the local rehearsal
+# (tests/test_queries_oracle.py) — NOT registered in the driver's
+# queries(): the 50-entry driver cap is full and every remaining row is
+# load-bearing.  Same (builder, sql) contract as SQL_TWINS.
+LOCAL_TWINS: dict[str, tuple] = {
+    "dsir_logw": (q_dsir_logw, SQL_DSIR_LOGW),
 }

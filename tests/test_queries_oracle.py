@@ -8,7 +8,11 @@ import os
 import duckdb
 import pytest
 
-from cl_readability_spark.functions.sqltwins import SQL_TWINS
+from cl_readability_spark.functions.sqltwins import LOCAL_TWINS, SQL_TWINS
+
+# driver-registered twins + local-only twins (DuckDB parity without a
+# driver registry slot — the 50-entry cap is full); same compare
+ALL_TWINS = {**SQL_TWINS, **LOCAL_TWINS}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
@@ -39,9 +43,9 @@ def normalize(rows, columns):
     return out
 
 
-@pytest.mark.parametrize("name", sorted(SQL_TWINS))
+@pytest.mark.parametrize("name", sorted(ALL_TWINS))
 def test_twin_matches_oracle(spark, name):
-    builder, sql = SQL_TWINS[name]
+    builder, sql = ALL_TWINS[name]
     sdf = builder(spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [r.asDict() for r in sdf.collect()]

@@ -165,6 +165,24 @@ def main() -> None:
 
     run("dsir_sample", _dsir)
 
+    # 6c. soft dedup (SoftDeDup): per-doc duplicate multiplicity +
+    # n**-alpha sampling weight over a planted-multiplicity corpus
+    # (every 5 consecutive doc_ids share one text — the
+    # dedup_weights_planted LOCAL twin's construction)
+    from cl_readability_spark.functions.dedup import dedup_weights
+
+    def _dedup_weights():
+        group = F.floor(F.col("doc_id") / 5).cast("long")
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            F.concat(
+                F.lit("planted dup text "), group.cast("string")
+            ).alias("text"),
+        )
+        return dedup_weights(corpus, id_col="doc_id", text_col="text").count()
+
+    run("dedup_weights", _dedup_weights)
+
     # 7. raw-corpus ANN LSH top-k (the retired rows-only registry entry
     # lives on here; the operator's correctness row is ann_lsh_planted)
     from cl_readability_spark.functions.similarity import lsh_bucketed_topk

@@ -1848,3 +1848,154 @@ def substring_dedup(
 
         out = attach_pins(out, toks)
     return out
+
+
+def _attach_group_counts(
+    frame: DataFrame,
+    key_cols: list[str],
+    salt_on: str,
+    hot_threshold: int,
+    salts: int,
+) -> DataFrame:
+    """Adds ``_dw_n`` = per-row multiplicity of the row's group key,
+    skew-free BY CONSTRUCTION (no AQE reliance — OptimizeSkewedJoin
+    could not fire here anyway: the counts side sits directly under its
+    own aggregate, which reuses the agg's exchange and breaks the
+    SMJ(ShuffleStage, ShuffleStage) pattern the rule matches; verified
+    on the first draft of this operator, whose explicit
+    ``repartition(key)`` above the aggregate was elided by
+    EnsureRequirements because the agg already satisfies that
+    distribution).
+
+    The multiplicity aggregation partial-aggregates map-side, so its
+    exchange is skew-free regardless of key heat; the hazard is only the
+    join-back.  Counts split at ``hot_threshold``:
+
+    - hot keys (n > threshold) attach via BROADCAST — there can be at
+      most rows/threshold of them, so the broadcast is bounded by
+      construction (10^12 rows / 10^5 threshold = 10^7 keys ≈ 240 MB
+      worst case; raise the threshold at extreme scale), and hot rows
+      never shuffle on their own key;
+    - cold keys attach via an equi-join additionally keyed on a salt
+      derived from the ROW key ``salt_on``: rows that matched a hot key
+      get a non-zero salt (the cold side carries only salt 0, so they
+      pass through unmatched), spreading each mega-hot group across
+      ``salts`` exchange partitions, while every cold key's fan-in is
+      ≤ ``hot_threshold`` — no partition of either exchange grows with
+      any group's multiplicity.
+
+    Both counts branches re-aggregate over a ReusedExchange of the one
+    partial-count shuffle (exchange reuse applies to identical exchange
+    subtrees even though Spark has no general cross-branch subplan
+    reuse), so the counting pass over ``frame`` is paid once.
+    """
+    counts = (
+        frame.select(*key_cols)
+        .groupBy(*key_cols)
+        .agg(F.count("*").alias("_dw_cn"))
+    )
+    hot = counts.filter(F.col("_dw_cn") > hot_threshold).select(
+        *key_cols, F.col("_dw_cn").alias("_dw_hot_n")
+    )
+    cold = counts.filter(F.col("_dw_cn") <= hot_threshold).withColumn(
+        "_dw_salt", F.lit(0)
+    )
+    enriched = frame.join(F.broadcast(hot), key_cols, "left").withColumn(
+        "_dw_salt",
+        F.when(
+            F.col("_dw_hot_n").isNotNull(),
+            1 + F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salts)),
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    attached = enriched.join(cold, key_cols + ["_dw_salt"], "left")
+    return attached.withColumn(
+        "_dw_n",
+        F.coalesce("_dw_hot_n", "_dw_cn", F.lit(1)).cast("long"),
+    ).drop("_dw_hot_n", "_dw_cn", "_dw_salt")
+
+
+def dedup_weights(
+    docs: DataFrame,
+    id_col: str = "id",
+    text_col: str | None = None,
+    clusters: DataFrame | None = None,
+    alpha: float = 1.0,
+    hot_threshold: int = 100_000,
+    salts: int = 32,
+    count_col: str = "dup_count",
+    weight_col: str = "dup_weight",
+) -> DataFrame:
+    """Soft deduplication: keep every document, down-weight duplicates.
+
+    Instead of dropping all-but-one copy, each document gets a sampling
+    weight ``n**(-alpha)`` where ``n`` is its *commonness* — the number
+    of documents sharing its exact text (``text_col`` mode) or the size
+    of its near-duplicate cluster (``clusters`` mode, the output of
+    :func:`dup_clusters`).  ``alpha=1`` makes every duplicate *group*
+    contribute exactly one document's worth of expected training mass
+    (the sum of weights over a group of ``n`` copies is 1.0);
+    ``alpha=0`` disables reweighting (all weights 1.0).  This is the
+    soft alternative to keep-one dedup — published ablations (SoftDeDup,
+    He et al. 2024; data-constrained scaling, Muennighoff et al. 2023)
+    show mild duplication is better *down-weighted* than deleted.
+    Unique documents always get ``n=1``, weight 1.0.
+
+    Exactly one of ``text_col`` / ``clusters`` must be provided:
+
+    - ``text_col``: commonness is the exact-duplicate multiplicity,
+      computed on a 128-bit key (two independent ``xxhash64`` seeds,
+      the ``line_dedup`` recipe) so no text is compared, and the doc
+      columns RIDE the attach join (one fat exchange total — no
+      separate join-back of the corpus by id);
+    - ``clusters``: a ``(id, cluster_rep)`` frame; commonness is the
+      cluster size.  Documents absent from ``clusters`` (no near-dup
+      edges) count 1.  Sizing runs on the slim cluster frame; the one
+      corpus-wide join is keyed on the ROW key ``id_col``.
+
+    Scale shape: see :func:`_attach_group_counts` — the count
+    aggregation collapses hot keys map-side, hot groups (> 
+    ``hot_threshold`` members) attach via a bounded broadcast, cold
+    groups via a salted join whose per-partition fan-in is bounded by
+    ``hot_threshold``; no exchange partition grows with any group's
+    multiplicity, without relying on AQE skew handling (which cannot
+    fire on an agg-under-join shape).
+
+    Returns ``docs`` plus ``count_col`` (long) and ``weight_col``
+    (double).  Weights are relative sampling multipliers, not
+    probabilities; feed them to a weighted sampler (e.g. Gumbel-top-k
+    as in ``dsir_sample``) or a loss-weighting hook downstream.
+    """
+    if (text_col is None) == (clusters is None):
+        raise ValueError("pass exactly one of text_col= or clusters=")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if hot_threshold < 1 or salts < 1:
+        raise ValueError(
+            f"hot_threshold and salts must be >= 1, got "
+            f"{hot_threshold}/{salts}"
+        )
+
+    if text_col is not None:
+        keyed = docs.withColumn(
+            "_dw_k1", F.xxhash64(F.col(text_col))
+        ).withColumn("_dw_k2", F.xxhash64(F.col(text_col), F.lit("dw2")))
+        attached = _attach_group_counts(
+            keyed, ["_dw_k1", "_dw_k2"], id_col, hot_threshold, salts
+        )
+        out = attached.drop("_dw_k1", "_dw_k2")
+    else:
+        sized = _attach_group_counts(
+            clusters, ["cluster_rep"], "id", hot_threshold, salts
+        ).select(F.col("id").alias("_dw_id"), "_dw_n")
+        out = docs.join(
+            sized, docs[id_col] == sized["_dw_id"], "left"
+        ).drop("_dw_id")
+
+    n = F.coalesce(F.col("_dw_n"), F.lit(1)).cast("long")
+    return out.select(
+        *[F.col(c) for c in docs.columns],
+        n.alias(count_col),
+        F.pow(n.cast("double"), F.lit(-float(alpha))).alias(weight_col),
+    )

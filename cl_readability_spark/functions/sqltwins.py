@@ -2531,6 +2531,44 @@ FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
 """
 
 
+# --- LOCAL twin: dedup_weights_planted — soft dedup (SoftDeDup, He et
+#     al. 2024) on a planted-multiplicity corpus: every 5 consecutive
+#     doc_ids share one synthetic text, so the exact-dup commonness of
+#     each doc is its group's size (5, or the ragged tail) and the
+#     weight is n**-0.5 (non-default alpha exercises the pow path).
+#     The SQL re-derives n by grouping on the SAME planted key — the
+#     planted-group recipe of dedup_minhash_planted.  LOCAL_TWINS (the
+#     driver registry is at its 50-row cap), enforced by the rehearsal
+#     in tests/test_queries_oracle.py. ---
+def q_dedup_weights_planted(spark, sf_dir):
+    from cl_readability_spark.functions.dedup import dedup_weights
+
+    group = F.floor(F.col("doc_id") / 5).cast("long")
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("planted dup text "), group.cast("string")).alias(
+            "text"
+        ),
+    )
+    out = dedup_weights(corpus, id_col="doc_id", text_col="text", alpha=0.5)
+    return out.select(
+        "doc_id",
+        "dup_count",
+        F.round("dup_weight", 6).alias("dup_weight"),
+    )
+
+
+SQL_DEDUP_WEIGHTS_PLANTED = """
+WITH c AS (
+  SELECT doc_id // 5 AS g, COUNT(*) AS n FROM documents GROUP BY g
+)
+SELECT d.doc_id,
+       CAST(c.n AS BIGINT) AS dup_count,
+       CAST(ROUND(POWER(c.n, -0.5), 6) AS DOUBLE) AS dup_weight
+FROM documents d JOIN c ON d.doc_id // 5 = c.g
+"""
+
+
 SQL_TWINS: dict[str, tuple] = {
     "normalize_ws": (q_normalize_ws, SQL_NORMALIZE_WS),
     "word_count": (q_word_count, SQL_WORD_COUNT),
@@ -2598,4 +2636,8 @@ SQL_TWINS: dict[str, tuple] = {
 # load-bearing.  Same (builder, sql) contract as SQL_TWINS.
 LOCAL_TWINS: dict[str, tuple] = {
     "dsir_logw": (q_dsir_logw, SQL_DSIR_LOGW),
+    "dedup_weights_planted": (
+        q_dedup_weights_planted,
+        SQL_DEDUP_WEIGHTS_PLANTED,
+    ),
 }

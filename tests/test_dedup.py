@@ -1206,3 +1206,133 @@ def test_substring_dedup_pin_tokens_single_evaluation(spark):
         for r in substring_dedup(base, k=4, dup_join_salt=2).collect()
     }
     assert unpinned == rows
+
+
+# --- dedup_weights (soft dedup: SoftDeDup / data-constrained scaling) ---
+
+
+def _weights_corpus(spark):
+    rows = (
+        [(i, "unique text %d with some words" % i) for i in range(6)]
+        + [(10 + j, "twice repeated body") for j in range(2)]
+        + [(20 + j, "five times repeated body") for j in range(5)]
+    )
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_dedup_weights_text_mode_counts_and_weights(spark):
+    from cl_readability_spark.functions.dedup import dedup_weights
+
+    out = dedup_weights(_weights_corpus(spark), text_col="text")
+    got = {r["id"]: (r["dup_count"], r["dup_weight"]) for r in out.collect()}
+    assert len(got) == 13
+    for i in range(6):
+        assert got[i] == (1, 1.0)
+    for j in range(2):
+        assert got[10 + j] == (2, 0.5)
+    for j in range(5):
+        assert got[20 + j] == (5, pytest.approx(0.2))
+    # alpha=1 invariant: every duplicate group contributes exactly one
+    # document's worth of expected mass -> sum(weights) == n distinct texts
+    total = sum(w for _, w in got.values())
+    assert total == pytest.approx(6 + 1 + 1)
+
+
+def test_dedup_weights_alpha_zero_and_half(spark):
+    from cl_readability_spark.functions.dedup import dedup_weights
+
+    corpus = _weights_corpus(spark)
+    flat = dedup_weights(corpus, text_col="text", alpha=0.0)
+    assert {r["dup_weight"] for r in flat.collect()} == {1.0}
+    half = dedup_weights(corpus, text_col="text", alpha=0.5)
+    got = {r["id"]: r["dup_weight"] for r in half.collect()}
+    assert got[10] == pytest.approx(2 ** -0.5)
+    assert got[20] == pytest.approx(5 ** -0.5)
+
+
+def test_dedup_weights_cluster_mode_and_missing_ids(spark):
+    from cl_readability_spark.functions.dedup import dedup_weights
+
+    corpus = _weights_corpus(spark)
+    # near-dup clusters: {10,11,20} and {21,22}; everything else unclustered
+    clusters = spark.createDataFrame(
+        [(10, 10), (11, 10), (20, 10), (21, 21), (22, 21)],
+        ["id", "cluster_rep"],
+    )
+    out = dedup_weights(corpus, clusters=clusters)
+    got = {r["id"]: (r["dup_count"], r["dup_weight"]) for r in out.collect()}
+    assert got[10] == (3, pytest.approx(1 / 3))
+    assert got[11] == (3, pytest.approx(1 / 3))
+    assert got[20] == (3, pytest.approx(1 / 3))
+    assert got[21] == (2, 0.5)
+    assert got[22] == (2, 0.5)
+    for i in list(range(6)) + [23, 24]:
+        assert got[i] == (1, 1.0), i
+
+
+def test_dedup_weights_composes_with_dup_clusters(spark):
+    from cl_readability_spark.functions.dedup import dedup_weights, dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 20)], ["id_a", "id_b"]
+    )
+    clusters = dup_clusters(pairs)
+    out = dedup_weights(_weights_corpus(spark), clusters=clusters)
+    got = {r["id"]: r["dup_count"] for r in out.collect()}
+    assert got[10] == got[11] == got[20] == 3
+
+
+def test_dedup_weights_partitioning_independent(spark):
+    from cl_readability_spark.functions.dedup import dedup_weights
+
+    corpus = _weights_corpus(spark)
+    a = dedup_weights(corpus, text_col="text")
+    b = dedup_weights(corpus.repartition(7), text_col="text")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dedup_weights_kwarg_guards(spark):
+    from cl_readability_spark.functions.dedup import dedup_weights
+
+    corpus = _weights_corpus(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_weights(corpus)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_weights(corpus, text_col="text", clusters=corpus)
+    with pytest.raises(ValueError, match="alpha"):
+        dedup_weights(corpus, text_col="text", alpha=-1.0)
+
+
+def test_dedup_weights_hot_path(spark):
+    """Force the hot/cold split at toy scale (hot_threshold=2): the
+    5-copy group attaches via the broadcast branch, the 2-copy group via
+    the salted cold join — values identical to the unsplit defaults."""
+    from cl_readability_spark.functions.dedup import dedup_weights
+
+    corpus = _weights_corpus(spark)
+    out = dedup_weights(corpus, text_col="text", hot_threshold=2, salts=4)
+    got = {r["id"]: (r["dup_count"], r["dup_weight"]) for r in out.collect()}
+    assert got[20] == (5, pytest.approx(0.2))  # hot (broadcast) branch
+    assert got[10] == (2, 0.5)  # cold (salted join) branch
+    assert got[0] == (1, 1.0)
+    ref = dedup_weights(corpus, text_col="text")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
+def test_dedup_weights_plan_shape(spark):
+    """Pin the skew-free-by-construction attach: hot keys join via
+    BroadcastHashJoin (never shuffling on their own key), cold keys via
+    an equi-join whose key includes the row-derived ``_dw_salt`` (an
+    agg-under-join shape is NOT AQE-skew-splittable, so the salt is the
+    only thing bounding a mega-hot group's partition — it must survive
+    into the physical join key)."""
+    from cl_readability_spark.functions.dedup import dedup_weights
+
+    out = dedup_weights(_weights_corpus(spark), text_col="text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "_dw_salt" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -183,6 +183,28 @@ def main() -> None:
 
     run("dedup_weights", _dedup_weights)
 
+    # 6d. context-window chunking (overlapping config) composed into
+    # sequence packing — the long-document prep path; forces the full
+    # chunk_text materialization via the pack token sum
+    from cl_readability_spark.functions.packing import doc_chunks, pack_sequences
+
+    def _doc_chunks_pack():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        chunks = doc_chunks(docs, max_tokens=128, stride=96).select(
+            F.concat_ws(":", "doc_id", "chunk_idx").alias("doc_id"),
+            F.col("n_chunk_tokens").alias("n_tokens"),
+            F.length("chunk_text").alias("_text_bytes"),
+        )
+        # force the chunk_text materialization (Catalyst would prune it
+        # through the packer, which only reads id + token count)
+        chunks.agg(F.sum("_text_bytes")).collect()
+        packs = pack_sequences(chunks, max_tokens=128, num_partitions=cpus)
+        return packs.count()
+
+    run("doc_chunks_pack", _doc_chunks_pack)
+
     # 7. raw-corpus ANN LSH top-k (the retired rows-only registry entry
     # lives on here; the operator's correctness row is ann_lsh_planted)
     from cl_readability_spark.functions.similarity import lsh_bucketed_topk

@@ -121,3 +121,97 @@ def pack_sequences(
         )
 
     return src.mapInPandas(_pack, out_schema)
+
+
+# Engine-exact tokenizer for chunking: the token_count BPE-ish regex
+# with the whitespace class written out EXPLICITLY ([ \t\n\f\r]) so
+# Java regex and DuckDB/RE2 agree byte-for-byte (their \s differ on
+# vertical tab U+000B — the gopher_flags ADVICE caveat; \w is
+# [0-9A-Za-z_] in both engines).
+CHUNK_TOKEN_PATTERN = r"\w+|[^\w \t\n\f\r]"
+
+
+def doc_chunks(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split long documents into overlapping
+    token windows (the stage the ``pack_sequences`` docstring defers to
+    — "chunk them upstream" — and the standard long-document prep for a
+    fixed-context model: window k covers tokens
+    ``[k*stride, k*stride + max_tokens)``).
+
+    Tokens are the repo's BPE-ish ``token_count`` convention
+    (``\\w+`` runs or single non-word non-space chars, whitespace class
+    written out for Java/RE2 parity); ``chunk_text`` is the window's
+    tokens re-joined with single spaces (the detokenized-with-spaces
+    form — original inter-token whitespace is not reconstructable from
+    token windows; callers needing exact bytes slice the original text
+    by other means).  ``stride`` defaults to ``max_tokens`` (disjoint
+    windows); ``stride < max_tokens`` overlaps adjacent windows by
+    ``max_tokens - stride`` tokens.
+
+    Window count per doc: 0 if the doc has no tokens, else
+    ``1 + ceil(max(n - max_tokens, 0) / stride)`` — every token is
+    covered, the final window is the only ragged one, and no window
+    starts at or past ``n`` (no window is fully contained in its
+    predecessor).  Output: ``(id_col, chunk_idx, tok_start, tok_end,
+    n_chunk_tokens, chunk_text)`` with ``tok_end`` exclusive.
+
+    Scale shape: a pure narrow projection — tokenize, compute the
+    window-start sequence, explode, slice — ZERO shuffles, whole-stage
+    codegen end to end; the only cost knob is the output amplification
+    ``~max_tokens/stride`` on overlapping configs (an overlap factor f
+    writes f× the corpus — price it consciously at 100 TB).  A whale
+    document yields ``n/stride`` rows from one input row; downstream
+    exchanges see bounded ~``max_tokens``-token rows, which is exactly
+    the skew defusal that motivates chunking before packing.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(
+            f"stride must be in [1, max_tokens], got {stride}/{max_tokens}"
+        )
+
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(CHUNK_TOKEN_PATTERN), F.lit(0)
+    )
+    # NULL text => NULL token array => size() NULL, and greatest() SKIPS
+    # nulls, so without the coalesce a null doc would sneak out one
+    # empty chunk instead of zero
+    n = F.coalesce(F.size(toks), F.lit(0))
+    extra = F.greatest(n - F.lit(max_tokens), F.lit(0))
+    # extra >= 0 always, so ceil(extra/stride) = (extra + stride-1) DIV
+    # stride is exact in long arithmetic
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("long")
+    )
+    starts = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("_ck_toks"),
+        n.cast("long").alias("_ck_n"),
+        F.explode(starts).alias("chunk_idx"),
+    )
+    tok_start = F.col("chunk_idx") * F.lit(stride)
+    chunk_toks = F.slice(
+        F.col("_ck_toks"), (tok_start + 1).cast("int"), max_tokens
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        tok_start.alias("tok_start"),
+        F.least(tok_start + F.lit(max_tokens), F.col("_ck_n")).alias(
+            "tok_end"
+        ),
+        F.size(chunk_toks).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+    )

@@ -2569,6 +2569,47 @@ FROM documents d JOIN c ON d.doc_id // 5 = c.g
 """
 
 
+# --- LOCAL twin: doc_chunks — context-window chunking re-derived
+#     GENERICALLY in DuckDB (tokenize with the engine-exact explicit
+#     whitespace class, ceil-div window count, 1-based inclusive list
+#     slice) at an overlapping config (max=32, stride=24) so the
+#     ragged-tail and overlap arithmetic are both exercised on real
+#     document text.  LOCAL_TWINS (driver registry at its 50-row cap),
+#     enforced by the tests/test_queries_oracle.py rehearsal. ---
+def q_doc_chunks(spark, sf_dir):
+    from cl_readability_spark.functions.packing import doc_chunks
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return doc_chunks(docs, max_tokens=32, stride=24)
+
+
+SQL_DOC_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\w+|[^\w \t\n\f\r]') AS t
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) = 0 THEN 0
+              ELSE 1 + (GREATEST(len(t) - 32, 0) + 23) // 24 END AS nc
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, t, n, unnest(range(nc)) AS chunk_idx FROM meta
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 24 AS BIGINT) AS tok_start,
+       CAST(LEAST(chunk_idx * 24 + 32, n) AS BIGINT) AS tok_end,
+       CAST(LEAST(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+         AS chunk_text
+FROM ch
+"""
+
+
 SQL_TWINS: dict[str, tuple] = {
     "normalize_ws": (q_normalize_ws, SQL_NORMALIZE_WS),
     "word_count": (q_word_count, SQL_WORD_COUNT),
@@ -2640,4 +2681,5 @@ LOCAL_TWINS: dict[str, tuple] = {
         q_dedup_weights_planted,
         SQL_DEDUP_WEIGHTS_PLANTED,
     ),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
 }

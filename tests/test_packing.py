@@ -71,3 +71,146 @@ def test_pack_null_tokens_are_zero_not_fatal(spark):
             pack_sequences(df, max_tokens=200, num_partitions=2).collect()}
     assert set(rows) == {0, 1, 2}
     assert rows[1].n_tokens == 0 and not rows[1].oversize
+
+
+# --- doc_chunks (context-window chunking with stride) ---
+
+
+def _py_chunks(text, max_tokens, stride):
+    import re
+
+    toks = re.findall(r"\w+|[^\w \t\n\f\r]", text or "")
+    n = len(toks)
+    if n == 0:
+        return []
+    n_chunks = 1 + max(0, (n - max_tokens + stride - 1) // stride)
+    out = []
+    for k in range(n_chunks):
+        s = k * stride
+        e = min(s + max_tokens, n)
+        out.append((k, s, e, e - s, " ".join(toks[s:e])))
+    return out
+
+
+def test_doc_chunks_python_differential(spark):
+    import random
+
+    from cl_readability_spark.functions.packing import doc_chunks
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta9", "x", "_u", "—", ",", "don't", "ab"]
+    texts = [
+        "",
+        "   ",
+        "\t\n\r",
+        "one",
+        "exactly four tokens here",
+        "trailing punct!",
+    ] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    for max_tokens, stride in [(8, 8), (8, 4), (5, 3), (1, 1), (64, 64)]:
+        got = sorted(
+            map(
+                tuple,
+                doc_chunks(
+                    docs, max_tokens=max_tokens, stride=stride
+                ).collect(),
+            )
+        )
+        want = sorted(
+            (i, k, s, e, ln, t)
+            for i, text in enumerate(texts)
+            for (k, s, e, ln, t) in _py_chunks(text, max_tokens, stride)
+        )
+        assert got == want, (max_tokens, stride)
+
+
+def test_doc_chunks_invariants(spark):
+    from cl_readability_spark.functions.packing import doc_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i))) for i in range(0, 70, 7)],
+        ["doc_id", "text"],
+    )
+    out = doc_chunks(docs, max_tokens=10, stride=6).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc  # token-less docs produce no chunks
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        # contiguous indices, full coverage, stride spacing, ragged tail only
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        assert rows[0]["tok_start"] == 0
+        assert rows[-1]["tok_end"] == doc_id  # doc i has i tokens
+        for a, b in zip(rows, rows[1:]):
+            assert b["tok_start"] == a["tok_start"] + 6
+        for r in rows[:-1]:
+            assert r["n_chunk_tokens"] == 10
+        # no window starts at/past n (none fully contained in predecessor)
+        assert rows[-1]["tok_start"] < doc_id
+
+
+def test_doc_chunks_null_text_and_guards(spark):
+    import pytest
+
+    from cl_readability_spark.functions.packing import doc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "two tokens")], ["doc_id", "text"]
+    )
+    got = doc_chunks(docs, max_tokens=4).collect()
+    assert [r["doc_id"] for r in got] == [2]
+    with pytest.raises(ValueError, match="stride"):
+        doc_chunks(docs, max_tokens=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        doc_chunks(docs, max_tokens=4, stride=0)
+    with pytest.raises(ValueError, match="max_tokens"):
+        doc_chunks(docs, max_tokens=0)
+
+
+def test_doc_chunks_then_pack_has_no_oversize(spark):
+    """The composition the pack_sequences docstring defers to: chunk
+    whales upstream, then pack - no oversize packs remain."""
+    from pyspark.sql import functions as F
+
+    from cl_readability_spark.functions.packing import (
+        doc_chunks,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i * 37))) for i in range(1, 12)],
+        ["doc_id", "text"],
+    )
+    chunks = doc_chunks(docs, max_tokens=64, stride=64).select(
+        F.concat_ws(":", "doc_id", "chunk_idx").alias("doc_id"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    packs = pack_sequences(chunks, max_tokens=64, num_partitions=4)
+    assert packs.filter("oversize").count() == 0
+    total_in = chunks.agg(F.sum("n_tokens")).first()[0]
+    assert packs.agg(F.sum("n_tokens")).first()[0] == total_in
+
+
+def test_doc_chunks_plan_is_narrow(spark):
+    """Chunking is a pure projection+explode: ZERO exchanges, one
+    whole-stage-codegen span (the 100-TB property: no shuffle exists to
+    skew; whale docs amplify rows, not partitions)."""
+    from cl_readability_spark.functions.packing import doc_chunks
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (
+        doc_chunks(docs, max_tokens=2, stride=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    # "*(1)" prefixes = every node in one whole-stage-codegen span
+    assert plan.lstrip().startswith("*(1)"), plan

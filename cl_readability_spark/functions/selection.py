@@ -57,9 +57,19 @@ def _words(text_col):
 
 def _grams(text_col, ngrams: tuple[int, ...]):
     """The hashed-feature gram array: unigrams and/or space-joined
-    bigrams.  The bigram build is one ``transform`` HOF (interpreted —
-    acceptable: it runs once per doc inside the explode pass and avoids
-    a positional self-join, which would shuffle the token table)."""
+    bigrams.  The bigram build is ``zip_with`` over two ``slice``s of
+    the words array (w[0:n-1] ⊗ w[1:n-1]) — one HOF pass, interpreted,
+    but CRITICALLY with no reference to the words EXPRESSION inside the
+    lambda.  The first shipped shape indexed ``element_at(words, i)``
+    per position, and because HOFs run interpreted (no codegen, no
+    subexpression elimination) every ``element_at`` re-evaluated the
+    whole lower+trim-regex+split tokenization — O(words²) work per doc.
+    Invisible on toy text; on the 1M transcript corpus (~3 KB HTML
+    turns) the weight pass pinned 32 cores in ``RegExpReplace``
+    interpreted eval for 50+ minutes before being killed (jstack
+    diagnosis).  The slice form re-evaluates the tokenization a small
+    CONSTANT number of times per doc (size + two slices) whatever the
+    doc length."""
     words = _words(text_col)
     parts = []
     if 1 in ngrams:
@@ -67,13 +77,10 @@ def _grams(text_col, ngrams: tuple[int, ...]):
     if 2 in ngrams:
         parts.append(
             F.when(F.size(words) < 2, F.array().cast("array<string>")).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(words) - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(words, i + 1),
-                        F.element_at(words, i + 2),
-                    ),
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
                 )
             )
         )

@@ -190,3 +190,10 @@ def test_dsir_plan_shape(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 0
     assert plan.count("SortMergeJoin") == 1  # the row-key output join
     assert plan.count("Exchange SinglePartition") == 1  # B-row totals window
+    # the bigram lambda must not index the words EXPRESSION per position:
+    # element_at(tokenize(), i) re-runs the full tokenization per gram in
+    # interpreted HOF eval — O(words²)/doc, 50+ min on the 1M corpus
+    # (jstack: all cores in RegExpReplace.nullSafeEval).  zip_with over
+    # two slices keeps re-evaluation constant per doc.
+    assert "element_at" not in plan, plan[:2000]
+    assert "zip_with" in plan

@@ -205,6 +205,21 @@ def main() -> None:
 
     run("doc_chunks_pack", _doc_chunks_pack)
 
+    # 6e. CCNet-style LM perplexity: fit the interpolated-bigram model
+    # on every 3rd doc, score the whole corpus (fit + 3 broadcast
+    # attachments + per-doc mean in one timed pass)
+    from cl_readability_spark.functions.lm import lm_perplexity
+
+    def _lm_ppl():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        ref = docs.filter(F.col("doc_id") % 3 == 0)
+        out = lm_perplexity(docs, reference=ref, vocab_size=4096)
+        return out.agg(F.sum("lm_logp_per_token")).collect()[0]
+
+    run("lm_perplexity", _lm_ppl)
+
     # 7. raw-corpus ANN LSH top-k (the retired rows-only registry entry
     # lives on here; the operator's correctness row is ann_lsh_planted)
     from cl_readability_spark.functions.similarity import lsh_bucketed_topk

@@ -2610,6 +2610,110 @@ FROM ch
 """
 
 
+# --- LOCAL twin: lm_ppl — interpolated-bigram LM perplexity (the CCNet
+#     quality signal, Wenzek et al. 2020) re-derived GENERICALLY in
+#     DuckDB: tokenize with the engine-parity whitespace class, top-29
+#     vocab by (count desc, word asc), closed <unk> mapping (with the
+#     guaranteed <unk> unigram row), additive-smoothed unigrams over
+#     V=30, ML bigram conditionals with UNPRUNED context totals, and
+#     the lam=0.8 interpolated per-token log-prob averaged per doc
+#     (first token scored by the unigram).  Reference = every 3rd doc,
+#     scored corpus = all docs.  LOCAL_TWINS (driver registry at its
+#     50-row cap), enforced by the tests/test_queries_oracle.py
+#     rehearsal; float parity at 6dp. ---
+def q_lm_ppl(spark, sf_dir):
+    from cl_readability_spark.functions.lm import lm_perplexity
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    out = lm_perplexity(
+        docs,
+        reference=ref,
+        vocab_size=30,
+        min_bigram_count=1,
+        lam=0.8,
+        alpha=1.0,
+    )
+    return out.select(
+        "doc_id",
+        F.round("lm_logp_per_token", 6).alias("lm_logp_per_token"),
+        F.round("lm_perplexity", 6).alias("lm_perplexity"),
+    )
+
+
+SQL_LM_PPL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(text),
+                        '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(t, '[ \t\n\f\r]+')) AS w,
+         unnest(range(len(regexp_split_to_array(t, '[ \t\n\f\r]+'))))
+           AS p
+  FROM norm WHERE t <> ''
+),
+uni AS (
+  SELECT w, COUNT(*) AS c FROM pos WHERE doc_id % 3 = 0 GROUP BY w
+),
+vocab AS (
+  SELECT w FROM uni QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 29
+),
+closed_uni AS (
+  SELECT cw, SUM(c) AS c FROM (
+    SELECT CASE WHEN w IN (SELECT w FROM vocab) THEN w
+                ELSE '<unk>' END AS cw, c FROM uni
+    UNION ALL SELECT '<unk>', 0
+  ) GROUP BY cw
+),
+puni AS (
+  SELECT cw, (c + 1.0) / ((SELECT SUM(c) FROM closed_uni) + 30.0) AS p_uni
+  FROM closed_uni
+),
+refc AS (
+  SELECT doc_id, p,
+         CASE WHEN w IN (SELECT w FROM vocab) THEN w
+              ELSE '<unk>' END AS cw
+  FROM pos WHERE doc_id % 3 = 0
+),
+bic AS (
+  SELECT a.cw AS pp, b.cw AS cw, COUNT(*) AS c
+  FROM refc a JOIN refc b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  GROUP BY a.cw, b.cw
+),
+bi AS (
+  SELECT pp, cw, c * 1.0 / SUM(c) OVER (PARTITION BY pp) AS p_ml FROM bic
+),
+scoretoks AS (
+  SELECT doc_id, p,
+         CASE WHEN w IN (SELECT w FROM vocab) THEN w
+              ELSE '<unk>' END AS cw
+  FROM pos
+),
+withprev AS (
+  SELECT doc_id, p, cw,
+         lag(cw) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+  FROM scoretoks
+),
+logps AS (
+  SELECT t.doc_id,
+         CASE WHEN t.prev IS NULL THEN ln(u.p_uni)
+              ELSE ln(0.8 * COALESCE(b.p_ml, 0.0) + 0.2 * u.p_uni)
+         END AS logp
+  FROM withprev t
+  JOIN puni u ON t.cw = u.cw
+  LEFT JOIN bi b ON b.pp = t.prev AND b.cw = t.cw
+),
+perdoc AS (SELECT doc_id, AVG(logp) AS lp FROM logps GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(ROUND(perdoc.lp, 6) AS DOUBLE) AS lm_logp_per_token,
+       CAST(ROUND(EXP(-perdoc.lp), 6) AS DOUBLE) AS lm_perplexity
+FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+"""
+
+
 SQL_TWINS: dict[str, tuple] = {
     "normalize_ws": (q_normalize_ws, SQL_NORMALIZE_WS),
     "word_count": (q_word_count, SQL_WORD_COUNT),
@@ -2682,4 +2786,5 @@ LOCAL_TWINS: dict[str, tuple] = {
         SQL_DEDUP_WEIGHTS_PLANTED,
     ),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "lm_ppl": (q_lm_ppl, SQL_LM_PPL),
 }

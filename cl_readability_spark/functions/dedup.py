@@ -1897,8 +1897,18 @@ def _attach_group_counts(
     hot = counts.filter(F.col("_dw_cn") > hot_threshold).select(
         *key_cols, F.col("_dw_cn").alias("_dw_hot_n")
     )
+    # the cold side's salt is always 0 — but it must NOT be a literal:
+    # Catalyst constant-folds a literal equi-join key into a post-join
+    # condition, the exchange then partitions on (k1,k2) alone, and the
+    # probe side's salts stop spreading anything (measured: the whole
+    # 1M-row hot group landed in ONE task with a 252 MB spill; its
+    # shuffle blocks also compress ~60× — identical rows — so AQE skew
+    # detection, which reads COMPRESSED map sizes, under-detects it
+    # too).  pmod(xxhash64(key), 1) is 0 for every row without being
+    # foldable.
     cold = counts.filter(F.col("_dw_cn") <= hot_threshold).withColumn(
-        "_dw_salt", F.lit(0)
+        "_dw_salt",
+        F.pmod(F.xxhash64(*key_cols), F.lit(1)).cast("int"),
     )
     enriched = frame.join(F.broadcast(hot), key_cols, "left").withColumn(
         "_dw_salt",

@@ -1330,9 +1330,18 @@ def test_dedup_weights_plan_shape(spark):
     into the physical join key)."""
     from cl_readability_spark.functions.dedup import dedup_weights
 
+    import re as _re
+
     out = dedup_weights(_weights_corpus(spark), text_col="text")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan
     assert "BroadcastHashJoin" in plan, plan
-    assert "_dw_salt" in plan, plan
+    # the salt must survive into the cold join's EXCHANGE partitioning:
+    # a literal cold-side salt gets constant-folded out of the equi-join
+    # keys, the exchange partitions on (k1,k2) alone, and a mega-hot
+    # group collapses back into one task (measured: 1M rows / 252 MB
+    # spill in one task before the non-foldable-zero fix)
+    assert _re.search(
+        r"hashpartitioning\(_dw_k1#\d+L, _dw_k2#\d+L, _dw_salt#\d+", plan
+    ), plan
     assert "CartesianProduct" not in plan

@@ -61,6 +61,15 @@ def main(argv: list[str]) -> int:
                         "decomposed --benchmark sink path the same "
                         "line_dedup_rewrite pre-stage runs over the staged "
                         "extraction read-back)")
+    p.add_argument("--pack", type=int, default=0, metavar="MAX_TOKENS",
+                   help="post-stage: chunk the kept corpus into "
+                        "MAX_TOKENS-token windows (doc_chunks) and pack "
+                        "them into fixed-budget training sequences "
+                        "(pack_sequences) written to <output>.packs; "
+                        "0 disables")
+    p.add_argument("--pack-stride", type=int, default=None,
+                   help="chunk stride (default = --pack: disjoint windows; "
+                        "smaller overlaps adjacent windows)")
     p.add_argument("--pin", choices=["sink", "disk", "memory"], default="sink",
                    help="how the single extraction/flag pass is shared by the "
                         "near-dup branch and the write/report consumers: "
@@ -224,6 +233,64 @@ def main(argv: list[str]) -> int:
         report = curation_report(curated).collect()[0].asDict()
         curated.unpersist()
         release_curated(curated)  # the inner flags pin curate() created
+    if args.pack:
+        # training-shard prep over what was just WRITTEN (pruned columnar
+        # scan — the kept table is the stage boundary, same sink
+        # philosophy as above): chunk whales to ≤ max_tokens windows,
+        # then best-fit-decreasing pack — no oversize rows by
+        # construction, so every pack respects the context budget
+        from cl_readability_spark.functions.packing import (
+            doc_chunks,
+            pack_sequences,
+        )
+
+        kept_tbl = spark.read.parquet(args.output)
+        chunks_path = args.output.rstrip("/") + ".chunks"
+        doc_chunks(
+            kept_tbl.select(
+                F.concat_ws(
+                    ":", "conv_id", F.col("turn_idx").cast("string")
+                ).alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+            ),
+            max_tokens=args.pack,
+            stride=args.pack_stride,
+            id_col="doc_id",
+        ).select(
+            F.concat_ws(":", "doc_id", "chunk_idx").alias("doc_id"),
+            F.col("n_chunk_tokens").alias("n_tokens"),
+            "chunk_text",
+        ).write.mode("overwrite").parquet(chunks_path)
+        # chunks staged as a table: the pack assignment AND the text
+        # join-back both read it, and without the stage boundary each
+        # branch would re-run the whole tokenize+explode chunking (no
+        # cross-branch subplan reuse)
+        chunks = spark.read.parquet(chunks_path)
+        assignment = pack_sequences(
+            chunks,
+            max_tokens=args.pack,
+            num_partitions=args.partitions,
+        )
+        # text-carrying shard rows: assignment joined back on the UNIQUE
+        # row key (skew-free); a shard writer groups by pack_id downstream
+        packs_path = args.output.rstrip("/") + ".packs"
+        assignment.join(
+            chunks.select("doc_id", "chunk_text"), "doc_id"
+        ).write.mode("overwrite").parquet(packs_path)
+        packs_tbl = spark.read.parquet(packs_path)
+        pk = packs_tbl.agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("pack_id").alias("packs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum(F.col("oversize").cast("long")).alias("oversize"),
+        ).collect()[0]
+        report["pack_rows"] = pk["rows"]
+        report["packs"] = pk["packs"]
+        report["pack_tokens"] = pk["tokens"]
+        report["pack_oversize"] = pk["oversize"]
+        report["pack_fill"] = round(
+            pk["tokens"] / (pk["packs"] * args.pack), 4
+        ) if pk["packs"] else None
     report["seconds"] = round(time.time() - t0, 2)
     report["output"] = args.output
     report["pin"] = args.pin

@@ -220,6 +220,65 @@ def main() -> None:
 
     run("lm_perplexity", _lm_ppl)
 
+    # 6f. PDF/layout parse: closed-form toy payloads built JVM-side per
+    # doc (3 pages x ~34 boxes: repeated header/footer, tiny watermark,
+    # 30 body lines in 6 paragraphs), Arrow decode, pure-JVM assembly.
+    # The sum over chars_out forces the text build (count() alone would
+    # let Catalyst prune the concat chain out of the aggregates).
+    from cl_readability_spark.pipeline.pdf_layout import pdf_extract
+
+    def _pdf_extract():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id"
+        )
+        d = F.col("doc_id").cast("string")
+
+        def page(pg: int):
+            y0 = lambda k: (F.lit(120) + k * 14 + (k / 5).cast("int") * 10)
+            body = F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda k: F.concat(
+                    F.lit("box 50 "),
+                    y0(k).cast("string"),
+                    F.lit(" 270 "),
+                    (y0(k) + 12).cast("string"),
+                    F.lit(" 10 body "),
+                    d,
+                    F.lit(f" p{pg} l"),
+                    k.cast("string"),
+                    F.lit(" t"),
+                    F.pmod(
+                        F.xxhash64(d, k.cast("string"), F.lit(pg)),
+                        F.lit(997),
+                    ).cast("string"),
+                ),
+            )
+            head = F.array(
+                F.lit("page 612 792"),
+                F.lit("box 50 20 250 32 10 Corp Report"),
+                F.lit(f"box 280 760 330 770 9 Page {pg}"),
+                F.lit("box 560 300 568 380 4 draft note"),
+            )
+            return F.concat(head, body)
+
+        payload = F.encode(
+            F.concat_ws(
+                "\n",
+                F.concat(
+                    F.array(F.lit("PDFFAKE1")), page(1), page(2), page(3)
+                ),
+            ),
+            "UTF-8",
+        )
+        out = pdf_extract(docs.select("doc_id", payload.alias("payload")))
+        return int(
+            out.filter(F.col("status") == "ok")
+            .agg(F.sum("chars_out"))
+            .collect()[0][0]
+        )
+
+    run("pdf_extract", _pdf_extract)
+
     # 7. raw-corpus ANN LSH top-k (the retired rows-only registry entry
     # lives on here; the operator's correctness row is ann_lsh_planted)
     from cl_readability_spark.functions.similarity import lsh_bucketed_topk

@@ -2775,6 +2775,64 @@ SQL_TWINS: dict[str, tuple] = {
 }
 
 
+# --- LOCAL twin: pdf_layout_planted — the PDF/layout-parse front-end
+#     (pipeline/pdf_layout.py: toy-format Arrow decode → pure-JVM layout
+#     assembly) hash-checked end to end by the media_planted recipe:
+#     payload = a closed-form toy PDF built per doc_id (two pages, a
+#     repeated top-band header, a digit-folding footer, a 4pt margin
+#     note, a hyphen-split body pair, a page-1 solo body line), so every
+#     layout rule fires with a KNOWN outcome: header+footer removed (4
+#     lines), margin notes tiny-dropped (mean size 76/9 ~ 8.44, 0.6x ->
+#     5.07 > 4), the contin-/uation join de-hyphenates, paragraphs read
+#     in (page, column, y) order.  Expected text and all seven metric
+#     columns are closed-form in doc_id — a broken sweep, band rule,
+#     fold, fusion regex, or metric sum flips the comparison.  Lives in
+#     LOCAL_TWINS (driver registry at its 50-row cap). ---
+def q_pdf_layout_planted(spark, sf_dir):
+    from cl_readability_spark.pipeline.pdf_layout import pdf_extract
+
+    d = F.col("doc_id").cast("string")
+    payload = F.encode(
+        F.concat_ws(
+            "\n",
+            F.lit("PDFFAKE1"),
+            F.lit("page 612 792"),
+            F.lit("box 50 20 250 32 10 Doc Report"),
+            F.lit("box 280 760 330 770 9 Page 1"),
+            F.lit("box 300 400 308 480 4 margin note"),
+            F.concat(F.lit("box 50 200 270 212 10 alpha "), d, F.lit(" contin-")),
+            F.concat(F.lit("box 50 214 270 226 10 uation beta "), d),
+            F.lit("page 612 792"),
+            F.lit("box 50 20 250 32 10 Doc Report"),
+            F.lit("box 280 760 330 770 9 Page 2"),
+            F.lit("box 300 400 308 480 4 margin note"),
+            F.concat(F.lit("box 50 200 270 212 10 gamma "), d, F.lit(" solo")),
+        ),
+        "UTF-8",
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", payload.alias("payload"))
+    return pdf_extract(docs)
+
+
+SQL_PDF_LAYOUT_PLANTED = """
+SELECT doc_id,
+       'ok' AS status,
+       'alpha ' || doc_id || ' continuation beta ' || doc_id ||
+         chr(10) || chr(10) || 'gamma ' || doc_id || ' solo'
+         AS extracted_text,
+       CAST(2 AS INTEGER) AS n_pages,
+       CAST(9 AS BIGINT) AS n_boxes,
+       CAST(2 AS BIGINT) AS n_tiny_dropped,
+       CAST(7 AS BIGINT) AS n_lines,
+       CAST(4 AS BIGINT) AS n_repeated_removed,
+       CAST(2 AS BIGINT) AS n_paragraphs,
+       CAST(length('alpha ' || doc_id || ' continuation beta ' || doc_id
+                   || chr(10) || chr(10) || 'gamma ' || doc_id || ' solo')
+            AS BIGINT) AS chars_out
+FROM documents
+"""
+
+
 # DuckDB-parity twins enforced ONLY by the local rehearsal
 # (tests/test_queries_oracle.py) — NOT registered in the driver's
 # queries(): the 50-entry driver cap is full and every remaining row is
@@ -2787,4 +2845,5 @@ LOCAL_TWINS: dict[str, tuple] = {
     ),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "lm_ppl": (q_lm_ppl, SQL_LM_PPL),
+    "pdf_layout_planted": (q_pdf_layout_planted, SQL_PDF_LAYOUT_PLANTED),
 }

@@ -1,0 +1,261 @@
+"""PDF/layout parse: decode stub contract, layout assembly semantics
+(differential vs the independent python reference), hand-authored
+goldens derived from the written rules, and the physical-plan golden
+for the one-exchange scale claim."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cl_readability_spark.pipeline.pdf_layout import (
+    _parse_toy_pdf,
+    assemble_layout,
+    decode_pdf_boxes,
+    layout_reference,
+    make_toy_pdf,
+    pdf_extract,
+    synthetic_pdfs,
+)
+
+
+def _diff(spark, payloads: dict[int, bytes], **kw):
+    """Run pdf_extract AND layout_reference over the same payloads and
+    assert every output field matches exactly."""
+    df = spark.createDataFrame(
+        [(d, bytearray(p)) for d, p in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in pdf_extract(df, **kw).collect()}
+    assert set(got) == set(payloads)
+    for d, pay in payloads.items():
+        ref = layout_reference(_parse_toy_pdf(pay), **kw)
+        for k, v in ref.items():
+            assert got[d][k] == v, (d, k, got[d][k], v)
+    return got
+
+
+def test_pdf_extract_matches_reference(spark):
+    """The synthetic corpus (two-column pages, repeated header,
+    digit-varying footer, hyphen-split pair, tiny watermark) matches the
+    independent python reference on every field, text included."""
+    pdfs = synthetic_pdfs(spark, n=8)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in pdfs.collect()}
+    got = _diff(spark, payloads)
+    # the constructed features actually fired: repeats removed, tiny
+    # dropped, >1 column, hyphen fused
+    r0 = got[0]
+    assert r0["n_repeated_removed"] > 0
+    assert r0["n_tiny_dropped"] > 0
+    assert "contin-" not in r0["extracted_text"]  # fused
+    assert "continbody" in r0["extracted_text"] or "contin" in r0["extracted_text"]
+    assert "Acme Quarterly" not in r0["extracted_text"]  # header removed
+    assert "Page 1" not in r0["extracted_text"]  # footer removed
+    assert "DRAFT" not in r0["extracted_text"]  # tiny watermark dropped
+
+
+def test_pdf_layout_randomized_differential(spark):
+    """Seeded random box soup — overlapping boxes, whitespace-only and
+    tab-edged text, digit-heavy lines, boxes straddling band edges,
+    single-page docs (repeat rule must NOT fire: min 2 pages) — byte-
+    equal between engine and reference."""
+    rng = random.Random("pdf-diff-1")
+    payloads = {}
+    for d in range(12):
+        n_pages = 1 + rng.randrange(3)
+        pages = []
+        for _pg in range(n_pages):
+            boxes = []
+            for _b in range(rng.randrange(18)):
+                x0 = rng.randrange(0, 500)
+                y0 = rng.randrange(0, 760)
+                w = 10 + rng.randrange(200)
+                h = 8 + rng.randrange(8)
+                size = rng.choice([4.0, 8.0, 9.5, 10.0, 10.0, 12.0])
+                text = rng.choice(
+                    [
+                        f"word{rng.randrange(20)} tail{rng.randrange(5)}",
+                        "Page 7",
+                        "  \t ",
+                        "\tindented text\t",
+                        "1234 5678",
+                        "ends with hyp-",
+                        "lower start",
+                        "",
+                    ]
+                )
+                boxes.append(
+                    (float(x0), float(y0), float(x0 + w), float(y0 + h),
+                     size, text)
+                )
+            pages.append({"w": 612.0, "h": 792.0, "boxes": boxes})
+        payloads[d] = make_toy_pdf(pages)
+    _diff(spark, payloads)
+
+
+def test_pdf_layout_param_differential(spark):
+    """Non-default knobs (bands, gap factor, tiny threshold, repeat
+    fraction) flow identically through both implementations."""
+    pdfs = synthetic_pdfs(spark, n=4, seed=11)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in pdfs.collect()}
+    _diff(
+        spark,
+        payloads,
+        header_band=0.2,
+        footer_band=0.05,
+        para_gap_factor=0.3,
+        min_size_frac=0.8,
+        repeat_frac=0.9,
+        repeat_min_pages=3,
+        col_gap_tol=30.0,
+    )
+
+
+def test_pdf_sentinels_one_row_per_doc(spark):
+    """NULL payload -> 'null_payload', garbage bytes -> 'parse_error'
+    (both with NULL text), a valid zero-box payload -> 'ok' with empty
+    text: every input doc yields exactly one output row."""
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, bytearray(b"\xff\xfe not a pdf")),
+            (3, bytearray(b"PDFFAKE1\npage 612 792")),
+            (4, bytearray(make_toy_pdf(
+                [{"w": 612.0, "h": 792.0,
+                  "boxes": [(50.0, 200.0, 250.0, 212.0, 10.0, "only line")]}]
+            ))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in pdf_extract(df).collect()}
+    assert len(rows) == 4
+    assert rows[1]["status"] == "null_payload"
+    assert rows[1]["extracted_text"] is None
+    assert rows[2]["status"] == "parse_error"
+    assert rows[2]["extracted_text"] is None
+    assert rows[3]["status"] == "ok"
+    assert rows[3]["extracted_text"] == ""
+    assert rows[3]["n_pages"] == 0
+    assert rows[4]["status"] == "ok"
+    assert rows[4]["extracted_text"] == "only line"
+    assert rows[4]["n_pages"] == 1
+    assert rows[4]["chars_out"] == len("only line")
+
+
+def test_pdf_fake_false_raises(spark):
+    """The real-codec contract: non-fake decode raises per the
+    multimodal stub stance (pdfminer absent in this runtime)."""
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="pdfminer"):
+        decode_pdf_boxes(df, fake=False).collect()
+
+
+def test_pdf_layout_authored_golden(spark):
+    """Hand-authored golden DERIVED FROM THE WRITTEN RULES (never from
+    the engine): 2 pages; a repeated top-band header and digit-folded
+    footer are removed; the 4pt margin note is tiny (mean size 76/9 ~
+    8.44, 0.6x -> 5.07); the two body lines 2pt apart form one
+    paragraph whose 'contin-'/'uation' join de-hyphenates; page-1 body
+    follows as its own paragraph."""
+    pages = []
+    for pg in range(2):
+        boxes = [
+            (50.0, 20.0, 250.0, 32.0, 10.0, "Doc Report"),
+            (280.0, 760.0, 330.0, 770.0, 9.0, f"Page {pg + 1}"),
+            (300.0, 400.0, 308.0, 480.0, 4.0, "margin note"),
+        ]
+        if pg == 0:
+            boxes += [
+                (50.0, 200.0, 270.0, 212.0, 10.0, "alpha 7 contin-"),
+                (50.0, 214.0, 270.0, 226.0, 10.0, "uation beta 7"),
+            ]
+        else:
+            boxes += [(50.0, 200.0, 270.0, 212.0, 10.0, "gamma 7 solo")]
+        pages.append({"w": 612.0, "h": 792.0, "boxes": boxes})
+    df = spark.createDataFrame(
+        [(7, bytearray(make_toy_pdf(pages)))], "doc_id long, payload binary"
+    )
+    row = pdf_extract(df).collect()[0]
+    assert row["status"] == "ok"
+    assert (
+        row["extracted_text"]
+        == "alpha 7 continuation beta 7\n\ngamma 7 solo"
+    )
+    assert row["n_pages"] == 2
+    assert row["n_boxes"] == 9
+    assert row["n_tiny_dropped"] == 2
+    assert row["n_lines"] == 7
+    assert row["n_repeated_removed"] == 4
+    assert row["n_paragraphs"] == 2
+
+
+def test_pdf_column_reading_order_golden(spark):
+    """Two true columns (no box spans the gutter): the left column reads
+    fully before the right, top-to-bottom inside each — and a single
+    page means the repeat rule cannot fire (min 2 pages)."""
+    boxes = [
+        (320.0, 300.0, 540.0, 312.0, 10.0, "right later"),
+        (50.0, 300.0, 270.0, 312.0, 10.0, "left second"),
+        (320.0, 200.0, 540.0, 212.0, 10.0, "right first"),
+        (50.0, 200.0, 270.0, 212.0, 10.0, "left first"),
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(make_toy_pdf([{"w": 612.0, "h": 792.0, "boxes": boxes}])))],
+        "doc_id long, payload binary",
+    )
+    row = pdf_extract(df).collect()[0]
+    assert (
+        row["extracted_text"]
+        == "left first\n\nleft second\n\nright first\n\nright later"
+    )
+    assert row["n_repeated_removed"] == 0
+
+
+def test_pdf_word_boxes_do_not_split_columns(spark):
+    """WORD-level boxes: the gap between words is covered by a longer
+    line elsewhere in the column, so the interval-union sweep keeps one
+    column; the words join into one line in x order."""
+    boxes = [
+        (50.0, 200.0, 90.0, 212.0, 10.0, "first"),
+        (130.0, 200.0, 180.0, 212.0, 10.0, "second"),
+        # the long line underneath spans the word gap
+        (50.0, 214.0, 270.0, 226.0, 10.0, "a long covering line below"),
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(make_toy_pdf([{"w": 612.0, "h": 792.0, "boxes": boxes}])))],
+        "doc_id long, payload binary",
+    )
+    row = pdf_extract(df).collect()[0]
+    # 2 lines, one paragraph (2pt gap): the typographic line break
+    # becomes a space at paragraph join
+    assert row["extracted_text"] == "first second a long covering line below"
+    assert row["n_lines"] == 2
+    assert row["n_paragraphs"] == 1
+
+
+def test_pdf_assemble_plan_shape(spark):
+    """Physical-plan golden for the scale claim (module doc): exactly ONE
+    python stage (the Arrow decode) and exactly ONE exchange — on
+    doc_id — for the whole assembly; every window partitions with
+    doc_id as its first key (per-task work bounded by one document)."""
+    import re as _re
+
+    out = pdf_extract(synthetic_pdfs(spark, n=2))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    exch = _re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
+    assert len(exch) == 1 and "doc_id" in exch[0], exch
+    wins = _re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+    assert wins and all("doc_id" in w for w in wins), wins
+
+
+def test_assemble_layout_direct_boxes(spark):
+    """assemble_layout is public for pre-decoded corpora (a real
+    pdfminer adapter lands its boxes here): feeding PDF_BOX_SCHEMA rows
+    directly gives the same result as the composed path."""
+    pdfs = synthetic_pdfs(spark, n=3)
+    boxes = decode_pdf_boxes(pdfs)
+    a = {r["doc_id"]: r.asDict() for r in assemble_layout(boxes).collect()}
+    b = {r["doc_id"]: r.asDict() for r in pdf_extract(pdfs).collect()}
+    assert a == b

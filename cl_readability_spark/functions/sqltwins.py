@@ -2833,6 +2833,119 @@ FROM documents
 """
 
 
+# --- LOCAL twin: conv_flags — conversation-level transcript curation
+#     (functions/transcript_quality.py) re-derived GENERICALLY in
+#     DuckDB: both engines build the SAME transcript corpus closed-form
+#     from documents (4-turn user/assistant/tool/assistant convs with
+#     planted same-speaker violations (doc_id%11), whitespace-only turns
+#     (doc_id%7), end-of-conversation turn_idx gaps (doc_id%17 on the
+#     last turn only — NEVER a duplicate idx: adjacency order on dup idx
+#     is unspecified by contract), and backwards timestamps (doc_id%13)),
+#     then the SQL recomputes every integrity/shape column with its own
+#     window + aggregation.  All four planted pathologies fire on some
+#     conversations and all rules pass on others, so conv_ok carries
+#     signal both ways. ---
+def q_conv_flags(spark, sf_dir):
+    from cl_readability_spark.functions.transcript_quality import (
+        conversation_flags,
+    )
+
+    doc = F.col("doc_id")
+    pos = doc % 4
+    role = F.when(doc % 11 == 0, F.lit("user")).otherwise(
+        F.element_at(
+            F.array(
+                F.lit("user"),
+                F.lit("assistant"),
+                F.lit("tool"),
+                F.lit("assistant"),
+            ),
+            (pos + 1).cast("int"),
+        )
+    )
+    text = F.when(doc % 7 == 0, F.lit(" \t ")).otherwise(F.col("text"))
+    idx = (
+        pos + F.when((pos == 3) & (doc % 17 == 0), F.lit(2)).otherwise(F.lit(0))
+    ).cast("int")
+    ep = (
+        F.lit(1_600_000_000)
+        + doc * 60
+        - F.when(doc % 13 == 0, F.lit(150)).otherwise(F.lit(0))
+    )
+    tr = _docs(spark, sf_dir).select(
+        F.floor(doc / 4).cast("long").cast("string").alias("conv_id"),
+        idx.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        F.timestamp_seconds(ep).alias("ts"),
+    )
+    return conversation_flags(tr)
+
+
+SQL_CONV_FLAGS = """
+WITH t AS (
+  SELECT CAST(doc_id // 4 AS VARCHAR) AS conv_id,
+         CAST(doc_id % 4 + CASE WHEN doc_id % 4 = 3 AND doc_id % 17 = 0
+                                THEN 2 ELSE 0 END AS INTEGER) AS turn_idx,
+         CASE WHEN doc_id % 11 = 0 THEN 'user'
+              ELSE (['user','assistant','tool','assistant'])
+                   [CAST(doc_id % 4 AS INTEGER) + 1] END AS role,
+         CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(9) || ' '
+              ELSE text END AS text,
+         1600000000 + doc_id * 60
+           - CASE WHEN doc_id % 13 = 0 THEN 150 ELSE 0 END AS ep
+  FROM documents
+),
+w AS (
+  SELECT *,
+         lag(role) OVER cw AS prev_role,
+         lag(ep)   OVER cw AS prev_ep,
+         row_number() OVER cw AS rn
+  FROM t
+  WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+agg AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_user,
+         CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_assistant,
+         CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool,
+         CAST(SUM(CASE WHEN regexp_replace(coalesce(text, ''),
+                          '[ \t\n\f\r]+', '', 'g') = ''
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_turns,
+         CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+         CAST(SUM(CASE WHEN role = 'tool'
+                       THEN length(coalesce(text, '')) ELSE 0 END) AS BIGINT)
+           AS tool_chars,
+         arg_min(role, turn_idx) = 'user' AS starts_with_user,
+         CAST(SUM(
+             (CASE WHEN prev_role IS NOT NULL AND role = prev_role
+                        AND prev_role <> 'tool' THEN 1 ELSE 0 END)
+           + (CASE WHEN role = 'tool' AND prev_role IS NOT NULL
+                        AND prev_role NOT IN ('assistant', 'tool')
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN role IS NULL THEN 1 ELSE 0 END)) AS BIGINT)
+           AS role_violations,
+         bool_and(turn_idx = rn - 1) AS idx_contiguous,
+         SUM(CASE WHEN prev_ep IS NOT NULL AND ep < prev_ep
+                  THEN 1 ELSE 0 END) = 0 AS ts_monotonic,
+         CAST(MAX(ep) - MIN(ep) AS BIGINT) AS duration_s
+  FROM w GROUP BY conv_id
+)
+SELECT *,
+       (n_turns BETWEEN 2 AND 10000
+        AND role_violations <= 0
+        AND idx_contiguous AND ts_monotonic
+        AND n_empty_turns * 10000 <= 2000 * n_turns
+        AND tool_chars * 10000 <= 8000 * greatest(total_chars, 1)
+        AND starts_with_user) AS conv_ok
+FROM agg
+"""
+
+
 # DuckDB-parity twins enforced ONLY by the local rehearsal
 # (tests/test_queries_oracle.py) — NOT registered in the driver's
 # queries(): the 50-entry driver cap is full and every remaining row is
@@ -2846,4 +2959,5 @@ LOCAL_TWINS: dict[str, tuple] = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "lm_ppl": (q_lm_ppl, SQL_LM_PPL),
     "pdf_layout_planted": (q_pdf_layout_planted, SQL_PDF_LAYOUT_PLANTED),
+    "conv_flags": (q_conv_flags, SQL_CONV_FLAGS),
 }

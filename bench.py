@@ -279,6 +279,22 @@ def main() -> None:
 
     run("pdf_extract", _pdf_extract)
 
+    # 6g. conversation-level transcript gate over the cached synthetic
+    # corpus (integrity + shape rules; one conv-keyed exchange)
+    from cl_readability_spark.functions.transcript_quality import (
+        conversation_flags,
+    )
+
+    def _conv_flags():
+        out = conversation_flags(corpus, require_user_start=False)
+        return int(
+            out.agg(
+                F.sum(F.col("conv_ok").cast("long")),
+            ).collect()[0][0]
+        )
+
+    run("conversation_flags", _conv_flags)
+
     # 7. raw-corpus ANN LSH top-k (the retired rows-only registry entry
     # lives on here; the operator's correctness row is ann_lsh_planted)
     from cl_readability_spark.functions.similarity import lsh_bucketed_topk

@@ -250,6 +250,67 @@ def test_pdf_assemble_plan_shape(spark):
     assert wins and all("doc_id" in w for w in wins), wins
 
 
+def test_pdf_front_end_composes_into_curate(spark):
+    """The PDF front-end is interchangeable with the HTML one: its
+    (doc_id, extracted_text) output flows straight into the standard
+    curate() chain — planted whole-doc duplicates dedup, short husks
+    fall to the quality gate."""
+    from cl_readability_spark.functions.curation import curate
+
+    pages = [
+        {
+            "w": 612.0,
+            "h": 792.0,
+            "boxes": [
+                (50.0, 200.0 + 14 * k, 270.0, 212.0 + 14 * k, 10.0,
+                 f"shared body line {k} with enough words to pass the gate")
+                for k in range(8)
+            ],
+        }
+    ]
+    dup_pay = bytearray(make_toy_pdf(pages))
+    uniq = [
+        (
+            i,
+            bytearray(
+                make_toy_pdf(
+                    [
+                        {
+                            "w": 612.0,
+                            "h": 792.0,
+                            "boxes": [
+                                (50.0, 200.0 + 14 * k, 270.0, 212.0 + 14 * k,
+                                 10.0,
+                                 f"unique doc {i} line {k} rambling filler "
+                                 f"words to clear the length gate easily")
+                                for k in range(8)
+                            ],
+                        }
+                    ]
+                )
+            ),
+        )
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        uniq + [(10, dup_pay), (11, dup_pay), (12, dup_pay)],
+        "doc_id long, payload binary",
+    )
+    extracted = pdf_extract(df).filter(F.col("status") == "ok")
+    curated = curate(
+        extracted,
+        text_col="extracted_text",
+        key_cols=("doc_id",),
+        min_chars=50,
+        min_stopword_bp=0,
+    )
+    rows = {r["doc_id"]: r for r in curated.collect()}
+    assert len(rows) == 7
+    dup_kept = [d for d in (10, 11, 12) if rows[d]["kept"]]
+    assert len(dup_kept) == 1  # exact duplicates collapse to one
+    assert all(rows[i]["kept"] for i in range(4))
+
+
 def test_assemble_layout_direct_boxes(spark):
     """assemble_layout is public for pre-decoded corpora (a real
     pdfminer adapter lands its boxes here): feeding PDF_BOX_SCHEMA rows

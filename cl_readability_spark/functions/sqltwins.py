@@ -2714,6 +2714,66 @@ FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
 """
 
 
+# --- 19e. pdf_layout_planted — the PDF/layout-parse front-end
+#     (pipeline/pdf_layout.py: toy-format Arrow decode → pure-JVM layout
+#     assembly) hash-checked end to end by the media_planted recipe:
+#     payload = a closed-form toy PDF built per doc_id (two pages, a
+#     repeated top-band header, a digit-folding footer, a 4pt margin
+#     note, a hyphen-split body pair, a page-1 solo body line), so every
+#     layout rule fires with a KNOWN outcome: header+footer removed (4
+#     lines), margin notes tiny-dropped (mean size 76/9 ~ 8.44, 0.6x ->
+#     5.07 > 4), the contin-/uation join de-hyphenates, paragraphs read
+#     in (page, column, y) order.  Expected text and all seven metric
+#     columns are closed-form in doc_id — a broken sweep, band rule,
+#     fold, fusion regex, or metric sum flips the comparison.  DRIVER
+#     row since round 7 (funded by retiring the rows-only span_explode
+#     entry — see the NOTE in __spark_entry__.py). ---
+def q_pdf_layout_planted(spark, sf_dir):
+    from cl_readability_spark.pipeline.pdf_layout import pdf_extract
+
+    d = F.col("doc_id").cast("string")
+    payload = F.encode(
+        F.concat_ws(
+            "\n",
+            F.lit("PDFFAKE1"),
+            F.lit("page 612 792"),
+            F.lit("box 50 20 250 32 10 Doc Report"),
+            F.lit("box 280 760 330 770 9 Page 1"),
+            F.lit("box 300 400 308 480 4 margin note"),
+            F.concat(F.lit("box 50 200 270 212 10 alpha "), d, F.lit(" contin-")),
+            F.concat(F.lit("box 50 214 270 226 10 uation beta "), d),
+            F.lit("page 612 792"),
+            F.lit("box 50 20 250 32 10 Doc Report"),
+            F.lit("box 280 760 330 770 9 Page 2"),
+            F.lit("box 300 400 308 480 4 margin note"),
+            F.concat(F.lit("box 50 200 270 212 10 gamma "), d, F.lit(" solo")),
+        ),
+        "UTF-8",
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", payload.alias("payload"))
+    return pdf_extract(docs)
+
+
+SQL_PDF_LAYOUT_PLANTED = """
+SELECT doc_id,
+       'ok' AS status,
+       'alpha ' || doc_id || ' continuation beta ' || doc_id ||
+         chr(10) || chr(10) || 'gamma ' || doc_id || ' solo'
+         AS extracted_text,
+       CAST(2 AS INTEGER) AS n_pages,
+       CAST(9 AS BIGINT) AS n_boxes,
+       CAST(2 AS BIGINT) AS n_tiny_dropped,
+       CAST(7 AS BIGINT) AS n_lines,
+       CAST(4 AS BIGINT) AS n_repeated_removed,
+       CAST(2 AS BIGINT) AS n_paragraphs,
+       CAST(length('alpha ' || doc_id || ' continuation beta ' || doc_id
+                   || chr(10) || chr(10) || 'gamma ' || doc_id || ' solo')
+            AS BIGINT) AS chars_out
+FROM documents
+"""
+
+
+
 SQL_TWINS: dict[str, tuple] = {
     "normalize_ws": (q_normalize_ws, SQL_NORMALIZE_WS),
     "word_count": (q_word_count, SQL_WORD_COUNT),
@@ -2768,69 +2828,12 @@ SQL_TWINS: dict[str, tuple] = {
         q_substring_dedup_planted,
         SQL_SUBSTRING_DEDUP_PLANTED,
     ),
+    "pdf_layout_planted": (q_pdf_layout_planted, SQL_PDF_LAYOUT_PLANTED),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),
     "user_event_seq": (q_user_event_seq, SQL_USER_EVENT_SEQ),
 }
-
-
-# --- LOCAL twin: pdf_layout_planted — the PDF/layout-parse front-end
-#     (pipeline/pdf_layout.py: toy-format Arrow decode → pure-JVM layout
-#     assembly) hash-checked end to end by the media_planted recipe:
-#     payload = a closed-form toy PDF built per doc_id (two pages, a
-#     repeated top-band header, a digit-folding footer, a 4pt margin
-#     note, a hyphen-split body pair, a page-1 solo body line), so every
-#     layout rule fires with a KNOWN outcome: header+footer removed (4
-#     lines), margin notes tiny-dropped (mean size 76/9 ~ 8.44, 0.6x ->
-#     5.07 > 4), the contin-/uation join de-hyphenates, paragraphs read
-#     in (page, column, y) order.  Expected text and all seven metric
-#     columns are closed-form in doc_id — a broken sweep, band rule,
-#     fold, fusion regex, or metric sum flips the comparison.  Lives in
-#     LOCAL_TWINS (driver registry at its 50-row cap). ---
-def q_pdf_layout_planted(spark, sf_dir):
-    from cl_readability_spark.pipeline.pdf_layout import pdf_extract
-
-    d = F.col("doc_id").cast("string")
-    payload = F.encode(
-        F.concat_ws(
-            "\n",
-            F.lit("PDFFAKE1"),
-            F.lit("page 612 792"),
-            F.lit("box 50 20 250 32 10 Doc Report"),
-            F.lit("box 280 760 330 770 9 Page 1"),
-            F.lit("box 300 400 308 480 4 margin note"),
-            F.concat(F.lit("box 50 200 270 212 10 alpha "), d, F.lit(" contin-")),
-            F.concat(F.lit("box 50 214 270 226 10 uation beta "), d),
-            F.lit("page 612 792"),
-            F.lit("box 50 20 250 32 10 Doc Report"),
-            F.lit("box 280 760 330 770 9 Page 2"),
-            F.lit("box 300 400 308 480 4 margin note"),
-            F.concat(F.lit("box 50 200 270 212 10 gamma "), d, F.lit(" solo")),
-        ),
-        "UTF-8",
-    )
-    docs = _docs(spark, sf_dir).select("doc_id", payload.alias("payload"))
-    return pdf_extract(docs)
-
-
-SQL_PDF_LAYOUT_PLANTED = """
-SELECT doc_id,
-       'ok' AS status,
-       'alpha ' || doc_id || ' continuation beta ' || doc_id ||
-         chr(10) || chr(10) || 'gamma ' || doc_id || ' solo'
-         AS extracted_text,
-       CAST(2 AS INTEGER) AS n_pages,
-       CAST(9 AS BIGINT) AS n_boxes,
-       CAST(2 AS BIGINT) AS n_tiny_dropped,
-       CAST(7 AS BIGINT) AS n_lines,
-       CAST(4 AS BIGINT) AS n_repeated_removed,
-       CAST(2 AS BIGINT) AS n_paragraphs,
-       CAST(length('alpha ' || doc_id || ' continuation beta ' || doc_id
-                   || chr(10) || chr(10) || 'gamma ' || doc_id || ' solo')
-            AS BIGINT) AS chars_out
-FROM documents
-"""
 
 
 # --- LOCAL twin: conv_flags — conversation-level transcript curation
@@ -2958,6 +2961,5 @@ LOCAL_TWINS: dict[str, tuple] = {
     ),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "lm_ppl": (q_lm_ppl, SQL_LM_PPL),
-    "pdf_layout_planted": (q_pdf_layout_planted, SQL_PDF_LAYOUT_PLANTED),
     "conv_flags": (q_conv_flags, SQL_CONV_FLAGS),
 }

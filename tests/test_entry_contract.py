@@ -38,7 +38,12 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     # falls off the correctness surface (it happened to span_explode in
     # round 5) — pin the cap and the queries that were at risk
     assert len(q) <= entry_mod.DRIVER_QUERY_CAP
-    assert "span_explode" in q
+    # span_explode was the round-5 cap casualty; it is retired on
+    # purpose since round 7 (pdf_layout_planted funded by it) — pin the
+    # hash-checked replacement AND the invariants twin that subsumes it
+    assert "span_explode" not in q
+    assert "pdf_layout_planted" in q
+    assert "span_invariants" in q
 
 
 def test_every_query_runs(spark, entry_mod):

@@ -70,6 +70,25 @@ def main(argv: list[str]) -> int:
     p.add_argument("--pack-stride", type=int, default=None,
                    help="chunk stride (default = --pack: disjoint windows; "
                         "smaller overlaps adjacent windows)")
+    p.add_argument("--conv-gate", action="store_true",
+                   help="drop whole conversations that fail the "
+                        "conversation-level integrity/shape gate "
+                        "(functions/transcript_quality.py "
+                        "conversation_flags: role protocol, turn_idx "
+                        "contiguity, ts monotonicity, empty-turn and "
+                        "tool-output mass) before extraction — broken "
+                        "conversations never reach a python worker")
+    p.add_argument("--conv-max-violations", type=int, default=0,
+                   help="with --conv-gate, tolerate up to N role-"
+                        "protocol violations per conversation (default "
+                        "0 = strict; corpora with free-form role "
+                        "sequences want a higher bound or a large "
+                        "sentinel to gate on structure rules only)")
+    p.add_argument("--conv-require-user-start", action="store_true",
+                   help="with --conv-gate, additionally require the "
+                        "first turn's role to be 'user' (off by "
+                        "default: synthetic/agent corpora open with "
+                        "system or assistant turns legitimately)")
     p.add_argument("--pin", choices=["sink", "disk", "memory"], default="sink",
                    help="how the single extraction/flag pass is shared by the "
                         "near-dup branch and the write/report consumers: "
@@ -89,6 +108,35 @@ def main(argv: list[str]) -> int:
     spark = get_or_build_session("cl-readability-curate")
     transcripts = spark.read.parquet(args.input)
     t0 = time.time()
+    conv_stats = None
+    if args.conv_gate:
+        from cl_readability_spark.functions.transcript_quality import (
+            conversation_flags,
+        )
+
+        flags = conversation_flags(
+            transcripts,
+            require_user_start=args.conv_require_user_start,
+            max_role_violations=args.conv_max_violations,
+        )
+        # two evaluations of the conv aggregation (count + semi-join),
+        # both over the pure parquet scan — deterministic, and the slim
+        # aggregation is cheap next to extraction (441k turns/s at 1M);
+        # the semi-join keys on conv_id, the same key the extraction's
+        # salted repartition consumes downstream
+        counts = flags.agg(
+            F.count("*").alias("convs"),
+            F.sum(F.col("conv_ok").cast("long")).alias("kept"),
+        ).collect()[0]
+        conv_stats = {
+            "convs_in": int(counts["convs"]),
+            "convs_kept": int(counts["kept"]),
+        }
+        transcripts = transcripts.join(
+            flags.filter(F.col("conv_ok")).select("conv_id"),
+            "conv_id",
+            "left_semi",
+        )
     extracted = extract_transcripts(
         transcripts,
         salt_buckets=args.salt_buckets,
@@ -291,6 +339,8 @@ def main(argv: list[str]) -> int:
         report["pack_fill"] = round(
             pk["tokens"] / (pk["packs"] * args.pack), 4
         ) if pk["packs"] else None
+    if conv_stats is not None:
+        report["conv_gate"] = conv_stats
     report["seconds"] = round(time.time() - t0, 2)
     report["output"] = args.output
     report["pin"] = args.pin

@@ -2949,6 +2949,50 @@ FROM agg
 """
 
 
+# --- LOCAL twin: textnorm — the CCNet-style normalization chain
+#     (functions/textnorm.py) re-derived in DuckDB with DuckDB's OWN
+#     unicode machinery (nfc_normalize / strip_accents / lower), so the
+#     python-unicodedata Arrow stage must agree byte-for-byte with an
+#     independent engine on planted composed ('é'), decomposed
+#     ('E'+U+0301), diaeresis, ligature (U+FB01), digit, and
+#     tab/multi-space text.  Order pinned by both sides: form → strip
+#     accents → lower → fold digits → collapse whitespace. ---
+def q_textnorm(spark, sf_dir):
+    from cl_readability_spark.functions.textnorm import normalize_text
+
+    # explicit escapes: composed e-acute, then DECOMPOSED E + combining
+    # acute (NFC must unify them), I-diaeresis, fi-ligature U+FB01
+    planted = F.concat(
+        F.lit("Caf\u00e9 CAFE\u0301 12"),
+        F.col("doc_id").cast("string"),
+        F.lit("\tNA\u00cfVE  \ufb01n"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    out = normalize_text(
+        docs,
+        form="NFC",
+        strip_accents=True,
+        lowercase=True,
+        fold_digits=True,
+        collapse_ws=True,
+    )
+    return out.select("doc_id", "norm_text")
+
+
+SQL_TEXTNORM = """
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           lower(strip_accents(nfc_normalize(
+             'Caf' || chr(233) || ' CAFE' || chr(769) || ' 12'
+             || doc_id || chr(9) || 'NA' || chr(207) || 'VE  '
+             || chr(64257) || 'n'))),
+           '[0-9]', '0', 'g'),
+         '[ \t\n\f\r]+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 # DuckDB-parity twins enforced ONLY by the local rehearsal
 # (tests/test_queries_oracle.py) — NOT registered in the driver's
 # queries(): the 50-entry driver cap is full and every remaining row is
@@ -2962,4 +3006,5 @@ LOCAL_TWINS: dict[str, tuple] = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "lm_ppl": (q_lm_ppl, SQL_LM_PPL),
     "conv_flags": (q_conv_flags, SQL_CONV_FLAGS),
+    "textnorm": (q_textnorm, SQL_TEXTNORM),
 }

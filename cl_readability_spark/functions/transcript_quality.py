@@ -73,6 +73,16 @@ def conversation_flags(
     violation wherever it appears.  Join the output back on
     ``conv_col`` (broadcast if the kept set is small) or semi-join
     ``filter(conv_ok)`` to gate the turn table."""
+    # kwarg guards before any plan is built (the minhash_banding
+    # ADVICE stance)
+    if min_turns < 1:
+        raise ValueError("min_turns must be >= 1")
+    if max_turns < min_turns:
+        raise ValueError("max_turns must be >= min_turns")
+    if max_role_violations < 0:
+        raise ValueError("max_role_violations must be >= 0")
+    if max_empty_turn_bp < 0 or max_tool_char_bp < 0:
+        raise ValueError("bp thresholds must be >= 0")
     conv = F.col(conv_col)
     role = F.col(role_col)
     text = F.coalesce(F.col(text_col), F.lit(""))

@@ -276,6 +276,18 @@ def assemble_layout(
     string — decoded-but-no-content, distinct from undecodable.
 
     Scale shape: single doc-keyed exchange, see module doc."""
+    # kwarg guards BEFORE any plan is built (the minhash_banding
+    # ADVICE stance: reject nonsense at call time, not mid-action)
+    if not (0.0 <= header_band <= 1.0) or not (0.0 <= footer_band <= 1.0):
+        raise ValueError("header_band/footer_band must be fractions in [0, 1]")
+    if repeat_min_pages < 1:
+        raise ValueError("repeat_min_pages must be >= 1")
+    if not (0.0 <= repeat_frac <= 1.0):
+        raise ValueError("repeat_frac must be in [0, 1]")
+    if col_gap_tol < 0 or para_gap_factor < 0 or min_size_frac < 0:
+        raise ValueError(
+            "col_gap_tol/para_gap_factor/min_size_frac must be >= 0"
+        )
     w_doc = Window.partitionBy("doc_id")
     b = boxes.withColumn(
         "_btext", F.regexp_replace(F.col("text"), _BOX_TRIM_RE, "")

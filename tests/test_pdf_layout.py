@@ -233,6 +233,20 @@ def test_pdf_word_boxes_do_not_split_columns(spark):
     assert row["n_paragraphs"] == 1
 
 
+def test_pdf_layout_kwarg_guards(spark):
+    """Nonsense knobs are rejected at call time, before any action."""
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    boxes = decode_pdf_boxes(df)
+    with pytest.raises(ValueError, match="band"):
+        assemble_layout(boxes, header_band=1.5)
+    with pytest.raises(ValueError, match="repeat_min_pages"):
+        assemble_layout(boxes, repeat_min_pages=0)
+    with pytest.raises(ValueError, match="repeat_frac"):
+        assemble_layout(boxes, repeat_frac=-0.1)
+    with pytest.raises(ValueError, match=">= 0"):
+        assemble_layout(boxes, min_size_frac=-1)
+
+
 def test_pdf_assemble_plan_shape(spark):
     """Physical-plan golden for the scale claim (module doc): exactly ONE
     python stage (the Arrow decode) and exactly ONE exchange — on

@@ -256,6 +256,18 @@ def test_synthetic_corpus_differential(spark):
             assert got[c][k] == v, (c, k, got[c][k], v)
 
 
+def test_conversation_flags_kwarg_guards(spark):
+    df = _conv(spark, [("c", 0, "user", "a", 0)])
+    with pytest.raises(ValueError, match="min_turns"):
+        conversation_flags(df, min_turns=0)
+    with pytest.raises(ValueError, match="max_turns"):
+        conversation_flags(df, min_turns=5, max_turns=4)
+    with pytest.raises(ValueError, match="max_role_violations"):
+        conversation_flags(df, max_role_violations=-1)
+    with pytest.raises(ValueError, match="bp"):
+        conversation_flags(df, max_empty_turn_bp=-1)
+
+
 def test_conversation_flags_plan_shape(spark):
     """One conv-keyed exchange serves both the adjacency window and the
     aggregation; no python stage."""

@@ -612,3 +612,225 @@ def streaming_exact_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_conversation_flags(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    session_gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    min_turns: int = 2,
+    max_turns: int = 10_000,
+    require_user_start: bool = True,
+    max_role_violations: int = 0,
+    max_empty_turn_bp: int = 2000,
+    max_tool_char_bp: int = 8000,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The conversation-level integrity gate
+    (functions/transcript_quality.py) as a streaming query — pure JVM,
+    no python state: one watermarked ``session_window`` aggregation per
+    (session, conv_id) computes the shape columns with standard
+    aggregates, and the ADJACENCY rules (role protocol, turn-index
+    contiguity, timestamp monotonicity) — which the batch operator gets
+    from a window+lag pass that streaming aggregation cannot express —
+    are computed AFTER the aggregation from the sorted per-conversation
+    turn array (``zip_with`` over two ``slice``s, the DSIR pair-build
+    recipe; the arrays are bounded by one conversation's turns inside
+    one session window, and the session state is bounded by the
+    watermark horizon either way).
+
+    Semantics vs batch (pinned by the equality test in
+    tests/test_streaming_multimodal.py): for a conversation whose turns
+    all fall inside ONE session window (no intra-conversation idle gap
+    >= ``session_gap``), the emitted row equals the batch
+    ``conversation_flags`` row column-for-column.  A conversation
+    spanning a longer idle gap emits one row PER SESSION — the gate
+    decision is per session window by design (choose ``session_gap``
+    above the corpus's max intra-conversation idle for whole-
+    conversation semantics).  Turns later than the watermark are
+    DROPPED by the aggregation (standard append-mode contract): the
+    conversation's emitted flags then describe its on-time turns only —
+    ``conversation_flags_stale_ids`` surfaces every such conversation
+    (sink turn-count != corpus turn-count, or absent/pending) for the
+    batch-gate backstop, the near_dup_unjudged_ids recovery pattern.
+
+    Rows are emitted once the watermark passes the session's end; under
+    ``availableNow`` the trailing open sessions stay pending until a
+    later run's data advances the watermark (the horizon-batch note on
+    the other producers)."""
+    from pyspark.sql import functions as F
+
+    if min_turns < 1 or max_turns < min_turns:
+        raise ValueError("need 1 <= min_turns <= max_turns")
+    if max_role_violations < 0 or max_empty_turn_bp < 0 or max_tool_char_bp < 0:
+        raise ValueError("thresholds must be >= 0")
+
+    sent = "\x00"
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    role = F.col("role")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    is_empty = F.regexp_replace(text, "[ \t\n\f\r]+", "") == ""
+    nchars = F.length(text).cast("long")
+    turn = F.struct(
+        F.col("turn_idx").cast("long").alias("i"),
+        F.coalesce(role, F.lit(sent)).alias("r"),
+        F.unix_timestamp("ts").alias("e"),
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", session_gap), F.col("conv_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum((role == "user").cast("long")).alias("n_user"),
+            F.sum((role == "assistant").cast("long")).alias("n_assistant"),
+            F.sum((role == "tool").cast("long")).alias("n_tool"),
+            F.sum(is_empty.cast("long")).alias("n_empty_turns"),
+            F.sum(nchars).alias("total_chars"),
+            F.sum(F.when(role == "tool", nchars).otherwise(F.lit(0))).alias(
+                "tool_chars"
+            ),
+            (
+                F.min(
+                    F.struct(
+                        F.col("turn_idx").cast("long").alias("i"),
+                        F.coalesce(role, F.lit(sent)).alias("r"),
+                    )
+                )["r"]
+                == "user"
+            ).alias("starts_with_user"),
+            F.sum(role.isNull().cast("long")).alias("_null_roles"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).cast("long").alias("duration_s"),
+            F.array_sort(F.collect_list(turn)).alias("_turns"),
+        )
+    )
+    n1 = F.greatest(F.size("_turns") - 1, F.lit(0))
+    prev = F.slice(F.col("_turns"), 1, n1)
+    nxt = F.slice(F.col("_turns"), 2, n1)
+    pair_viol = F.zip_with(
+        prev,
+        nxt,
+        lambda p, q: (
+            (
+                (q["r"] == p["r"]) & (p["r"] != "tool") & (p["r"] != sent)
+            ).cast("long")
+            + (
+                (q["r"] == "tool")
+                & (p["r"] != sent)
+                & ~p["r"].isin("assistant", "tool")
+            ).cast("long")
+        ),
+    )
+    out = (
+        agg.withColumn(
+            "role_violations",
+            F.aggregate(pair_viol, F.lit(0).cast("long"), lambda a, x: a + x)
+            + F.col("_null_roles"),
+        )
+        .withColumn(
+            "idx_contiguous",
+            F.forall(
+                F.zip_with(
+                    F.col("_turns"),
+                    F.sequence(F.lit(0), F.size("_turns") - 1),
+                    lambda t, k: t["i"] == k.cast("long"),
+                ),
+                lambda x: x,
+            ),
+        )
+        .withColumn(
+            "ts_monotonic",
+            F.aggregate(
+                F.zip_with(
+                    prev, nxt, lambda p, q: (q["e"] < p["e"]).cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            == 0,
+        )
+    )
+    ok = (
+        (F.col("n_turns") >= min_turns)
+        & (F.col("n_turns") <= max_turns)
+        & (F.col("role_violations") <= max_role_violations)
+        & F.col("idx_contiguous")
+        & F.col("ts_monotonic")
+        & (
+            F.col("n_empty_turns") * 10_000
+            <= F.lit(int(max_empty_turn_bp)) * F.col("n_turns")
+        )
+        & (
+            F.col("tool_chars") * 10_000
+            <= F.lit(int(max_tool_char_bp))
+            * F.greatest(F.col("total_chars"), F.lit(1))
+        )
+    )
+    if require_user_start:
+        ok = ok & F.col("starts_with_user")
+    out = out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "conv_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "n_tool",
+        "n_empty_turns",
+        "total_chars",
+        "tool_chars",
+        "starts_with_user",
+        "role_violations",
+        "idx_contiguous",
+        "ts_monotonic",
+        "duration_s",
+        ok.alias("conv_ok"),
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def conversation_flags_stale_ids(
+    spark: SparkSession,
+    output_path: str,
+    corpus: DataFrame,
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Conversations whose streaming gate verdict is STALE or MISSING —
+    the batch-backstop recovery hook (the near_dup_unjudged_ids
+    pattern): a conv is returned when the sink's summed per-session
+    turn count differs from the corpus's (some turns were dropped by
+    the watermark, or split sessions are still pending) or the conv has
+    no sink row at all (entirely pending/dropped).  Re-gate exactly
+    these with the batch ``conversation_flags`` over the corpus.
+    An UNFLUSHED sink (nothing emitted yet) returns every conversation."""
+    from pyspark.sql import functions as F
+
+    want = corpus.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.count("*").cast("long").alias("_want")
+    )
+    sink = _read_band_sink(spark, output_path)
+    if sink is None:
+        return want.select("conv_id")
+    got = sink.groupBy("conv_id").agg(F.sum("n_turns").alias("_got"))
+    return (
+        want.join(got, "conv_id", "left")
+        .filter(F.col("_got").isNull() | (F.col("_got") != F.col("_want")))
+        .select("conv_id")
+    )

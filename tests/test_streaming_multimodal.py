@@ -731,3 +731,181 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
     assert final.count() == 3
     texts = sorted(r.text for r in final.select("text").collect())
     assert texts == ["a brand new text", "a different text", "the same text body"]
+
+
+def _conv_batch(spark, rows, hour, minute=0):
+    """rows: [(conv_id, turn_idx, role, text, tool, +sec)] at the given
+    wall hour (event time = hour:minute + sec)."""
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1, hour, minute, 0)
+    return spark.createDataFrame(
+        [
+            (c, i, r, t, tool, base + datetime.timedelta(seconds=s))
+            for (c, i, r, t, tool, s) in rows
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_streaming_conversation_flags_matches_batch(spark, tmp_path):
+    """The streaming conversation gate (session-window aggregation +
+    array-derived adjacency rules) must equal the batch
+    conversation_flags column-for-column for conversations whose turns
+    fall inside one session window — including a conversation each
+    integrity rule rejects.  Sessions flush when later event time
+    passes the watermark (append-mode contract)."""
+    from cl_readability_spark.functions.transcript_quality import (
+        conversation_flags,
+    )
+    from cl_readability_spark.pipeline.streaming import (
+        streaming_conversation_flags,
+    )
+
+    inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    rows = [
+        # clean conversation
+        ("ok", 0, "user", "hello there", None, 0),
+        ("ok", 1, "assistant", "calling", None, 30),
+        ("ok", 2, "tool", "result", "calc", 31),
+        ("ok", 3, "assistant", "done", None, 60),
+        # same-speaker violation
+        ("viol", 0, "user", "a", None, 0),
+        ("viol", 1, "user", "b", None, 10),
+        # turn_idx gap
+        ("gap", 0, "user", "a", None, 0),
+        ("gap", 2, "assistant", "b", None, 10),
+        # backwards timestamp
+        ("back", 0, "user", "a", None, 100),
+        ("back", 1, "assistant", "b", None, 40),
+        # empty-turn mass over the default 2000 bp (1 of 2)
+        ("empty", 0, "user", "a", None, 0),
+        ("empty", 1, "assistant", " \t ", None, 10),
+    ]
+    corpus = _conv_batch(spark, rows, 12)
+    corpus.write.parquet(inp + "/b1")
+
+    def run():
+        q = streaming_conversation_flags(spark, inp + "/*", out, cp)
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    # horizon batch advances the watermark past every session's end
+    _conv_batch(
+        spark, [("horizon", 0, "user", "x", None, 0)], 17
+    ).write.parquet(inp + "/b2")
+    run()
+
+    got = {
+        r["conv_id"]: r.asDict() for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == {"ok", "viol", "gap", "back", "empty"}  # horizon pending
+    want = {
+        r["conv_id"]: r.asDict()
+        for r in conversation_flags(corpus).collect()
+    }
+    for c, exp in want.items():
+        for k, v in exp.items():
+            assert got[c][k] == v, (c, k, got[c][k], v)
+    assert got["ok"]["conv_ok"]
+    assert not any(
+        got[c]["conv_ok"] for c in ("viol", "gap", "back", "empty")
+    )
+
+
+def test_streaming_conversation_flags_late_data_and_stale_ids(spark, tmp_path):
+    """Late-data contract + recovery hook: a turn older than the
+    advanced watermark is dropped by the session aggregation, so its
+    conversation's emitted flags describe the on-time turns only —
+    conversation_flags_stale_ids surfaces exactly the affected
+    conversations (count mismatch or pending) for the batch backstop,
+    and the batch gate over the full corpus gives the true verdict."""
+    from cl_readability_spark.functions.transcript_quality import (
+        conversation_flags,
+    )
+    from cl_readability_spark.pipeline.streaming import (
+        conversation_flags_stale_ids,
+        streaming_conversation_flags,
+    )
+
+    inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    b1 = [
+        ("c1", 0, "user", "hi", None, 0),
+        ("c1", 1, "assistant", "yo", None, 10),
+        ("c2", 0, "user", "aa", None, 0),
+    ]
+    _conv_batch(spark, b1, 12).write.parquet(inp + "/b1")
+
+    def run():
+        q = streaming_conversation_flags(spark, inp + "/*", out, cp)
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    # horizon closes the 12:00 sessions, THEN c2's second turn arrives
+    # with 12:00-era event time — far older than the watermark: dropped
+    _conv_batch(
+        spark, [("h", 0, "user", "x", None, 0)], 17
+    ).write.parquet(inp + "/b2")
+    run()
+    late = [("c2", 1, "assistant", "late reply", None, 20)]
+    _conv_batch(spark, late, 12).write.parquet(inp + "/b3")
+    run()
+
+    sink = {r["conv_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert sink["c2"]["n_turns"] == 1  # the late turn is NOT in the verdict
+    assert not sink["c2"]["conv_ok"]  # 1 on-time turn < min_turns
+
+    corpus = _conv_batch(spark, b1 + late, 12).unionByName(
+        _conv_batch(spark, [("h", 0, "user", "x", None, 0)], 17)
+    )
+    stale = {
+        r["conv_id"]
+        for r in conversation_flags_stale_ids(spark, out, corpus).collect()
+    }
+    # c2: sink saw 1 of its 2 turns; h: still pending — both stale; c1 not
+    assert stale == {"c2", "h"}
+    # the batch backstop over the full corpus gives the true verdict
+    batch = {
+        r["conv_id"]: r.asDict() for r in conversation_flags(corpus).collect()
+    }
+    assert batch["c2"]["n_turns"] == 2 and batch["c2"]["conv_ok"]
+
+
+def test_streaming_conversation_flags_session_split(spark, tmp_path):
+    """A conversation idle longer than session_gap emits one gated row
+    per session — the documented per-session semantics (pick the gap
+    above the corpus's max idle for whole-conversation rows)."""
+    from cl_readability_spark.pipeline.streaming import (
+        streaming_conversation_flags,
+    )
+
+    inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    rows1 = [
+        ("s", 0, "user", "first burst", None, 0),
+        ("s", 1, "assistant", "reply", None, 10),
+    ]
+    # second burst 2 hours later — far beyond the 30-minute gap
+    rows2 = [
+        ("s", 2, "user", "second burst", None, 0),
+        ("s", 3, "assistant", "reply two", None, 10),
+    ]
+    _conv_batch(spark, rows1, 12).write.parquet(inp + "/b1")
+    _conv_batch(spark, rows2, 14).write.parquet(inp + "/b2")
+    _conv_batch(spark, [("h", 0, "user", "x", None, 0)], 19).write.parquet(
+        inp + "/b3"
+    )
+    q = streaming_conversation_flags(spark, inp + "/*", out, cp)
+    q.awaitTermination(120)
+    q.stop()
+    rows = [
+        r.asDict()
+        for r in spark.read.parquet(out).filter(F.col("conv_id") == "s").collect()
+    ]
+    assert len(rows) == 2
+    by_start = sorted(rows, key=lambda r: r["session_start"])
+    assert [r["n_turns"] for r in by_start] == [2, 2]
+    # the second session starts at turn_idx 2 → idx_contiguous False there
+    assert by_start[0]["idx_contiguous"] and not by_start[1]["idx_contiguous"]

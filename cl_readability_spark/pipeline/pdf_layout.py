@@ -4,9 +4,10 @@ The north-star extraction pipeline names three front-ends — HTML
 boilerplate strip (core/extract.py), DOM heuristics (core/dom.py), and
 PDF/LAYOUT PARSE — this module is the third.  The reference
 (cl-readability) is HTML-only, so the layout semantics here follow the
-published document-layout-analysis literature instead: single-level
-projection-profile column splitting (the x-sweep of recursive XY-cut,
-Nagy & Seth 1984), y-overlap line grouping (O'Gorman's docstrum
+published document-layout-analysis literature instead: two-level
+projection-profile cutting (a y-section sweep, then an x-column sweep
+per section — the alternating cuts of recursive XY-cut, Nagy & Seth
+1984), y-overlap line grouping (O'Gorman's docstrum
 neighborhood idea collapsed to 1-D), cross-page repeated header/footer
 removal (the standard pdfplumber/GROBID recipe: digit-folded line text
 repeating at the same page edge on enough pages), vertical-gap paragraph
@@ -220,6 +221,7 @@ def decode_pdf_boxes(
 def assemble_layout(
     boxes: DataFrame,
     col_gap_tol: float = 1.0,
+    band_gap_tol: float = 32.0,
     header_band: float = 0.1,
     footer_band: float = 0.1,
     repeat_min_pages: int = 2,
@@ -236,14 +238,22 @@ def assemble_layout(
     1. **Tiny-text drop** — boxes with ``size < min_size_frac x`` the
        doc's mean box size are marginalia (page furniture, watermarks)
        and are dropped with accounting (``n_tiny_dropped``).
-    2. **Column split** — per page, sweep boxes by x0 keeping the
-       running max of x1: a box starting beyond the running coverage
-       (+``col_gap_tol``) opens a new column.  This is interval-union
-       gap-finding: a gutter only splits if NO box on the page spans it,
-       so word gaps inside lines never do (some longer line covers
-       them), while a true two-column gutter does.  One level of the
-       XY-cut x-projection; page-wide titles above the columns simply
-       join them into one column for their own row span — accepted.
+    2. **Section split, then column split** — the two XY-cut levels.
+       First a y-sweep per page: a vertical whitespace gap wider than
+       ``band_gap_tol`` (points) that NO box spans starts a new
+       SECTION — this is what separates a page-wide title banner from
+       the column region below it, so the banner cannot bridge the
+       columns' gutter.  ``band_gap_tol`` must exceed intra-column
+       paragraph spacing (default 32pt): a smaller value would shred
+       one column run into sections and interleave the columns
+       section-by-section.  Then the x-sweep per (page, section):
+       a box starting beyond the running x-coverage (+``col_gap_tol``)
+       opens a new column.  Both are interval-union gap-finding: a
+       gutter only splits if NO box in the region spans it, so word
+       gaps inside lines never do (some longer line covers them),
+       while a true two-column gutter does.  A banner whose clearance
+       to the body is under ``band_gap_tol`` still joins the columns —
+       the single-level caveat, now bounded to tight layouts.
     3. **Line grouping** — within a column, the same sweep over y:
        boxes whose y-intervals overlap the running coverage share a
        line; line text is its boxes sorted by x0 joined with spaces.
@@ -267,8 +277,8 @@ def assemble_layout(
        parity is not portable, the repo's explicit-class stance), then
        remaining line breaks become spaces (PDF line breaks are
        typographic, not semantic).
-    7. **Reading order** — paragraphs ordered by (page, column,
-       paragraph top y); doc text joins them with blank lines.
+    7. **Reading order** — paragraphs ordered by (page, section,
+       column, paragraph top y); doc text joins them with blank lines.
 
     Sentinel rows (status != 'ok') carry bad-payload docs through to the
     output: their extracted_text is NULL and metrics are 0.  Docs whose
@@ -284,9 +294,15 @@ def assemble_layout(
         raise ValueError("repeat_min_pages must be >= 1")
     if not (0.0 <= repeat_frac <= 1.0):
         raise ValueError("repeat_frac must be in [0, 1]")
-    if col_gap_tol < 0 or para_gap_factor < 0 or min_size_frac < 0:
+    if (
+        col_gap_tol < 0
+        or band_gap_tol < 0
+        or para_gap_factor < 0
+        or min_size_frac < 0
+    ):
         raise ValueError(
-            "col_gap_tol/para_gap_factor/min_size_frac must be >= 0"
+            "col_gap_tol/band_gap_tol/para_gap_factor/min_size_frac "
+            "must be >= 0"
         )
     w_doc = Window.partitionBy("doc_id")
     b = boxes.withColumn(
@@ -305,9 +321,33 @@ def assemble_layout(
     )
     b = b.withColumn("_use", F.col("_real") & ~F.col("_tiny"))
 
-    # 2. column sweep: interval-union gaps over x, per (doc, page)
-    w_x = (
+    # 2a. section sweep (XY-cut level 1): y-interval-union gaps wider
+    # than band_gap_tol split the page into vertical sections, so a
+    # page-wide banner lives in its OWN section and cannot bridge the
+    # column gutter below it
+    w_s = (
         Window.partitionBy("doc_id", "page")
+        .orderBy("y0", "y1", "box_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_sy1 = F.max(F.when(F.col("_use"), F.col("y1"))).over(w_s)
+    sec_break = F.when(
+        F.col("_use"),
+        F.coalesce(
+            F.col("y0") > prev_sy1 + F.lit(float(band_gap_tol)), F.lit(True)
+        ),
+    ).otherwise(F.lit(False))
+    w_sr = (
+        Window.partitionBy("doc_id", "page")
+        .orderBy("y0", "y1", "box_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = b.withColumn("_sec", F.sum(sec_break.cast("int")).over(w_sr))
+
+    # 2b. column sweep (XY-cut level 2): interval-union gaps over x,
+    # per (doc, page, section)
+    w_x = (
+        Window.partitionBy("doc_id", "page", "_sec")
         .orderBy("x0", "x1", "box_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -319,15 +359,15 @@ def assemble_layout(
         ),
     ).otherwise(F.lit(False))
     w_xr = (
-        Window.partitionBy("doc_id", "page")
+        Window.partitionBy("doc_id", "page", "_sec")
         .orderBy("x0", "x1", "box_idx")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     b = b.withColumn("_col", F.sum(col_break.cast("int")).over(w_xr))
 
-    # 3. line sweep: y-overlap grouping within (doc, page, col)
+    # 3. line sweep: y-overlap grouping within (doc, page, sec, col)
     w_y = (
-        Window.partitionBy("doc_id", "page", "_col")
+        Window.partitionBy("doc_id", "page", "_sec", "_col")
         .orderBy("y0", "y1", "box_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -337,13 +377,13 @@ def assemble_layout(
         F.coalesce(F.col("y0") >= prev_y1, F.lit(True)),
     ).otherwise(F.lit(False))
     w_yr = (
-        Window.partitionBy("doc_id", "page", "_col")
+        Window.partitionBy("doc_id", "page", "_sec", "_col")
         .orderBy("y0", "y1", "box_idx")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     b = b.withColumn("_line", F.sum(line_break.cast("int")).over(w_yr))
 
-    lines = b.groupBy("doc_id", "page", "_col", "_line").agg(
+    lines = b.groupBy("doc_id", "page", "_sec", "_col", "_line").agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -406,9 +446,9 @@ def assemble_layout(
     )
     lines = lines.withColumn("_keep", F.col("_luse") & ~F.col("_rep_drop"))
 
-    # 5. paragraph sweep: vertical-gap breaks within (doc, page, col)
+    # 5. paragraph sweep: vertical-gap breaks within (doc, page, sec, col)
     w_p = (
-        Window.partitionBy("doc_id", "page", "_col")
+        Window.partitionBy("doc_id", "page", "_sec", "_col")
         .orderBy("_line")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -422,13 +462,13 @@ def assemble_layout(
         ),
     ).otherwise(F.lit(False))
     w_pr = (
-        Window.partitionBy("doc_id", "page", "_col")
+        Window.partitionBy("doc_id", "page", "_sec", "_col")
         .orderBy("_line")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     lines = lines.withColumn("_para", F.sum(para_break.cast("int")).over(w_pr))
 
-    paras = lines.groupBy("doc_id", "page", "_col", "_para").agg(
+    paras = lines.groupBy("doc_id", "page", "_sec", "_col", "_para").agg(
         F.concat_ws(
             "\n",
             F.transform(
@@ -469,6 +509,7 @@ def assemble_layout(
                             F.col("_ptext") != "",
                             F.struct(
                                 F.col("page"),
+                                F.col("_sec"),
                                 F.col("_col"),
                                 F.col("_py"),
                                 F.col("_para"),
@@ -538,6 +579,7 @@ def pdf_extract(
 def layout_reference(
     boxes: list[tuple],
     col_gap_tol: float = 1.0,
+    band_gap_tol: float = 32.0,
     header_band: float = 0.1,
     footer_band: float = 0.1,
     repeat_min_pages: int = 2,
@@ -567,43 +609,52 @@ def layout_reference(
     )
     n_tiny = n_boxes - len(kept_boxes)
 
-    # column sweep per page
+    # section sweep (y), then column sweep (x) per section, per page
     by_page: dict[int, list] = {}
     for r in kept_boxes:
         by_page.setdefault(r[0], []).append(r)
-    # line records: (page, col, line_idx_in_col, ytop, ybot, page_h, text)
     line_recs = []
     for pg, bs in by_page.items():
-        bs.sort(key=lambda r: (r[2], r[4], r[8]))  # x0, x1, box_idx
-        cols: list[list] = []
-        run_x1 = None
+        bs.sort(key=lambda r: (r[3], r[5], r[8]))  # y0, y1, box_idx
+        secs: list[list] = []
+        run_sy1 = None
         for r in bs:
-            if run_x1 is None or r[2] > run_x1 + col_gap_tol:
-                cols.append([])
-            cols[-1].append(r)
-            run_x1 = r[4] if run_x1 is None else max(run_x1, r[4])
-        for ci, cb in enumerate(cols):
-            cb.sort(key=lambda r: (r[3], r[5], r[8]))  # y0, y1, box_idx
-            lns: list[list] = []
-            run_y1 = None
-            for r in cb:
-                if run_y1 is None or r[3] >= run_y1:
-                    lns.append([])
-                lns[-1].append(r)
-                run_y1 = r[5] if run_y1 is None else max(run_y1, r[5])
-            for li, lb in enumerate(lns):
-                lb.sort(key=lambda r: (r[2], r[8]))
-                line_recs.append(
-                    {
-                        "page": pg,
-                        "col": ci,
-                        "line": li,
-                        "ytop": min(r[3] for r in lb),
-                        "ybot": max(r[5] for r in lb),
-                        "ph": lb[0][1],
-                        "text": " ".join(r[7] for r in lb),
-                    }
-                )
+            if run_sy1 is None or r[3] > run_sy1 + band_gap_tol:
+                secs.append([])
+            secs[-1].append(r)
+            run_sy1 = r[5] if run_sy1 is None else max(run_sy1, r[5])
+        for si, sb in enumerate(secs):
+            sb.sort(key=lambda r: (r[2], r[4], r[8]))  # x0, x1, box_idx
+            cols: list[list] = []
+            run_x1 = None
+            for r in sb:
+                if run_x1 is None or r[2] > run_x1 + col_gap_tol:
+                    cols.append([])
+                cols[-1].append(r)
+                run_x1 = r[4] if run_x1 is None else max(run_x1, r[4])
+            for ci, cb in enumerate(cols):
+                cb.sort(key=lambda r: (r[3], r[5], r[8]))  # y0, y1, box_idx
+                lns: list[list] = []
+                run_y1 = None
+                for r in cb:
+                    if run_y1 is None or r[3] >= run_y1:
+                        lns.append([])
+                    lns[-1].append(r)
+                    run_y1 = r[5] if run_y1 is None else max(run_y1, r[5])
+                for li, lb in enumerate(lns):
+                    lb.sort(key=lambda r: (r[2], r[8]))
+                    line_recs.append(
+                        {
+                            "page": pg,
+                            "sec": si,
+                            "col": ci,
+                            "line": li,
+                            "ytop": min(r[3] for r in lb),
+                            "ybot": max(r[5] for r in lb),
+                            "ph": lb[0][1],
+                            "text": " ".join(r[7] for r in lb),
+                        }
+                    )
     n_lines = len(line_recs)
     n_pages = len({l["page"] for l in line_recs})
 
@@ -632,12 +683,12 @@ def layout_reference(
         else:
             kept_lines.append(l)
 
-    # paragraph assembly per (page, col)
+    # paragraph assembly per (page, sec, col)
     by_col: dict[tuple, list] = {}
     for l in kept_lines:
-        by_col.setdefault((l["page"], l["col"]), []).append(l)
+        by_col.setdefault((l["page"], l["sec"], l["col"]), []).append(l)
     paras = []
-    for (pg, ci), lns in by_col.items():
+    for (pg, si, ci), lns in by_col.items():
         lns.sort(key=lambda l: l["line"])
         cur: list = []
         prev_bot = None
@@ -648,20 +699,20 @@ def layout_reference(
                 > para_gap_factor * (l["ybot"] - l["ytop"])
             )
             if gap_break and cur:
-                paras.append((pg, ci, cur))
+                paras.append((pg, si, ci, cur))
                 cur = []
             cur.append(l)
             prev_bot = l["ybot"] if prev_bot is None else max(prev_bot, l["ybot"])
         if cur:
-            paras.append((pg, ci, cur))
+            paras.append((pg, si, ci, cur))
     hyph = re.compile("([A-Za-z])-\n([a-z])")
     ptexts = []
-    for pg, ci, lns in paras:
+    for pg, si, ci, lns in paras:
         joined = "\n".join(l["text"] for l in lns)
         joined = hyph.sub(r"\1\2", joined).replace("\n", " ")
-        ptexts.append((pg, ci, min(l["ytop"] for l in lns), joined))
-    ptexts.sort(key=lambda p: (p[0], p[1], p[2]))
-    text = "\n\n".join(p[3] for p in ptexts)
+        ptexts.append((pg, si, ci, min(l["ytop"] for l in lns), joined))
+    ptexts.sort(key=lambda p: (p[0], p[1], p[2], p[3]))
+    text = "\n\n".join(p[4] for p in ptexts)
     return {
         "status": "ok",
         "extracted_text": text,

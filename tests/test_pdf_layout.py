@@ -193,9 +193,11 @@ def test_pdf_column_reading_order_golden(spark):
     """Two true columns (no box spans the gutter): the left column reads
     fully before the right, top-to-bottom inside each — and a single
     page means the repeat rule cannot fire (min 2 pages)."""
+    # 18pt row gap: a paragraph break (> 0.8 x line height) but NOT a
+    # section break (< the 32pt band_gap_tol) — pure column ordering
     boxes = [
-        (320.0, 300.0, 540.0, 312.0, 10.0, "right later"),
-        (50.0, 300.0, 270.0, 312.0, 10.0, "left second"),
+        (320.0, 230.0, 540.0, 242.0, 10.0, "right later"),
+        (50.0, 230.0, 270.0, 242.0, 10.0, "left second"),
         (320.0, 200.0, 540.0, 212.0, 10.0, "right first"),
         (50.0, 200.0, 270.0, 212.0, 10.0, "left first"),
     ]
@@ -209,6 +211,41 @@ def test_pdf_column_reading_order_golden(spark):
         == "left first\n\nleft second\n\nright first\n\nright later"
     )
     assert row["n_repeated_removed"] == 0
+
+
+def test_pdf_banner_over_columns_golden(spark):
+    """The second XY-cut level: a page-wide banner ABOVE two columns
+    must not bridge their gutter.  The banner's y-clearance (> the
+    32pt band_gap_tol) puts it in its own section, the body section
+    x-splits into two true columns, and reading order is banner, then
+    all of the left column, then all of the right — NOT interleaved
+    row-by-row (the single-level failure mode)."""
+    boxes = [
+        # banner spans the full width, including the gutter
+        (50.0, 40.0, 540.0, 56.0, 14.0, "A Banner Spanning Both Columns"),
+        # two-column body, 60pt below the banner
+        (50.0, 120.0, 270.0, 132.0, 10.0, "left one"),
+        (320.0, 120.0, 540.0, 132.0, 10.0, "right one"),
+        (50.0, 160.0, 270.0, 172.0, 10.0, "left two"),
+        (320.0, 160.0, 540.0, 172.0, 10.0, "right two"),
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(make_toy_pdf([{"w": 612.0, "h": 792.0, "boxes": boxes}])))],
+        "doc_id long, payload binary",
+    )
+    row = pdf_extract(df).collect()[0]
+    assert row["extracted_text"] == (
+        "A Banner Spanning Both Columns"
+        "\n\nleft one\n\nleft two\n\nright one\n\nright two"
+    )
+    # and with the section cut disabled via a huge tolerance, the
+    # banner bridges the gutter: one column, y-interleaved — the
+    # documented single-level behavior this feature exists to fix
+    flat = pdf_extract(df, band_gap_tol=10_000.0).collect()[0]
+    assert flat["extracted_text"] == (
+        "A Banner Spanning Both Columns"
+        "\n\nleft one right one\n\nleft two right two"
+    )
 
 
 def test_pdf_word_boxes_do_not_split_columns(spark):

@@ -38,6 +38,7 @@ of an n-gram is negligible, short enough to catch partial quotes.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from cl_readability_spark.functions.dedup import _shingle_hashes
@@ -311,4 +312,90 @@ def _decontaminate_join(
             F.coalesce(F.col(hits_col) > 0, F.lit(False)).alias("contaminated"),
             F.coalesce(F.col(hits_col), F.lit(0)).alias("n_contaminated_grams"),
         )
+    )
+
+
+def semantic_decontam(
+    df: DataFrame,
+    benchmark: DataFrame,
+    emb_col: str = "embedding",
+    bench_emb_col: str | None = None,
+    threshold_x10k: int = 9500,
+    max_bench: int = 1_000_000,
+) -> DataFrame:
+    """Semantic benchmark decontamination — the EMBEDDING-space
+    complement to the n-gram stage above: flag corpus documents whose
+    embedding is near-parallel to ANY benchmark/eval embedding
+    (paraphrased or lightly-rewritten eval leakage that shares no
+    13-gram; the published practice pairs exact n-gram matching with an
+    embedding-similarity sweep — e.g. SemDeDup-style cosine screens
+    applied between train and test).
+
+    Adds ``semantic_max_sim_x10k`` (max cosine vs the benchmark set,
+    ROUNDED to an int x10k — the repo's integer-comparison stance;
+    NULL for NULL/zero-norm/wrong-dim embeddings) and
+    ``semantically_contaminated``
+    (``max sim >= threshold_x10k``; False for NULL embeddings — an
+    undecidable row must not silently pass a hard filter as
+    contaminated).
+
+    Scale shape (the n-gram broadcast strategy applied to vectors): the
+    benchmark matrix is collected ONCE (guarded by ``max_bench`` —
+    eval suites are 10^3–10^6 rows; 10^6 x 64 floats ≈ 256 MB),
+    L2-normalized, and closure-broadcast into one stateless Arrow stage
+    — corpus scoring is a per-batch numpy matmul with zero joins and
+    zero shuffles: scan → pandas_udf → next stage at any corpus size.
+    Cost is O(|corpus| x |bench| x dim) multiply-adds — at 10^8+
+    benchmark rows move to the LSH/IVF path (functions/similarity.py)
+    instead of this exact screen."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    bcol = bench_emb_col or emb_col
+    if threshold_x10k < -10_000 or threshold_x10k > 10_000:
+        raise ValueError("threshold_x10k must be a cosine x10k in [-1e4, 1e4]")
+    # bounded driver collect — the benchmark_ngram_hashes stance, with
+    # the same explicit hard-fail guard
+    rows = benchmark.select(F.col(bcol).alias("_e")).limit(
+        int(max_bench) + 1
+    ).collect()
+    if len(rows) > max_bench:
+        raise ValueError(
+            f"benchmark exceeds max_bench={max_bench} rows — use the "
+            "distributed LSH/IVF screen (functions/similarity.py) instead"
+        )
+    vecs = [r["_e"] for r in rows if r["_e"] is not None]
+    if not vecs:
+        raise ValueError("benchmark has no non-NULL embeddings")
+    B = np.asarray(vecs, dtype="float64")
+    norms = np.linalg.norm(B, axis=1)
+    B = B[norms > 0] / norms[norms > 0, None]
+    if not len(B):
+        raise ValueError("benchmark embeddings are all zero-norm")
+
+    @F.pandas_udf(IntegerType())
+    def max_sim(s: pd.Series) -> pd.Series:
+        vals = []
+        for v in s:
+            if v is None or len(v) != B.shape[1]:
+                vals.append(None)
+                continue
+            x = np.asarray(v, dtype="float64")
+            n = np.linalg.norm(x)
+            if n == 0:
+                vals.append(None)
+                continue
+            # ROUND, not floor: identical vectors give cosine 1.0 only
+            # up to an ulp, and floor(9999.99999...) would flip between
+            # engines; round is stable everywhere except exact halves
+            vals.append(int(np.rint((B @ (x / n)).max() * 10_000)))
+        return pd.Series(vals, dtype="object")
+
+    out = df.withColumn("semantic_max_sim_x10k", max_sim(F.col(emb_col)))
+    return out.withColumn(
+        "semantically_contaminated",
+        F.coalesce(
+            F.col("semantic_max_sim_x10k") >= F.lit(int(threshold_x10k)),
+            F.lit(False),
+        ),
     )

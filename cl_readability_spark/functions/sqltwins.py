@@ -2993,6 +2993,49 @@ FROM documents
 """
 
 
+# --- LOCAL twin: semantic_decontam — the embedding-space benchmark
+#     decontamination screen re-derived in DuckDB with its OWN vector
+#     machinery (list_cosine_similarity over DOUBLE[] casts — the
+#     embeddings parquet is float32, and computing in float32 on one
+#     engine but float64 on the other could flip the x10k rounding):
+#     benchmark = every 10th vector, so bench members hit themselves at
+#     cosine ~1.0 (ROUNDED x10k = 10000 on both engines — the rint-not-
+#     floor call in the operator) and generic dim-64 vectors sit far
+#     from the 9999 threshold. ---
+def q_semantic_decontam(spark, sf_dir):
+    from cl_readability_spark.functions.decontam import semantic_decontam
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    bench = embs.filter(F.col("vec_id") % 10 == 0).select("embedding")
+    out = semantic_decontam(embs, bench, threshold_x10k=9999)
+    return out.select(
+        "vec_id",
+        "semantic_max_sim_x10k",
+        F.col("semantically_contaminated").cast("int").alias(
+            "semantically_contaminated"
+        ),
+    )
+
+
+SQL_SEMANTIC_DECONTAM = """
+WITH bench AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % 10 = 0
+),
+sims AS (
+  SELECT a.vec_id,
+         CAST(ROUND(MAX(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), b.e)) * 10000) AS INTEGER) AS s
+  FROM embeddings a, bench b
+  GROUP BY a.vec_id
+)
+SELECT vec_id,
+       s AS semantic_max_sim_x10k,
+       CAST(s >= 9999 AS INTEGER) AS semantically_contaminated
+FROM sims
+"""
+
+
 # DuckDB-parity twins enforced ONLY by the local rehearsal
 # (tests/test_queries_oracle.py) — NOT registered in the driver's
 # queries(): the 50-entry driver cap is full and every remaining row is
@@ -3007,4 +3050,5 @@ LOCAL_TWINS: dict[str, tuple] = {
     "lm_ppl": (q_lm_ppl, SQL_LM_PPL),
     "conv_flags": (q_conv_flags, SQL_CONV_FLAGS),
     "textnorm": (q_textnorm, SQL_TEXTNORM),
+    "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
 }

@@ -223,3 +223,97 @@ def test_redact_pii_patterns(spark):
     # through to the IPv4 rule — span-level redaction either way
     assert got[7] == "user123@[IPV4] mixed numeric-host"
     assert got[8] == "e164 [PHONE] and tight [PHONE] both redact"
+
+
+def test_semantic_decontam_planted_and_reference(spark):
+    """Embedding-space decontamination: scaled copies of benchmark
+    vectors flag (cosine is scale-invariant), orthogonal/near-miss
+    vectors don't, NULL/zero/wrong-dim score NULL and never flag —
+    and every sim matches an independent numpy reference exactly."""
+    import numpy as np
+
+    from cl_readability_spark.functions.decontam import semantic_decontam
+
+    rng = np.random.default_rng(7)
+    bench_vecs = [rng.normal(size=8).tolist() for _ in range(3)]
+    bench = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(bench_vecs)],
+        "bid long, embedding array<double>",
+    )
+    corpus_rows = [
+        (0, [2.0 * x for x in bench_vecs[0]]),     # scaled copy -> flag
+        (1, [-1.0 * x for x in bench_vecs[1]]),    # antiparallel -> no
+        (2, rng.normal(size=8).tolist()),          # random -> no
+        (3, None),                                  # NULL -> NULL sim
+        (4, [0.0] * 8),                             # zero-norm -> NULL
+        (5, [1.0, 2.0]),                            # wrong dim -> NULL
+        (6, bench_vecs[2]),                         # exact copy -> flag
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, embedding array<double>"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in semantic_decontam(corpus, bench, threshold_x10k=9999).collect()
+    }
+    B = np.asarray(bench_vecs)
+    B = B / np.linalg.norm(B, axis=1)[:, None]
+    for d, v in corpus_rows:
+        if v is None or len(v) != 8 or not np.linalg.norm(v):
+            assert out[d]["semantic_max_sim_x10k"] is None
+            assert out[d]["semantically_contaminated"] is False
+            continue
+        x = np.asarray(v)
+        ref = int(np.rint((B @ (x / np.linalg.norm(x))).max() * 10_000))
+        assert out[d]["semantic_max_sim_x10k"] == ref, (d, ref)
+    assert out[0]["semantically_contaminated"]
+    assert out[6]["semantically_contaminated"]
+    assert not any(
+        out[d]["semantically_contaminated"] for d in (1, 2, 3, 4, 5)
+    )
+
+
+def test_semantic_decontam_guards(spark):
+    import pytest as _pytest
+
+    from cl_readability_spark.functions.decontam import semantic_decontam
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with _pytest.raises(ValueError, match="no non-NULL"):
+        semantic_decontam(corpus, empty)
+    zeros = spark.createDataFrame(
+        [([0.0, 0.0],)], "embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="zero-norm"):
+        semantic_decontam(corpus, zeros)
+    big = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],)], "embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="max_bench"):
+        semantic_decontam(corpus, big, max_bench=1)
+    with _pytest.raises(ValueError, match="threshold_x10k"):
+        semantic_decontam(corpus, big, threshold_x10k=20_000)
+
+
+def test_semantic_decontam_plan_is_shuffle_free(spark):
+    """The n-gram broadcast stance applied to vectors: one stateless
+    Arrow stage, zero exchanges over the corpus."""
+    from cl_readability_spark.functions.decontam import semantic_decontam
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "doc_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [([1.0, 0.0],)], "embedding array<double>"
+    )
+    plan = (
+        semantic_decontam(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]

@@ -3036,6 +3036,38 @@ FROM sims
 """
 
 
+# --- LOCAL twin: bpe_word_counts — the DISTRIBUTED half of the BPE
+#     trainer (functions/bpe.py): BPE training needs only the word-type
+#     frequency table, so hash-checking the top-V word counts (count
+#     DESC, word ASC — the deterministic cap ordering) pins the one
+#     corpus pass the fit performs; the driver-side merge loop is
+#     pinned by the incremental-vs-naive differential in
+#     tests/test_bpe.py. ---
+def q_bpe_word_counts(spark, sf_dir):
+    from cl_readability_spark.functions.bpe import word_counts
+
+    return word_counts(
+        _docs(spark, sf_dir).select("text"), max_types=200
+    )
+
+
+SQL_BPE_WORD_COUNTS = """
+WITH w AS (
+  SELECT unnest(string_split_regex(
+           regexp_replace(lower(coalesce(text, '')),
+                          '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g'),
+           '[ \t\n\f\r]+')) AS word
+  FROM documents
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM w
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 200
+"""
+
+
 # DuckDB-parity twins enforced ONLY by the local rehearsal
 # (tests/test_queries_oracle.py) — NOT registered in the driver's
 # queries(): the 50-entry driver cap is full and every remaining row is
@@ -3051,4 +3083,5 @@ LOCAL_TWINS: dict[str, tuple] = {
     "conv_flags": (q_conv_flags, SQL_CONV_FLAGS),
     "textnorm": (q_textnorm, SQL_TEXTNORM),
     "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
+    "bpe_word_counts": (q_bpe_word_counts, SQL_BPE_WORD_COUNTS),
 }

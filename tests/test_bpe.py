@@ -125,3 +125,23 @@ def test_bpe_encode_plan_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_bpe_tokens_drive_the_packer(spark):
+    """The tokenizer slots into the training-shard path: pack on REAL
+    subword counts (size(bpe_tokens)) instead of the regex estimate —
+    no oversize packs, token mass conserved."""
+    from cl_readability_spark.functions.packing import pack_sequences
+
+    texts = [f"some shared words plus unique{i} token materials" for i in range(30)]
+    corpus = _df(spark, texts)
+    merges = bpe_fit(corpus, n_merges=40)
+    counted = bpe_encode(corpus, merges).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size("bpe_tokens").alias("n_tokens"),
+    )
+    total = counted.agg(F.sum("n_tokens")).collect()[0][0]
+    packs = pack_sequences(counted, max_tokens=64, num_partitions=4)
+    agg = packs.groupBy("pack_id").agg(F.sum("n_tokens").alias("t")).collect()
+    assert sum(r["t"] for r in agg) == total
+    assert all(r["t"] <= 64 for r in agg)

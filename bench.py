@@ -331,6 +331,23 @@ def main() -> None:
             }
         )
     )
+    # Compact headline as the FINAL stdout line: the driver tail-captures
+    # stdout, and the full line above grew past its window in round 7
+    # (63-entry queries map → "parsed": null in BENCH_r07.json).  This
+    # line carries everything but the per-query map and always fits.
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+relational bench wall-clock",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "cpus": cpus,
+                "n_queries": len(timings),
+                "throughput": throughput,
+            }
+        )
+    )
     spark.stop()
 
 

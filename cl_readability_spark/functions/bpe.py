@@ -236,5 +236,16 @@ def bpe_encode(
 def bpe_decode_tokens(tokens: list[str]) -> str:
     """Inverse of the encoder's word handling: fuse tokens, split words
     at the ``</w>`` markers, join with single spaces (the whitespace
-    normalization BPE tokenization implies)."""
+    normalization BPE tokenization implies).
+
+    KNOWN LIMITATION (shared with the GPT-2-style end-of-word-marker
+    convention this follows): source text literally containing the
+    marker string ``</w>`` (markup-ish corpora) does NOT round-trip —
+    the blanket replace treats the literal occurrence as a word
+    boundary, fusing the marker onto the preceding word's last
+    character.  The encoder appends the marker unescaped (Sennrich et
+    al. 2016's released subword-nmt has the same collision), so
+    callers tokenizing raw markup should strip or escape literal
+    ``</w>`` upstream (the extraction pipeline's output never contains
+    it — tags are consumed by the DOM parse)."""
     return "".join(tokens).replace(EOW, " ").rstrip(" ")

@@ -63,6 +63,22 @@ from cl_readability_spark.functions.sqltwins import (
 )
 
 
+def _token_occurrences(lowered, tokens) -> "F.Column":
+    """Count of whitespace-delimited tokens of ``lowered`` (an already
+    lower+trimmed Column) equal to any of ``tokens`` — occurrences, not
+    distinct hits, so it is value-identical to
+    ``size(filter(split(lowered, '\\s+'), x -> x.isin(tokens)))`` but a
+    single codegen'd ``regexp_count`` instead of an interpreted lambda
+    HOF (the PLANS.md HOF rule; the gopher_flags alpha-count precedent
+    at :163).  Each match consumes one leading separator (or ^), the
+    lookahead leaves the trailing separator for the next token's match,
+    and java's alternation backtracking makes prefix-shadowing ("a" vs
+    "and") a non-issue.  ``\\s`` here is java's class — the SAME class
+    the splitter uses, so boundaries agree by construction."""
+    pat = r"(?:^|\s)(?:" + "|".join(tokens) + r")(?=\s|$)"
+    return F.regexp_count(lowered, F.lit(pat))
+
+
 def quality_flag(
     text_col,
     min_chars: int = 100,
@@ -71,14 +87,20 @@ def quality_flag(
     langs: tuple[str, ...] = ("en",),
 ):
     """Boolean Column: length window + stopword-ratio floor + langid gate
-    (the sqltwins quality/langid heuristics composed as one expression)."""
+    (the sqltwins quality/langid heuristics composed as one expression).
+    Fully whole-stage-codegen: the stopword and language-marker counts
+    are ``regexp_count`` projections (``_token_occurrences``), not
+    lambda HOFs — value-identical to the filter-HOF form (differential
+    test in tests/test_curation.py) with no interpreted per-row eval in
+    ``curate()``'s flagship gate (round-7 verdict task 1)."""
     n_chars = F.length(text_col)
-    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    lowered = F.lower(F.trim(text_col))
+    words = F.split(lowered, r"\s+")
     n_words = F.size(words)
-    n_stop = F.size(F.filter(words, lambda x: x.isin(STOPWORDS)))
+    n_stop = _token_occurrences(lowered, STOPWORDS)
     stop_bp = F.when(n_words > 0, n_stop * 10000 / n_words).otherwise(0)
     scores = {
-        lang: F.size(F.filter(words, (lambda m: (lambda x: x.isin(m)))(m)))
+        lang: _token_occurrences(lowered, m)
         for lang, m in LANG_MARKERS.items()
     }
     best = None

@@ -388,7 +388,15 @@ def semantic_decontam(
             # ROUND, not floor: identical vectors give cosine 1.0 only
             # up to an ulp, and floor(9999.99999...) would flip between
             # engines; round is stable everywhere except exact halves
-            vals.append(int(np.rint((B @ (x / n)).max() * 10_000)))
+            sim = (B @ (x / n)).max()
+            if not np.isfinite(sim):
+                # NaN/inf components in the corpus embedding make the
+                # cosine undecidable — mark the row NULL like the other
+                # undecidable paths instead of letting int(rint(nan))
+                # raise and fail the whole job (ADVICE r7)
+                vals.append(None)
+                continue
+            vals.append(int(np.rint(sim * 10_000)))
         return pd.Series(vals, dtype="object")
 
     out = df.withColumn("semantic_max_sim_x10k", max_sim(F.col(emb_col)))

@@ -679,10 +679,13 @@ def streaming_conversation_flags(
     text = F.coalesce(F.col("text"), F.lit(""))
     is_empty = F.regexp_replace(text, "[ \t\n\f\r]+", "") == ""
     nchars = F.length(text).cast("long")
+    # carry the RAW timestamp (not unix_timestamp's second-truncated
+    # epoch): the batch gate compares full timestamps, so a sub-second
+    # inversion must fail here too — column-for-column parity (ADVICE r7)
     turn = F.struct(
         F.col("turn_idx").cast("long").alias("i"),
         F.coalesce(role, F.lit(sent)).alias("r"),
-        F.unix_timestamp("ts").alias("e"),
+        F.col("ts").alias("e"),
     )
     agg = (
         stream.withWatermark("ts", watermark)
@@ -751,7 +754,14 @@ def streaming_conversation_flags(
             "ts_monotonic",
             F.aggregate(
                 F.zip_with(
-                    prev, nxt, lambda p, q: (q["e"] < p["e"]).cast("long")
+                    # coalesce: a NULL-ts pair compares NULL and must
+                    # count 0, as the batch gate's lag form does — not
+                    # poison the whole sum
+                    prev,
+                    nxt,
+                    lambda p, q: F.coalesce(
+                        (q["e"] < p["e"]).cast("long"), F.lit(0).cast("long")
+                    ),
                 ),
                 F.lit(0).cast("long"),
                 lambda a, x: a + x,

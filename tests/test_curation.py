@@ -934,3 +934,103 @@ def test_curate_substring_dedup_stage(spark):
     t = {r.conv_id: r.extracted_text for r in first.collect()}
     assert t[0] == good0 + " " + run
     assert t[1] == good1 and t[2] == ""
+
+
+def test_quality_flag_matches_filter_hof_form(spark):
+    """Round-8 codegen rewrite differential: the regexp_count token
+    counters must be VALUE-IDENTICAL to the lambda-HOF form they
+    replaced (size(filter(split(...), isin)) — the round-7 shipped
+    semantics), across boundary shapes: adjacent stopwords, prefix
+    shadowing ('a' vs 'and'), punctuation-fused tokens, leading/
+    trailing/vertical-tab whitespace, empty and NULL text, and every
+    language's marker words."""
+    from cl_readability_spark.functions.curation import quality_flag
+    from cl_readability_spark.functions.sqltwins import (
+        LANG_MARKERS,
+        STOPWORDS,
+    )
+
+    texts = [
+        "the the a of to and in is on for with",       # all stopwords
+        "a and of to a a",                              # prefix shadowing
+        "the. a, of! xthe thex and",                    # punct-fused
+        "  the   a \t of \x0b and  ",                   # messy whitespace
+        "der die das und ist nicht le les et est",      # de vs fr markers
+        "el los las que y una the and",                 # es + en mix
+        "no marker words at all here frankly",
+        "",
+        "   ",
+        None,
+        ("The article is long enough, and the stopword ratio of this "
+         "text is high, with the usual words in it for the gate. ") * 4,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+
+    def hof_flag(text_col):
+        # the round-7 form, verbatim
+        n_chars = F.length(text_col)
+        words = F.split(F.lower(F.trim(text_col)), r"\s+")
+        n_words = F.size(words)
+        n_stop = F.size(F.filter(words, lambda x: x.isin(STOPWORDS)))
+        stop_bp = F.when(n_words > 0, n_stop * 10000 / n_words).otherwise(0)
+        scores = {
+            lang: F.size(F.filter(words, (lambda m: (lambda x: x.isin(m)))(m)))
+            for lang, m in LANG_MARKERS.items()
+        }
+        best = None
+        for lang in LANG_MARKERS:
+            cond = None
+            for other in LANG_MARKERS:
+                if other == lang:
+                    continue
+                c = scores[lang] >= scores[other]
+                cond = c if cond is None else (cond & c)
+            best = F.when(cond, lang) if best is None else best.when(cond, lang)
+        lang_pred = best.otherwise(list(LANG_MARKERS)[-1])
+        return (
+            (n_chars >= 10)
+            & (n_chars <= 200_000)
+            & (stop_bp >= 100)
+            & lang_pred.isin("en", "de", "es")
+        )
+
+    new = quality_flag(
+        F.col("text"), min_chars=10, max_chars=200_000,
+        min_stopword_bp=100, langs=("en", "de", "es"),
+    )
+    rows = df.select(
+        "i",
+        F.coalesce(new, F.lit(False)).alias("new"),
+        F.coalesce(hof_flag(F.col("text")), F.lit(False)).alias("old"),
+    ).collect()
+    assert rows, "empty differential"
+    for r in rows:
+        assert r.new == r.old, (r.i, texts[r.i], r.new, r.old)
+
+
+def test_quality_flag_plan_has_no_lambda_hofs(spark):
+    """Round-7 verdict task 1: curate()'s default quality gate must be a
+    whole-stage-codegen projection — no interpreted lambda HOF, no
+    python stage — and the same must hold for the full curate_flags
+    stage-1 plan (projection + the one fingerprint window)."""
+    from cl_readability_spark.functions.curation import (
+        curate_flags,
+        quality_flag,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today.")],
+        "doc_id long, text string",
+    )
+    gate = df.select(quality_flag(F.col("text")).alias("q"))
+    plan = gate._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in plan.lower(), plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.lstrip().startswith("*(1) Project"), plan[:500]
+
+    flags = curate_flags(df, text_col="text", key_cols=("doc_id",))
+    fplan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in fplan.lower(), fplan[:2000]
+    assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan

@@ -317,3 +317,33 @@ def test_semantic_decontam_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_semantic_decontam_nan_embedding_is_undecidable(spark):
+    """ADVICE r7: a corpus embedding with a NaN/inf component yields a
+    NaN cosine — int(rint(nan)) raised and failed the whole job.  The
+    finite guard must mark the row NULL (undecidable, never flagged),
+    like the NULL/zero-norm/wrong-dim paths, while finite rows in the
+    same batch still score."""
+    from cl_readability_spark.functions.decontam import semantic_decontam
+
+    bench = spark.createDataFrame(
+        [([1.0, 0.0, 0.0],)], "embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, [float("nan"), 1.0, 0.0]),
+            (1, [float("inf"), 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0]),  # finite: exact direction match
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in semantic_decontam(corpus, bench, threshold_x10k=9999).collect()
+    }
+    for d in (0, 1):
+        assert out[d]["semantic_max_sim_x10k"] is None, out[d]
+        assert out[d]["semantically_contaminated"] is False
+    assert out[2]["semantic_max_sim_x10k"] == 10_000
+    assert out[2]["semantically_contaminated"]

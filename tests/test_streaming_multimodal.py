@@ -909,3 +909,48 @@ def test_streaming_conversation_flags_session_split(spark, tmp_path):
     assert [r["n_turns"] for r in by_start] == [2, 2]
     # the second session starts at turn_idx 2 → idx_contiguous False there
     assert by_start[0]["idx_contiguous"] and not by_start[1]["idx_contiguous"]
+
+
+def test_streaming_conversation_flags_subsecond_inversion(spark, tmp_path):
+    """ADVICE r7: the streaming gate used unix_timestamp (second-
+    truncated) epochs for ts_monotonic, so a SUB-second timestamp
+    inversion passed streaming but failed batch.  The struct now carries
+    the raw timestamp — both gates must reject a 10.5s -> 10.2s
+    inversion, and the rows must stay column-for-column equal."""
+    from cl_readability_spark.functions.transcript_quality import (
+        conversation_flags,
+    )
+    from cl_readability_spark.pipeline.streaming import (
+        streaming_conversation_flags,
+    )
+
+    inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    rows = [
+        ("subsec", 0, "user", "first turn", None, 10.5),
+        ("subsec", 1, "assistant", "second turn", None, 10.2),
+        ("fine", 0, "user", "first turn", None, 20.2),
+        ("fine", 1, "assistant", "second turn", None, 20.5),
+    ]
+    corpus = _conv_batch(spark, rows, 12)
+    corpus.write.parquet(inp + "/b1")
+    q = streaming_conversation_flags(spark, inp + "/*", out, cp)
+    q.awaitTermination(120)
+    q.stop()
+    _conv_batch(
+        spark, [("horizon", 0, "user", "x", None, 0)], 17
+    ).write.parquet(inp + "/b2")
+    q = streaming_conversation_flags(spark, inp + "/*", out, cp)
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {
+        r["conv_id"]: r.asDict() for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["conv_id"]: r.asDict() for r in conversation_flags(corpus).collect()
+    }
+    assert not want["subsec"]["ts_monotonic"]  # batch rejects sub-second
+    assert want["fine"]["ts_monotonic"]
+    for c, exp in want.items():
+        for k, v in exp.items():
+            assert got[c][k] == v, (c, k, got[c][k], v)

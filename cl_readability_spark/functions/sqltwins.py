@@ -2829,10 +2829,17 @@ SQL_TWINS: dict[str, tuple] = {
         SQL_SUBSTRING_DEDUP_PLANTED,
     ),
     "pdf_layout_planted": (q_pdf_layout_planted, SQL_PDF_LAYOUT_PLANTED),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
-    "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),
-    "user_event_seq": (q_user_event_seq, SQL_USER_EVENT_SEQ),
+    # Round-8 rotation (verdict task 3): the four generic relational
+    # twins (pricing_summary, top_customers, regional_customers,
+    # user_event_seq) moved to LOCAL_TWINS for a round to give the
+    # round-7 LOCAL twins their first driver-verified hash rows; their
+    # §2.11 categories stay covered by registered rows — aggs by
+    # metrics_rollup/rollup_hierarchy, broadcast join by
+    # decontam_planted's broadcast path + ann twins, window/ordered
+    # sequence by turn_order, anti-join by resume_antijoin.  They rotate
+    # back (with the remaining LOCAL twins) in round 9.  The promoted
+    # rows (dsir_logw, lm_ppl, conv_flags, textnorm) are appended via
+    # SQL_TWINS.update() next to their builder definitions below.
 }
 
 
@@ -3068,20 +3075,37 @@ LIMIT 200
 """
 
 
+# Round-8 rotation, second half (verdict task 3): promote four of the
+# round-7 LOCAL twins into the driver registry for their first
+# driver-verified hash rows.  update() here because their builders are
+# defined after the SQL_TWINS literal.
+SQL_TWINS.update(
+    {
+        "dsir_logw": (q_dsir_logw, SQL_DSIR_LOGW),
+        "lm_ppl": (q_lm_ppl, SQL_LM_PPL),
+        "conv_flags": (q_conv_flags, SQL_CONV_FLAGS),
+        "textnorm": (q_textnorm, SQL_TEXTNORM),
+    }
+)
+
+
 # DuckDB-parity twins enforced ONLY by the local rehearsal
 # (tests/test_queries_oracle.py) — NOT registered in the driver's
 # queries(): the 50-entry driver cap is full and every remaining row is
-# load-bearing.  Same (builder, sql) contract as SQL_TWINS.
+# load-bearing.  Round 8 holds the four rotated-out relational twins
+# plus the four round-7 LOCAL twins not yet promoted — all rotate
+# through the driver registry in round 9.  Same (builder, sql) contract
+# as SQL_TWINS.
 LOCAL_TWINS: dict[str, tuple] = {
-    "dsir_logw": (q_dsir_logw, SQL_DSIR_LOGW),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),
+    "user_event_seq": (q_user_event_seq, SQL_USER_EVENT_SEQ),
     "dedup_weights_planted": (
         q_dedup_weights_planted,
         SQL_DEDUP_WEIGHTS_PLANTED,
     ),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
-    "lm_ppl": (q_lm_ppl, SQL_LM_PPL),
-    "conv_flags": (q_conv_flags, SQL_CONV_FLAGS),
-    "textnorm": (q_textnorm, SQL_TEXTNORM),
     "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
     "bpe_word_counts": (q_bpe_word_counts, SQL_BPE_WORD_COUNTS),
 }

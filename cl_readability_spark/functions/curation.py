@@ -663,6 +663,7 @@ def curate_flags(
     benchmark_hashes=None,  # list[int] | numpy int64 array
     decontam_n: int = 13,
     decontam_seed: int = 42,
+    extra_quality_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Stage 1 of curation — adds ``quality_ok``, ``contaminated`` and
     ``exact_keep`` (hierarchical: the exact-dup keeper is the first
@@ -674,14 +675,16 @@ def curate_flags(
     pipelines write this frame to a table and run ``curate_near_dups``
     over the read-back, so the window is computed exactly once."""
     df = extracted.withColumn("_row_key", _row_key(key_cols))
-    df = df.withColumn(
-        "quality_ok",
-        F.coalesce(
-            quality_flag(F.col(text_col), min_chars, max_chars,
-                         min_stopword_bp, langs),
-            F.lit(False),
-        ),
-    )
+    q = quality_flag(F.col(text_col), min_chars, max_chars,
+                     min_stopword_bp, langs)
+    # extra_quality_cols: boolean gate columns already ON the frame
+    # (c4_keep, repetition_ok, a caller's gopher_ok) ANDed into the
+    # quality gate — their drops land in dropped_quality, preserving the
+    # hierarchical attribution identity; the per-row component flags
+    # remain on the frame for per-stage attribution
+    for c in extra_quality_cols:
+        q = q & F.col(c)
+    df = df.withColumn("quality_ok", F.coalesce(q, F.lit(False)))
     if benchmark_hashes is not None and len(benchmark_hashes):
         from cl_readability_spark.functions.decontam import decontaminate
 
@@ -720,10 +723,12 @@ def curate_near_dups(
     minhash_carry: str = "auto",
     carry_threshold: int = 100_000,
     minhash_banding: tuple[int, int] | None = None,
+    minhash_k: int = 5,
 ) -> DataFrame:
     """Stage 2 of curation — adds ``near_dup_drop`` (MinHash near-dup
     prune over the quality+exact survivors) and ``kept`` to a frame that
-    already carries the stage-1 flags.
+    already carries the stage-1 flags.  ``minhash_k`` is the shingle
+    width in words forwarded to ``minhash_near_dups`` (see ``curate``).
 
     ``minhash_banding`` optionally pins the LSH sizing as ``(n_hashes,
     bands)`` — deployment control for pipelines that trade boundary
@@ -841,7 +846,8 @@ def curate_near_dups(
         else {}
     )
     pairs = minhash_near_dups(
-        survivors, jaccard_threshold=jaccard_threshold, carry=carry, **banding
+        survivors, k=minhash_k, jaccard_threshold=jaccard_threshold,
+        carry=carry, **banding
     )
     if policy == "clusters":
         clusters = dup_clusters(pairs, **(cluster_opts or {}))
@@ -975,6 +981,59 @@ def substring_dedup_rewrite(
     return out, pins
 
 
+def c4_rewrite(
+    extracted: DataFrame,
+    text_col: str = "extracted_text",
+    c4_opts: dict | None = None,
+) -> DataFrame:
+    """The ``curate(c4=True)`` stage as a standalone step: the C4
+    filter battery (``c4_filters``) with ``text_col`` REWRITTEN from the
+    surviving lines (NULL input → '' husk, which the quality gate
+    absorbs — the line_dedup precedent), ``n_lines``/``n_kept_lines``
+    renamed to ``c4_n_lines``/``c4_n_kept_lines`` (the line stage owns
+    the unprefixed audit names), and the page-level ``c4_keep`` flag
+    kept on the frame for ``curate_flags``' quality gate.  Pure
+    whole-stage-codegen projection — no join, no shuffle, no pin needed
+    (single plan branch)."""
+    flagged = c4_filters(extracted, text_col=text_col, **(c4_opts or {}))
+    return (
+        flagged.withColumnRenamed("n_lines", "c4_n_lines")
+        .withColumnRenamed("n_kept_lines", "c4_n_kept_lines")
+        .withColumn(text_col, F.coalesce(F.col("c4_text"), F.lit("")))
+        .drop("c4_text")
+    )
+
+
+def gopher_repetition_gate(
+    extracted: DataFrame,
+    text_col: str = "extracted_text",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    pin_input: bool = False,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The ``curate(gopher_repetition=True)`` stage as a standalone
+    step: the Gopher repetition battery (``gopher_repetition_flags``)
+    keyed by the row key, joining ONLY ``repetition_ok`` back 1:1 on
+    the unique row key (skew-free by construction; callers wanting the
+    13 fraction columns run the flags operator directly).  Returns
+    (frame, pins) — the same three-branch self-reference exposure as
+    ``line_dedup_rewrite`` (the battery's gram aggregation + probe,
+    plus this join's left side), so a nondeterministic upstream should
+    be sink-staged or pass ``pin_input=True`` (pins the KEYED input
+    DISK_ONLY; standard ``pins.release_pinned`` handles)."""
+    keyed = extracted.withColumn("_gr_key", _row_key(key_cols))
+    pins: list[DataFrame] = []
+    if pin_input:
+        from pyspark import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.DISK_ONLY)
+        pins.append(keyed)
+    rep = gopher_repetition_flags(keyed, id_col="_gr_key", text_col=text_col)
+    out = keyed.join(
+        rep.select("_gr_key", "repetition_ok"), "_gr_key"
+    ).drop("_gr_key")
+    return out, pins
+
+
 def curate(
     extracted: DataFrame,
     text_col: str = "extracted_text",
@@ -998,6 +1057,11 @@ def curate(
     substring_dedup_k: int | None = None,
     substring_dedup_keep: str = "none",
     substring_dedup_pin: bool = False,
+    c4: bool = False,
+    c4_opts: dict | None = None,
+    gopher_repetition: bool = False,
+    gopher_repetition_pin: bool = False,
+    minhash_k: int = 5,
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
@@ -1044,12 +1108,53 @@ def curate(
     QUALITY gate like the line-stage note above; pass
     ``substring_dedup_keep="first"`` for keep-one curation.  Same
     self-branch caveat as the line stage: sink-stage a
-    nondeterministic upstream or set ``substring_dedup_pin=True``."""
+    nondeterministic upstream or set ``substring_dedup_pin=True``.
+
+    ``c4=True`` runs the C4 FILTER battery (Raffel et al. 2020 §2.2;
+    ``c4_rewrite``) after the line stage and BEFORE the substring stage
+    (both line-granularity passes run before the token-granularity one,
+    whose rebuild collapses newlines): line filters rewrite
+    ``text_col`` from the surviving lines (audit columns
+    ``c4_n_lines``/``c4_n_kept_lines`` + the per-reason drop counts),
+    and the page-level ``c4_keep`` ANDs into the quality gate — its
+    drops land in ``dropped_quality`` (hierarchical attribution
+    preserved), with the per-row ``c4_keep``/``has_*`` flags kept for
+    per-stage attribution.  ``c4_opts`` forwards to ``c4_filters``
+    (min_words_per_line, min_sentences, badwords).
+
+    ``gopher_repetition=True`` runs the Gopher repetition battery (Rae
+    et al. 2021 Table A1; ``gopher_repetition_gate``) on the text as it
+    stands AFTER the rewrite stages — gates judge what would actually
+    ship — joining ``repetition_ok`` 1:1 on the row key and ANDing it
+    into the quality gate the same way.  Same nondeterministic-upstream
+    caveat (``gopher_repetition_pin=True`` pins the keyed input).
+
+    With everything on, the stage order is: line_dedup → c4 →
+    substring_dedup → gopher_repetition → quality/decontam/exact
+    flags → minhash near-dups — the deployment config, hash-checked
+    end to end by the ``curation_full_planted`` driver oracle.
+
+    ``minhash_k`` sets the near-dup shingle width in words (default 5,
+    the standard 5-word shingles; 1 = word-set Jaccard, for corpora
+    where duplicates vary token ORDER — template-permuted boilerplate —
+    which contiguous shingles undercount)."""
     ld_pins: list[DataFrame] = []
     if line_dedup:
         extracted, ld_pins = line_dedup_rewrite(
             extracted, text_col, key_cols, pin_lines=line_dedup_pin
         )
+    extra_gates: list[str] = []
+    if c4:
+        # BETWEEN the line stage and the substring stage on purpose: the
+        # C4 line filters are line-granularity (like the line-dedup
+        # stage they complement in Raffel et al. 2020 §2.2), while
+        # substring_dedup's rebuild is whitespace-NORMALIZED
+        # (token-granularity, newlines collapse) — running c4 after it
+        # would see every document as one line.  ExactSubstr (Lee et
+        # al. 2021) runs on the already-line-cleaned corpus, the
+        # paper's own staging.
+        extracted = c4_rewrite(extracted, text_col, c4_opts)
+        extra_gates.append("c4_keep")
     if substring_dedup_k is not None:
         extracted, sd_pins = substring_dedup_rewrite(
             extracted,
@@ -1060,14 +1165,21 @@ def curate(
             pin_tokens=substring_dedup_pin,
         )
         ld_pins.extend(sd_pins)
+    if gopher_repetition:
+        extracted, gr_pins = gopher_repetition_gate(
+            extracted, text_col, key_cols, pin_input=gopher_repetition_pin
+        )
+        ld_pins.extend(gr_pins)
+        extra_gates.append("repetition_ok")
     flagged = curate_flags(
         extracted, text_col, key_cols, min_chars, max_chars,
         min_stopword_bp, langs, benchmark_hashes, decontam_n, decontam_seed,
+        extra_quality_cols=tuple(extra_gates),
     )
     out = curate_near_dups(
         flagged, text_col, key_cols, jaccard_threshold, materialize,
         policy, cluster_opts, minhash_carry, carry_threshold,
-        minhash_banding,
+        minhash_banding, minhash_k,
     )
     if ld_pins:
         out = attach_pins(out, *ld_pins)

@@ -1521,6 +1521,198 @@ FROM documents d, w
 """
 
 
+# --- 18c3. curation_full_planted — the FULL deployment config in ONE
+#     curate() call: line_dedup → c4 filters → substring_dedup(k=8,
+#     keep="none") → gopher_repetition → quality/exact flags → minhash
+#     near-dups (word-set Jaccard, minhash_k=1), hash-checked end to end
+#     on a corpus where EVERY stage fires with closed-form attribution.
+#     Per 10-doc group (role = doc_id mod 10; group words a{g}x0..11,
+#     doc words b/c/e/f/u{d}x*, pair words p{g}h0..4; every planted line
+#     has >= 3 words and ends with the literal token "stop." so the C4
+#     line filters are identity except where a role targets them):
+#     - roles 0,1,2 — near-dup clique: two lines built from the SAME
+#       16-token vocabulary ({the,and,of,stop.} + a{g}x0..11) in
+#       rotated orders; longest shared token run between any two is 5
+#       (< k=8, substring stage can't touch them) while the word SETS
+#       are equal → J=1 under minhash_k=1, a certainty pair regardless
+#       of banding.  Cluster rep = min VARCHAR key = role 0; 1,2 drop.
+#     - role 3 — line stage fires: the doc IS role 0's first line, so
+#       line dedup empties it (winner 10g < 10g+3 at every digit count)
+#       BEFORE the substring stage could see that 8-token gram twice —
+#       the husk then fails c4 (0 sentences) and quality (composition
+#       ORDER is what this role pins: under substring-first both copies
+#       of the 8-gram would have been cut, gutting role 0 too).
+#     - role 4 — substring stage fires and the doc SURVIVES: an 8-token
+#       run (srun0t..srun7t) planted in every role-4 doc flanked by
+#       doc-unique b{d} tokens (shared run = exactly 8) is removed
+#       everywhere (keep="none"), audit 20 tokens -> 12 kept; the
+#       remaining text still clears every gate → kept=1.
+#     - role 5 — c4 fires on all three line reasons it can here plus a
+#       page gate: 1 good line + 1 two-word line (short) + 1 line with
+#       no terminal punctuation; the good line carries "badwordx" →
+#       has_badword → c4_keep=0 → quality drop (hierarchical).
+#     - role 6 — gopher repetition fires: the 2-gram (q{d}a,q{d}b)
+#       repeated 6 times separated by unique e{d}x* tokens — top-2-gram
+#       char fraction > 20% for every doc_id digit count (closed form:
+#       5(12D+24) > 22D+72 for all D >= 1), while every 8-token window
+#       spans >= 2 distinct e-tokens so the substring stage is identity.
+#     - roles 7,8 — exact dedup fires THROUGH the line stage: same
+#       letters-and-digits stream, but role 8 carries commas INSIDE
+#       both lines, so the normalized LINES differ (line dedup keeps
+#       both) while the alnum fingerprint matches → role 7 (min key)
+#       keeps, role 8 drops as exact dup.
+#     - role 9 — clean survivor: every stage identity, kept=1.
+#     Any drift in a stage's semantics, the composition order, a rewrite
+#     plumbing bug, or gate attribution flips the hash. ---
+def q_curation_full_planted(spark, sf_dir):
+    from cl_readability_spark.functions.curation import curate
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    g = (F.col("doc_id") / 10).cast("long").cast("string")
+    d = F.col("doc_id").cast("string")
+    role = F.pmod(F.col("doc_id"), F.lit(10))
+
+    def tok(prefix, ident, j):
+        return F.concat(F.lit(prefix), ident, F.lit(f"x{j}"))
+
+    def line(*cols):
+        return F.concat_ws(" ", *cols)
+
+    the, and_, of, stop = (
+        F.lit("the"), F.lit("and"), F.lit("of"), F.lit("stop.")
+    )
+    A = [tok("a", g, j) for j in range(12)]
+
+    def rot(lst, s):
+        return lst[s:] + lst[:s]
+
+    def clique(s):
+        return F.concat_ws(
+            "\n",
+            line(the, *rot(A[:6], s), stop),
+            line(and_, *rot(A[6:], s), of, stop),
+        )
+
+    b = [tok("b", d, j) for j in range(7)]
+    sruns = [F.lit(f"srun{j}t") for j in range(8)]
+    r4 = F.concat_ws(
+        "\n",
+        line(the, b[0], b[1], *sruns, b[2], stop),
+        line(and_, b[3], b[4], b[5], b[6], of, stop),
+    )
+    c = [tok("c", d, j) for j in range(6)]
+    r5 = F.concat_ws(
+        "\n",
+        line(the, c[0], c[1], F.lit("badwordx"), stop),
+        line(F.lit("tiny"), F.concat(c[2], F.lit("."))),
+        line(and_, c[3], c[4], F.lit("plainword"), c[5]),
+    )
+    e = [tok("e", d, j) for j in range(7)]
+    qa = F.concat(F.lit("q"), d, F.lit("a"))
+    qb = F.concat(F.lit("q"), d, F.lit("b"))
+    fs = [tok("f", d, j) for j in range(3)]
+    rep_parts = [e[0]]
+    for i in range(1, 7):
+        rep_parts += [qa, qb, e[i]]
+    r6 = F.concat_ws(
+        "\n",
+        line(the, *rep_parts, stop),
+        line(and_, *fs, of, stop),
+    )
+    p = [F.concat(F.lit("p"), g, F.lit(f"h{j}")) for j in range(5)]
+    r7 = F.concat_ws(
+        "\n",
+        line(the, p[0], p[1], p[2], stop),
+        line(and_, p[3], p[4], of, stop),
+    )
+    r8 = F.concat_ws(
+        "\n",
+        line(the, p[0], F.concat(p[1], F.lit(",")), p[2], stop),
+        line(and_, F.concat(p[3], F.lit(",")), p[4], of, stop),
+    )
+    u = [tok("u", d, j) for j in range(7)]
+    r9 = F.concat_ws(
+        "\n",
+        line(the, u[0], u[1], u[2], u[3], stop),
+        line(and_, u[4], u[5], u[6], of, stop),
+    )
+    text = (
+        F.when(role == 0, clique(0))
+        .when(role == 1, clique(1))
+        .when(role == 2, clique(2))
+        .when(role == 3, line(the, *A[:6], stop))
+        .when(role == 4, r4)
+        .when(role == 5, r5)
+        .when(role == 6, r6)
+        .when(role == 7, r7)
+        .when(role == 8, r8)
+        .otherwise(r9)
+    )
+    corpus = docs.select("doc_id", text.alias("text"))
+    # materialize="disk"/pin rotation + carry="arrays" as the other
+    # curation twins (toy corpus, no build action)
+    _rotate_pin(spark, "curation_full_planted")
+    curated = curate(
+        corpus, text_col="text", key_cols=("doc_id",), policy="clusters",
+        materialize="disk", minhash_carry="arrays",
+        jaccard_threshold=0.7, min_chars=30,
+        line_dedup=True,
+        c4=True, c4_opts={"min_sentences": 2, "badwords": ("badwordx",)},
+        substring_dedup_k=8, substring_dedup_keep="none",
+        gopher_repetition=True, minhash_k=1,
+    )
+    _rotate_pin(spark, "curation_full_planted", curated)
+    return curated.select(
+        "doc_id",
+        F.col("quality_ok").cast("int").alias("quality_ok"),
+        F.col("c4_keep").cast("int").alias("c4_keep"),
+        F.col("repetition_ok").cast("int").alias("repetition_ok"),
+        F.col("exact_keep").cast("int").alias("exact_keep"),
+        F.col("near_dup_drop").cast("int").alias("near_dup_drop"),
+        F.col("kept").cast("int").alias("kept"),
+        F.col("line_dedup_n_lines").cast("long").alias("ld_n_lines"),
+        F.col("line_dedup_n_kept").cast("long").alias("ld_n_kept"),
+        F.col("c4_n_lines").cast("long").alias("c4_n_lines"),
+        F.col("c4_n_kept_lines").cast("long").alias("c4_n_kept"),
+        F.col("substr_dedup_n_tokens").cast("long").alias("sd_n_tokens"),
+        F.col("substr_dedup_n_kept").cast("long").alias("sd_n_kept"),
+    )
+
+
+SQL_CURATION_FULL_PLANTED = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id % 10 IN (0, 1, 2, 4, 7, 8, 9) AS INTEGER) AS quality_ok,
+       CAST(doc_id % 10 NOT IN (3, 5) AS INTEGER) AS c4_keep,
+       CAST(doc_id % 10 <> 6 AS INTEGER) AS repetition_ok,
+       CAST(doc_id % 10 IN (0, 1, 2, 4, 7, 9) AS INTEGER) AS exact_keep,
+       CAST(doc_id % 10 IN (1, 2) AS INTEGER) AS near_dup_drop,
+       CAST(doc_id % 10 IN (0, 4, 7, 9) AS INTEGER) AS kept,
+       CAST(CASE doc_id % 10 WHEN 3 THEN 1 WHEN 5 THEN 3 ELSE 2 END
+            AS BIGINT) AS ld_n_lines,
+       CAST(CASE doc_id % 10 WHEN 3 THEN 0 WHEN 5 THEN 3 ELSE 2 END
+            AS BIGINT) AS ld_n_kept,
+       CAST(CASE doc_id % 10 WHEN 3 THEN 1 WHEN 5 THEN 3 ELSE 2 END
+            AS BIGINT) AS c4_n_lines,
+       CAST(CASE doc_id % 10 WHEN 3 THEN 0 WHEN 5 THEN 1 ELSE 2 END
+            AS BIGINT) AS c4_n_kept,
+       CAST(CASE WHEN doc_id % 10 IN (0, 1, 2) THEN 17
+                 WHEN doc_id % 10 = 3 THEN 0
+                 WHEN doc_id % 10 = 4 THEN 20
+                 WHEN doc_id % 10 = 5 THEN 5
+                 WHEN doc_id % 10 = 6 THEN 27
+                 WHEN doc_id % 10 IN (7, 8) THEN 10
+                 ELSE 12 END AS BIGINT) AS sd_n_tokens,
+       CAST(CASE WHEN doc_id % 10 IN (0, 1, 2) THEN 17
+                 WHEN doc_id % 10 = 3 THEN 0
+                 WHEN doc_id % 10 = 4 THEN 12
+                 WHEN doc_id % 10 = 5 THEN 5
+                 WHEN doc_id % 10 = 6 THEN 27
+                 WHEN doc_id % 10 IN (7, 8) THEN 10
+                 ELSE 12 END AS BIGINT) AS sd_n_kept
+FROM documents
+"""
+
+
 # --- 18d. decontam_planted — benchmark decontamination hash-checked with
 #     closed-form expectations.  Corpus: 20 unique words per doc (vocab
 #     disjoint across docs → zero cross-doc 13-grams).  Benchmark: every
@@ -2807,6 +2999,10 @@ SQL_TWINS: dict[str, tuple] = {
         q_curation_line_planted,
         SQL_CURATION_LINE_PLANTED,
     ),
+    "curation_full_planted": (
+        q_curation_full_planted,
+        SQL_CURATION_FULL_PLANTED,
+    ),
     "decontam_planted": (q_decontam_planted, SQL_DECONTAM_PLANTED),
     "source_cap": (q_source_cap, SQL_SOURCE_CAP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
@@ -2814,7 +3010,10 @@ SQL_TWINS: dict[str, tuple] = {
     "mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
     "pack_invariants": (q_pack_invariants, SQL_PACK_INVARIANTS),
     "span_invariants": (q_span_invariants, SQL_SPAN_INVARIANTS),
-    "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
+    # repetition_score retired to LOCAL_TWINS round 8 — subsumed by the
+    # gopher_repetition twin (all 13 Table-A1 metrics hash-checked) and
+    # by curation_full_planted's composed repetition gate; funds the
+    # curation_full_planted row under the 50-query cap.
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "ann_ivf_planted": (q_ann_ivf_planted, SQL_ANN_IVF_PLANTED),
     "ann_lsh_planted": (q_ann_lsh_planted, SQL_ANN_LSH_PLANTED),
@@ -3097,6 +3296,7 @@ SQL_TWINS.update(
 # through the driver registry in round 9.  Same (builder, sql) contract
 # as SQL_TWINS.
 LOCAL_TWINS: dict[str, tuple] = {
+    "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "regional_customers": (q_regional_customers, SQL_REGIONAL_CUSTOMERS),

@@ -1034,3 +1034,47 @@ def test_quality_flag_plan_has_no_lambda_hofs(spark):
     fplan = flags._jdf.queryExecution().executedPlan().toString()
     assert "lambdafunction" not in fplan.lower(), fplan[:2000]
     assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
+
+
+def test_curate_c4_and_gopher_repetition_stages(spark):
+    """Round-8 composition: c4=True rewrites text from the surviving
+    lines between the line stage and the substring stage (line-
+    granularity passes before the whitespace-normalizing token pass)
+    and ANDs c4_keep into quality; gopher_repetition=True ANDs
+    repetition_ok the same way.  One doc per failure mode, audit
+    columns closed-form."""
+    rows = [
+        (1, "the alpha1 beta1 gamma1 delta1 stop.\n"
+            "and eps1 zeta1 eta1 of stop."),                      # kept
+        (2, "the alpha2 { beta2 gamma2 stop.\n"
+            "and eps2 zeta2 eta2 of stop."),                      # c4 page gate
+        (3, "the e0 qa qb e1 qa qb e2 qa qb e3 qa qb e4 qa qb "
+            "e5 qa qb e6 stop.\nand f0 f1 f2 of stop."),          # repetition
+        (4, "the alpha4 beta4 gamma4 delta4 stop.\nshort x.\n"
+            "and eps4 zeta4 eta4 of no terminal"),                # c4 line drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in curate(
+            df, text_col="text", key_cols=("doc_id",), policy="clusters",
+            materialize="disk", minhash_carry="arrays", min_chars=30,
+            line_dedup=True, substring_dedup_k=8, substring_dedup_keep="none",
+            c4=True, c4_opts={"min_sentences": 2, "badwords": ("badwordx",)},
+            gopher_repetition=True, minhash_k=1,
+        ).collect()
+    }
+    assert out[1].kept and out[1].c4_keep and out[1].repetition_ok
+    assert not out[2].c4_keep and not out[2].quality_ok      # curly brace
+    assert out[2].repetition_ok
+    assert not out[3].repetition_ok and not out[3].quality_ok
+    assert out[3].c4_keep
+    # doc 4: 3 lines -> 1 kept (short + no-terminal), then the single
+    # surviving line has 1 sentence < min_sentences=2 -> page gate
+    assert out[4].c4_n_lines == 3 and out[4].c4_n_kept_lines == 1
+    assert not out[4].c4_keep and not out[4].quality_ok
+    # the line stage saw the ORIGINAL lines; substring audit counts the
+    # post-c4 tokens (doc 3: 27 tokens, none duplicated)
+    assert out[4].line_dedup_n_lines == 3
+    assert out[3].substr_dedup_n_tokens == 27
+    assert out[3].substr_dedup_n_kept == 27

@@ -215,3 +215,67 @@ def doc_chunks(
         F.size(chunk_toks).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk_toks).alias("chunk_text"),
     )
+
+
+def token_chunks(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "bpe_tokens",
+) -> DataFrame:
+    """``doc_chunks`` over an ALREADY-TOKENIZED array column — the
+    real-subword training-shard path: ``bpe_encode`` → ``token_chunks``
+    → ``pack_sequences`` on ``n_chunk_tokens``, so the windows the
+    packer bins are exact SUBWORD windows, not the regex estimate
+    (``doc_chunks`` keeps the text-level role; the window math —
+    coverage, ragged tail, stride overlap — is identical and pinned by
+    the equivalence test in tests/test_packing.py).
+
+    Output: ``(id_col, chunk_idx, tok_start, tok_end, n_chunk_tokens,
+    chunk_tokens)`` — ``chunk_tokens`` is the window's token slice
+    (array<string>), ``tok_end`` exclusive.  NULL token arrays yield
+    zero chunks, like NULL text in ``doc_chunks``.
+
+    Scale shape: identical to ``doc_chunks`` — sequence + explode +
+    slice, ZERO shuffles, pure JVM (the Arrow stage lives upstream in
+    the encoder); the composed chain's whole plan is ONE Arrow stage
+    (encode) + ONE exchange (the packer's repartition), plan-goldened
+    in tests/test_packing.py."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(
+            f"stride must be in [1, max_tokens], got {stride}/{max_tokens}"
+        )
+    toks = F.col(tokens_col)
+    n = F.coalesce(F.size(toks), F.lit(0))
+    extra = F.greatest(n - F.lit(max_tokens), F.lit(0))
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("long")
+    )
+    starts = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("_ck_toks"),
+        n.cast("long").alias("_ck_n"),
+        F.explode(starts).alias("chunk_idx"),
+    )
+    tok_start = F.col("chunk_idx") * F.lit(stride)
+    chunk_toks = F.slice(
+        F.col("_ck_toks"), (tok_start + 1).cast("int"), max_tokens
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        tok_start.alias("tok_start"),
+        F.least(tok_start + F.lit(max_tokens), F.col("_ck_n")).alias(
+            "tok_end"
+        ),
+        F.size(chunk_toks).cast("long").alias("n_chunk_tokens"),
+        chunk_toks.alias("chunk_tokens"),
+    )

@@ -214,3 +214,93 @@ def test_doc_chunks_plan_is_narrow(spark):
     assert "Exchange" not in plan, plan
     # "*(1)" prefixes = every node in one whole-stage-codegen span
     assert plan.lstrip().startswith("*(1)"), plan
+
+
+def test_token_chunks_matches_doc_chunks_window_math(spark):
+    """token_chunks over the regex token arrays must produce EXACTLY the
+    windows doc_chunks produces from the raw text (same ids, indices,
+    bounds, counts; chunk_tokens rejoin to chunk_text) — the two share
+    one window-math contract."""
+    from cl_readability_spark.functions.packing import (
+        CHUNK_TOKEN_PATTERN,
+        doc_chunks,
+        token_chunks,
+    )
+
+    texts = [
+        (0, "one two three four five six seven eight nine ten eleven"),
+        (1, "short doc."),
+        (2, ""),
+        (3, None),
+        (4, "punct, here! and-more tokens; " * 7),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    via_text = doc_chunks(df, max_tokens=5, stride=3).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    tokenized = df.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.col("text"), F.lit(CHUNK_TOKEN_PATTERN), F.lit(0)
+        ).alias("toks"),
+    )
+    via_tokens = token_chunks(
+        tokenized, max_tokens=5, stride=3, tokens_col="toks"
+    ).orderBy("doc_id", "chunk_idx")
+    a = via_text.collect()
+    b = via_tokens.collect()
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert (ra.doc_id, ra.chunk_idx, ra.tok_start, ra.tok_end,
+                ra.n_chunk_tokens) == (
+            rb.doc_id, rb.chunk_idx, rb.tok_start, rb.tok_end,
+            rb.n_chunk_tokens,
+        )
+        assert " ".join(rb.chunk_tokens) == ra.chunk_text
+
+
+def test_bpe_chunk_pack_chain_plan_and_invariants(spark):
+    """The composed real-subword shard path (round-7 verdict task 5):
+    bpe_encode → token_chunks → pack_sequences.  Plan golden: exactly
+    ONE Arrow stage (the encoder), ONE exchange (the packer's
+    repartition), ONE MapInPandas (the packer), zero row-wise python.
+    Invariants: every chunk ≤ max_tokens so no oversize packs; chunk
+    token mass equals encoded token mass (disjoint stride)."""
+    from cl_readability_spark.functions.bpe import bpe_encode, bpe_fit
+    from cl_readability_spark.functions.packing import (
+        pack_sequences,
+        token_chunks,
+    )
+
+    texts = [
+        (i, f"some shared words plus unique{i} tail material here")
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = bpe_fit(corpus, n_merges=30)
+    encoded = bpe_encode(corpus, merges)
+    chunks = token_chunks(encoded, max_tokens=16, stride=16)
+    packed = pack_sequences(
+        chunks.select(
+            F.concat_ws("-", F.col("doc_id"), F.col("chunk_idx")).alias(
+                "doc_id"
+            ),
+            F.col("n_chunk_tokens").alias("n_tokens"),
+        ),
+        max_tokens=64,
+        num_partitions=4,
+    )
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+    assert plan.count("MapInPandas") == 1, plan[:3000]
+    assert "BatchEvalPython" not in plan
+
+    total_encoded = encoded.agg(F.sum(F.size("bpe_tokens"))).collect()[0][0]
+    rows = packed.collect()
+    assert sum(r.n_tokens for r in rows) == total_encoded
+    assert not any(r.oversize for r in rows)
+    by_pack: dict[str, int] = {}
+    for r in rows:
+        by_pack[r.pack_id] = by_pack.get(r.pack_id, 0) + r.n_tokens
+    assert all(v <= 64 for v in by_pack.values())

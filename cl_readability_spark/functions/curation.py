@@ -1062,6 +1062,7 @@ def curate(
     gopher_repetition: bool = False,
     gopher_repetition_pin: bool = False,
     minhash_k: int = 5,
+    pin_stages: bool | str = "auto",
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
@@ -1137,12 +1138,40 @@ def curate(
     ``minhash_k`` sets the near-dup shingle width in words (default 5,
     the standard 5-word shingles; 1 = word-set Jaccard, for corpora
     where duplicates vary token ORDER — template-permuted boilerplate —
-    which contiguous shingles undercount)."""
+    which contiguous shingles undercount).
+
+    ``pin_stages`` governs the MID-CHAIN input pins when several
+    branching rewrite stages compose in one call.  Each branching stage
+    (line_dedup, substring_dedup, gopher_repetition) evaluates its
+    input in ~3 plan branches; when that input is itself the OUTPUT of
+    an earlier branching stage (joins, not a scan), every branch
+    re-runs the whole upstream chain — at deployment scale that is a
+    repeated multi-shuffle pass, not a repeated parquet read.  The
+    default ``"auto"`` therefore pins (DISK_ONLY) a branching stage's
+    input iff an earlier branching rewrite stage already ran in this
+    call; ``True`` pins every branching stage's input (including the
+    first — for nondeterministic caller frames); ``False`` pins only
+    where the per-stage ``*_pin`` flag asks.  Per-stage flags always
+    force a pin regardless of ``pin_stages``.  Value-neutral (pins
+    change execution, never results); all pins ride the returned
+    frame's registry handles (``release_curated``)."""
+
+    def _pin(explicit: bool, derived: bool) -> bool:
+        if explicit or pin_stages is True:
+            return True
+        return pin_stages == "auto" and derived
+
+    # has a BRANCHING rewrite stage already run in this call? (c4 is a
+    # single-branch projection — cheap to re-evaluate over a scan, and
+    # any earlier branching stage below it already got pinned)
+    derived = False
     ld_pins: list[DataFrame] = []
     if line_dedup:
         extracted, ld_pins = line_dedup_rewrite(
-            extracted, text_col, key_cols, pin_lines=line_dedup_pin
+            extracted, text_col, key_cols,
+            pin_lines=_pin(line_dedup_pin, derived),
         )
+        derived = True
     extra_gates: list[str] = []
     if c4:
         # BETWEEN the line stage and the substring stage on purpose: the
@@ -1162,12 +1191,14 @@ def curate(
             key_cols,
             k=substring_dedup_k,
             keep=substring_dedup_keep,
-            pin_tokens=substring_dedup_pin,
+            pin_tokens=_pin(substring_dedup_pin, derived),
         )
         ld_pins.extend(sd_pins)
+        derived = True
     if gopher_repetition:
         extracted, gr_pins = gopher_repetition_gate(
-            extracted, text_col, key_cols, pin_input=gopher_repetition_pin
+            extracted, text_col, key_cols,
+            pin_input=_pin(gopher_repetition_pin, derived),
         )
         ld_pins.extend(gr_pins)
         extra_gates.append("repetition_ok")

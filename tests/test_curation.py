@@ -1078,3 +1078,43 @@ def test_curate_c4_and_gopher_repetition_stages(spark):
     assert out[4].line_dedup_n_lines == 3
     assert out[3].substr_dedup_n_tokens == 27
     assert out[3].substr_dedup_n_kept == 27
+
+
+def test_curate_pin_stages_auto_pins_midchain_inputs(spark, planted):
+    """pin_stages="auto" (the default): composing >=2 branching rewrite
+    stages pins each LATER branching stage's input (the mid-chain frames
+    whose re-evaluation repeats upstream joins), never the first stage's
+    caller-supplied input; pin_stages=False reverts to explicit flags
+    only; values are identical either way (pins are value-neutral)."""
+    from cl_readability_spark.functions.curation import release_curated
+    from cl_readability_spark.functions.pins import pins_outstanding
+
+    base = pins_outstanding(spark)
+    kw = dict(
+        jaccard_threshold=0.7, policy="pairwise", line_dedup=True,
+        substring_dedup_k=8, gopher_repetition=True,
+    )
+    auto = curate(planted, **kw)
+    auto_rows = sorted(
+        (r.conv_id, r.turn_idx, r.kept) for r in auto.collect()
+    )
+    # materialize pin (flagged) + substring input + gopher input = 3;
+    # the line stage's input (caller frame) must NOT be auto-pinned
+    assert pins_outstanding(spark) - base == 3
+    release_curated(auto)
+    assert pins_outstanding(spark) == base
+
+    off = curate(planted, pin_stages=False, **kw)
+    off_rows = sorted(
+        (r.conv_id, r.turn_idx, r.kept) for r in off.collect()
+    )
+    assert pins_outstanding(spark) - base == 1  # materialize pin only
+    release_curated(off)
+    assert off_rows == auto_rows
+
+    # pin_stages=True additionally pins the FIRST branching stage's input
+    allpin = curate(planted, pin_stages=True, **kw)
+    allpin.count()
+    assert pins_outstanding(spark) - base == 4
+    release_curated(allpin)
+    assert pins_outstanding(spark) == base

@@ -3278,6 +3278,77 @@ LIMIT 200
 # round-7 LOCAL twins into the driver registry for their first
 # driver-verified hash rows.  update() here because their builders are
 # defined after the SQL_TWINS literal.
+# --- LOCAL twin: incremental_exact — the round-8 bucketed-catalog
+#     incremental dedup (functions/incremental.py) on a planted split:
+#     catalog = docs with doc_id % 3 == 0 (written as a REAL bucketed
+#     saveAsTable inside the twin — the probe exercises the exact
+#     production path, bucketed scan and all), batch = the remaining
+#     docs PLUS the catalog docs re-keyed +100000 (exact text copies →
+#     guaranteed catalog hits).  The SQL re-derives in_catalog via an
+#     EXISTS anti-pattern over the same md5(normalized) fingerprint and
+#     batch_keep via the same min-doc_id window.  LOCAL_TWINS (driver
+#     registry at its 50-row cap; rotates in round 9). ---
+def q_incremental_exact(spark, sf_dir):
+    import shutil
+
+    from cl_readability_spark.functions.incremental import (
+        incremental_exact_dedup,
+        write_exact_catalog,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    table = "clrs_twin_inc_exact"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("", "__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(f"{warehouse}/{table}{suffix}", ignore_errors=True)
+    write_exact_catalog(
+        docs.filter(F.col("doc_id") % 3 == 0), table, n_buckets=8
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0).unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    out = incremental_exact_dedup(batch, table)
+    return out.select(
+        "doc_id",
+        "fingerprint",
+        F.col("in_catalog").cast("int").alias("in_catalog"),
+        F.col("batch_keep").cast("int").alias("batch_keep"),
+    )
+
+
+SQL_INCREMENTAL_EXACT = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(coalesce(text, '')),
+                            '[^a-z0-9]', '', 'g')) AS fingerprint
+  FROM documents
+),
+batch AS (
+  SELECT doc_id, fingerprint FROM fp WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, fingerprint FROM fp
+  WHERE doc_id % 3 = 0
+)
+SELECT b.doc_id,
+       b.fingerprint,
+       CAST(EXISTS (SELECT 1 FROM fp c
+                    WHERE c.doc_id % 3 = 0
+                      AND c.fingerprint = b.fingerprint) AS INT)
+         AS in_catalog,
+       CAST(ROW_NUMBER() OVER (PARTITION BY b.fingerprint
+                               ORDER BY b.doc_id) = 1 AS INT)
+         AS batch_keep
+FROM batch b
+"""
+
+
 SQL_TWINS.update(
     {
         "dsir_logw": (q_dsir_logw, SQL_DSIR_LOGW),
@@ -3308,4 +3379,5 @@ LOCAL_TWINS: dict[str, tuple] = {
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
     "bpe_word_counts": (q_bpe_word_counts, SQL_BPE_WORD_COUNTS),
+    "incremental_exact": (q_incremental_exact, SQL_INCREMENTAL_EXACT),
 }

@@ -116,6 +116,7 @@ def incremental_exact_dedup(
     table: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_batch_keep: bool = True,
 ) -> DataFrame:
     """Flag a NEW batch against the exact catalog: adds
     ``fingerprint``, ``in_catalog`` (an identical-content row already
@@ -123,21 +124,32 @@ def incremental_exact_dedup(
     fingerprint WITHIN the batch, by min ``id_col`` — intra-batch dups
     collapse here without touching the catalog).  ``new_rows =
     batch_keep AND NOT in_catalog`` is the append set.
+    ``with_batch_keep=False`` skips the intra-batch window for callers
+    that collapse intra-batch dups elsewhere (``pipeline/ingest.py``
+    defers to ``curate()``'s exact gate).
 
     Scale shape: the catalog side of the join is a bucketed scan — NO
     Exchange (plan golden); only the batch (small side) shuffles, into
     the catalog's own bucketing.  The intra-batch window partitions by
-    fingerprint over the batch only."""
+    fingerprint over the batch only.  The catalog side collapses per
+    fingerprint BEFORE the join (a LOCAL aggregation — group key =
+    bucket key, so still no Exchange): duplicate catalog rows, legal
+    after crash-replayed appends (``pipeline/ingest.py``), must not
+    fan out batch rows."""
     from pyspark.sql import Window
 
     _read_meta(new_df.sparkSession, table, "exact")
     keyed = new_df.withColumn(
         "fingerprint", _normalized_fingerprint(text_col)
     )
-    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
-    keyed = keyed.withColumn("batch_keep", F.row_number().over(w) == 1)
-    cat = new_df.sparkSession.table(table).select(
-        "fingerprint", F.lit(True).alias("in_catalog")
+    if with_batch_keep:
+        w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+        keyed = keyed.withColumn("batch_keep", F.row_number().over(w) == 1)
+    cat = (
+        new_df.sparkSession.table(table)
+        .select("fingerprint")
+        .dropDuplicates(["fingerprint"])
+        .withColumn("in_catalog", F.lit(True))
     )
     return keyed.join(cat, "fingerprint", "left").withColumn(
         "in_catalog", F.coalesce(F.col("in_catalog"), F.lit(False))

@@ -3349,6 +3349,142 @@ FROM batch b
 """
 
 
+# --- LOCAL twin: ingest_planted — the round-8 incremental ingest LOOP
+#     (pipeline/ingest.py) hash-checked end to end on the 18c planted
+#     curation corpus, keyed (conv_id, turn_idx): batch 1 = the corpus,
+#     batch 2 = a full re-keyed copy.  Batch 1's kept roles {0,5..9}
+#     land in the exact catalog, so batch 2's copies of roles 0 and 3
+#     (rot(0) — role 3 IS role 0's text) and the fillers 5-9 are
+#     exact_in_catalog; role 4 ('tiny') was never kept (quality) so its
+#     copy re-fails quality; roles 1/2 (rot(1)/rot(2)) were near-dup-
+#     dropped so their fingerprints are NOT in the catalog — they re-
+#     enter curate() where, with their batch-1 cluster-mate rot(0)
+#     already catalog-dropped, the {1,2} cluster keeps its min key:
+#     role 1 is KEPT, role 2 near-dup-dropped.  Every outcome is
+#     closed-form; catalog-skipped rows carry -1 curation flags (they
+#     never reached curate()).  Exercises in ONE hash row: the resume
+#     anti-join path, the bucketed catalog probe, the post-commit
+#     catalog append, and the probe→curate composition.  LOCAL_TWINS
+#     (driver registry at its 50-row cap; rotates in round 9). ---
+def q_ingest_planted(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cl_readability_spark.functions.incremental import (
+        write_exact_catalog,
+    )
+    from cl_readability_spark.pipeline.ingest import ingest_batch
+    from cl_readability_spark.pipeline.resume import CheckpointedSink
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    # the 18c planted-corpus construction (see _curation_planted_curated)
+    g = (F.col("doc_id") / 10).cast("long").cast("string")
+    role = F.pmod(F.col("doc_id"), F.lit(10))
+    cycle = [F.lit("the"), F.lit("and"), F.lit("is")] + [
+        F.concat(F.lit("w"), g, F.lit(f"x{j}")) for j in range(7)
+    ]
+
+    def rot(s: int):
+        words = (cycle[s:] + cycle[:s]) * 3
+        return F.concat_ws(" ", *words)
+
+    filler = F.concat_ws(
+        " ",
+        F.lit("the"),
+        F.lit("and"),
+        F.lit("is"),
+        *[
+            F.concat(
+                F.lit("u"), F.col("doc_id").cast("string"), F.lit(f"x{j}")
+            )
+            for j in range(27)
+        ],
+    )
+    text = (
+        F.when(role == 4, F.lit("tiny"))
+        .when(role == 1, rot(1))
+        .when(role == 2, rot(2))
+        .when(role >= 5, filler)
+        .otherwise(rot(0))
+    )
+    batch1 = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        text.alias("extracted_text"),
+    )
+    batch2 = batch1.withColumn(
+        "conv_id", F.concat(F.lit("b2-"), F.col("conv_id"))
+    )
+
+    table = "clrs_twin_ingest_exact"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for suffix in ("", "__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        shutil.rmtree(f"{warehouse}/{table}{suffix}", ignore_errors=True)
+    empty = spark.createDataFrame(
+        [], "_ingest_id string, extracted_text string"
+    )
+    write_exact_catalog(
+        empty, table, text_col="extracted_text", id_col="_ingest_id",
+        n_buckets=8,
+    )
+    root = tempfile.mkdtemp(prefix="clrs_twin_ingest_sink_")
+    try:
+        sink = CheckpointedSink(root)
+        opts = {
+            "policy": "clusters",
+            "materialize": "none",
+            "minhash_carry": "arrays",
+        }
+        for b in (batch1, batch2):
+            ingest_batch(
+                b, sink, exact_table=table, pre_extracted=True,
+                curate_opts=opts,
+            )
+        written = (
+            sink.read(spark)
+            .filter(F.col("conv_id").startswith("b2-"))
+            .select(
+                "conv_id",
+                F.col("exact_in_catalog").cast("int").alias(
+                    "exact_in_catalog"
+                ),
+                F.coalesce(F.col("quality_ok").cast("int"), F.lit(-1))
+                .alias("quality_ok"),
+                F.coalesce(F.col("exact_keep").cast("int"), F.lit(-1))
+                .alias("exact_keep"),
+                F.coalesce(F.col("near_dup_drop").cast("int"), F.lit(-1))
+                .alias("near_dup_drop"),
+                F.col("kept").cast("int").alias("kept"),
+            )
+        )
+        # materialize before the tmpdir vanishes
+        out = spark.createDataFrame(
+            written.collect(), schema=written.schema
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+SQL_INGEST_PLANTED = """
+SELECT 'b2-' || CAST(doc_id AS VARCHAR)                        AS conv_id,
+       CAST(doc_id % 10 IN (0, 3, 5, 6, 7, 8, 9) AS INT)      AS exact_in_catalog,
+       CASE WHEN doc_id % 10 IN (0, 3, 5, 6, 7, 8, 9) THEN -1
+            WHEN doc_id % 10 = 4 THEN 0 ELSE 1 END            AS quality_ok,
+       CASE WHEN doc_id % 10 IN (0, 3, 5, 6, 7, 8, 9) THEN -1
+            WHEN doc_id % 10 = 4 THEN 0 ELSE 1 END            AS exact_keep,
+       CASE WHEN doc_id % 10 IN (0, 3, 5, 6, 7, 8, 9) THEN -1
+            WHEN doc_id % 10 = 2 THEN 1 ELSE 0 END            AS near_dup_drop,
+       CAST(doc_id % 10 = 1 AS INT)                           AS kept
+FROM documents
+"""
+
+
 SQL_TWINS.update(
     {
         "dsir_logw": (q_dsir_logw, SQL_DSIR_LOGW),
@@ -3380,4 +3516,5 @@ LOCAL_TWINS: dict[str, tuple] = {
     "semantic_decontam": (q_semantic_decontam, SQL_SEMANTIC_DECONTAM),
     "bpe_word_counts": (q_bpe_word_counts, SQL_BPE_WORD_COUNTS),
     "incremental_exact": (q_incremental_exact, SQL_INCREMENTAL_EXACT),
+    "ingest_planted": (q_ingest_planted, SQL_INGEST_PLANTED),
 }

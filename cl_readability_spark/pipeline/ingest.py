@@ -183,10 +183,17 @@ def ingest_batch(
     prefilter_readerable: bool | str = False,
     minhash_threshold: float = 0.8,
     curate_opts: dict | None = None,
+    pre_extracted: bool = False,
 ) -> dict[str, Any]:
     """Run one batch through the full ingest loop (module doc); returns
     the per-batch report dict (counts per drop cause, the sink batch
     handle, and any crash-recovery replays performed).
+
+    ``pre_extracted=True`` skips the extraction stage: the input already
+    carries ``extracted_text`` keyed by (conv_id, turn_idx) — the
+    "re-curate an existing extracted corpus against the catalogs" mode
+    (and the oracle-twin surface, where extraction is verified
+    separately).
 
     ``curate_opts`` forwards to ``curate()`` (gates, thresholds, stage
     toggles — the deployment config).  ``text_col`` is always the
@@ -234,13 +241,24 @@ def ingest_batch(
             "recovered_batches": replayed,
         }
 
-    extracted = extract_transcripts(
-        remaining,
-        config=config,
-        salt_buckets=salt_buckets,
-        num_partitions=num_partitions,
-        prefilter_readerable=prefilter_readerable,
-    ).withColumn("_ingest_id", _row_key(tuple(KEY_COLUMNS)))
+    if pre_extracted:
+        missing = {"extracted_text", *KEY_COLUMNS} - set(remaining.columns)
+        if missing:
+            raise ValueError(
+                f"pre_extracted input lacks columns: {sorted(missing)}"
+            )
+        extracted = remaining
+    else:
+        extracted = extract_transcripts(
+            remaining,
+            config=config,
+            salt_buckets=salt_buckets,
+            num_partitions=num_partitions,
+            prefilter_readerable=prefilter_readerable,
+        )
+    extracted = extracted.withColumn(
+        "_ingest_id", _row_key(tuple(KEY_COLUMNS))
+    )
 
     # --- corpus-level probes (global dedup BEFORE intra-batch gates:
     # the global-then-local ordering — the corpus already holds one

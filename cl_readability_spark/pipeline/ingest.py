@@ -184,6 +184,7 @@ def ingest_batch(
     minhash_threshold: float = 0.8,
     curate_opts: dict | None = None,
     pre_extracted: bool = False,
+    committed_filter=None,
 ) -> dict[str, Any]:
     """Run one batch through the full ingest loop (module doc); returns
     the per-batch report dict (counts per drop cause, the sink batch
@@ -194,6 +195,17 @@ def ingest_batch(
     "re-curate an existing extracted corpus against the catalogs" mode
     (and the oracle-twin surface, where extraction is verified
     separately).
+
+    ``committed_filter`` (a boolean ``Column`` over the key columns)
+    scopes the resume anti-join's committed-keys scan — the ONE
+    per-batch term that otherwise reads O(corpus) keys
+    (measured: BENCH/BASELINE.md round 8).  When batches are keyed by
+    source partition (crawl date, conv_id prefix), pass the predicate
+    that bounds where this batch's keys could already live; it reaches
+    the parquet/Iceberg scan as a pushed filter.  SAFETY: the filter
+    must be TRUE for every committed row that could share a key with
+    this batch — an over-narrow filter readmits duplicates.  Default
+    None scans all committed keys (always correct).
 
     ``curate_opts`` forwards to ``curate()`` (gates, thresholds, stage
     toggles — the deployment config).  ``text_col`` is always the
@@ -226,6 +238,8 @@ def ingest_batch(
     )
 
     committed = sink.committed_keys(spark)
+    if committed is not None and committed_filter is not None:
+        committed = committed.filter(committed_filter)
     remaining = pending_rows(transcripts, committed)
     if committed is not None and not remaining.take(1):
         return {

@@ -110,18 +110,32 @@ def main() -> int:
         "anti_join_sec",
         lambda: pending_rows(fresh, committed).count(),
     )
-    extracted = timed(
-        "extract_sec",
-        lambda: extract_transcripts(fresh)
-        .withColumn(
-            "_ingest_id",
-            F.concat_ws(
-                "\x1f", "conv_id", F.col("turn_idx").cast("string")
-            ),
-        )
-        .persist(),
+    # the committed_filter path (pipeline/ingest.py): scope the
+    # committed-keys scan to the batch's key partition — here the
+    # filter excludes every corpus key, the cross-partition-disjoint
+    # case (a real deployment keys batches by crawl date / id prefix)
+    timed(
+        "anti_join_scoped_sec",
+        lambda: pending_rows(
+            fresh, committed.filter(F.col("conv_id").startswith("fresh-"))
+        ).count(),
     )
-    extracted.count()
+
+    def run_extract():
+        df = (
+            extract_transcripts(fresh)
+            .withColumn(
+                "_ingest_id",
+                F.concat_ws(
+                    "\x1f", "conv_id", F.col("turn_idx").cast("string")
+                ),
+            )
+            .persist()
+        )
+        df.count()  # materialize INSIDE the timer
+        return df
+
+    extracted = timed("extract_sec", run_extract)
 
     timed(
         "exact_probe_sec",

@@ -268,6 +268,52 @@ def test_ingest_without_catalogs_still_curates(spark, tmp_path, batches):
     assert sink.read(spark).filter("kept").count() == r["rows_kept"]
 
 
+def test_committed_filter_scopes_resume_scan(spark, tmp_path, batches):
+    """``committed_filter`` bounds the resume anti-join's committed-keys
+    scan to the batch's key partition — the one per-batch term that
+    otherwise reads O(corpus) keys (BENCH/BASELINE.md round 8).
+    Correctness: a covering filter keeps the rerun a no-op, and a
+    disjoint-partition batch ingests in full; plan: the predicate
+    reaches the committed parquet scan as a pushed filter."""
+    b1, _ = batches
+    day1 = _copies(b1, "day1-")
+    day2 = _copies(b1, "day2-")  # same text, DISJOINT key partition
+    sink = CheckpointedSink(str(tmp_path / "corpus"))
+
+    r1 = ingest_batch(day1, sink, curate_opts=CURATE)
+    assert r1["rows_kept"] > 0
+
+    # covering filter: the day1 rerun scoped to day1 keys stays a no-op
+    r2 = ingest_batch(
+        day1, sink, curate_opts=CURATE,
+        committed_filter=F.col("conv_id").startswith("day1-"),
+    )
+    assert r2["rows_in"] == 0 and r2["batch"] is None
+
+    # disjoint partition: the scoped scan reads no day1 keys, yet every
+    # day2 row still processes (keys cannot collide across partitions)
+    r3 = ingest_batch(
+        day2, sink, curate_opts=CURATE,
+        committed_filter=F.col("conv_id").startswith("day2-"),
+    )
+    assert r3["rows_in"] == day2.count()
+    # and the scoped rerun of day2 is now a no-op too
+    r4 = ingest_batch(
+        day2, sink, curate_opts=CURATE,
+        committed_filter=F.col("conv_id").startswith("day2-"),
+    )
+    assert r4["rows_in"] == 0
+
+    # the predicate reaches the committed-keys parquet scan pushed down
+    keys = sink.committed_keys(spark).filter(
+        F.col("conv_id").startswith("day1-")
+    )
+    plan = keys._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith" in plan and "PushedFilters" in plan, (
+        plan[:3000]
+    )
+
+
 def test_streaming_ingest_end_to_end_and_replay(spark, tmp_path, batches):
     """Two-file stream, one file per trigger → two micro-batches through
     the full loop; then a checkpoint LOSS replay converges to the same

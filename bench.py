@@ -310,6 +310,49 @@ def main() -> None:
 
     run("ann_lsh_topk", _ann_lsh_topk)
 
+    # 8. dataset assembly + corpus n-gram stats over the cached corpus
+    from cl_readability_spark.functions.assembly import (
+        epoch_shuffle,
+        token_budget_sample,
+    )
+    from cl_readability_spark.functions.ngrams import ngram_counts
+    from cl_readability_spark.functions.pins import release_pinned
+
+    def _epoch_shuffle():
+        out = epoch_shuffle(
+            corpus, seed=11, id_cols=("conv_id", "turn_idx"), n_shards=64
+        )
+        return int(out.agg(F.countDistinct("shard")).collect()[0][0])
+
+    run("epoch_shuffle", _epoch_shuffle)
+
+    def _token_budget():
+        toks = corpus.select(
+            F.concat_ws(
+                "\x1f", "conv_id", F.col("turn_idx").cast("string")
+            ).alias("doc_id"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.length("text").cast("long").alias("prio"),
+        )
+        out = token_budget_sample(
+            toks, 1_000_000, token_col="n_tokens", priority_col="prio",
+            id_col="doc_id", join_back=False,
+        )
+        n = out.filter("selected").count()
+        release_pinned(out)
+        return n
+
+    run("token_budget", _token_budget)
+
+    def _ngram_top():
+        return ngram_counts(
+            corpus, text_col="text", n=3, min_count=10
+        ).count()
+
+    run("ngram_top", _ngram_top)
+
     total = round(sum(timings.values()), 3)
     throughput = {
         "extract_documents_turns_per_sec": round(

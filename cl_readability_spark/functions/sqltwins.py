@@ -3495,6 +3495,143 @@ SQL_TWINS.update(
 )
 
 
+# --- LOCAL twin: epoch_shuffle — deterministic training-order shuffle
+#     (functions/assembly.py).  The oracle recomputes the md5 shuffle
+#     key (seed \x1f doc_id — the split_assign/mix_sample portable-hash
+#     recipe) and the first-8-hex-chars shard bucket from scratch in
+#     DuckDB; any divergence in key bytes, hex casing, or the 32-bit
+#     conversion breaks the hash.  LOCAL_TWINS (driver registry at its
+#     50-row cap), enforced by the tests/test_queries_oracle.py
+#     rehearsal. ---
+def q_epoch_shuffle(spark, sf_dir):
+    from cl_readability_spark.functions.assembly import epoch_shuffle
+
+    out = epoch_shuffle(
+        _docs(spark, sf_dir).select("doc_id"),
+        seed=17,
+        id_cols=("doc_id",),
+        n_shards=8,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "shuffle_key",
+        F.col("shard").cast("long").alias("shard"),
+    )
+
+
+SQL_EPOCH_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id,
+         md5('17' || chr(31) || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       shuffle_key,
+       CAST(CAST(('0x' || substr(shuffle_key, 1, 8)) AS UBIGINT) % 8
+            AS BIGINT) AS shard
+FROM k
+"""
+
+
+# --- LOCAL twin: token_budget — deterministic greedy token-budget
+#     assembly (functions/assembly.py:token_budget_sample).  The engine
+#     computes the running token total with the scalable two-phase
+#     prefix sum (range partition → in-partition window + broadcast
+#     offsets); the oracle re-derives the SAME selection with the plain
+#     global window DuckDB can afford — so the twin checks that the
+#     distributed prefix sum is value-identical to the textbook
+#     single-threaded cumulative sum, per doc (cum_before AND the
+#     selected flag, integers, engine-exact).  Priority = trimmed char
+#     length (desc), tiebreak doc_id, tokens = the word_count twin's
+#     expression, budget 9,000 of the corpus' ~27k total (selects 102
+#     of 500 docs at sf0.01 — signal both ways).  LOCAL_TWINS (driver
+#     registry at its 50-row cap). ---
+def q_token_budget(spark, sf_dir):
+    from cl_readability_spark.functions.assembly import token_budget_sample
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("prio"),
+    )
+    out = token_budget_sample(
+        toks,
+        9000,
+        token_col="n_tokens",
+        priority_col="prio",
+        id_col="doc_id",
+        n_ranges=8,
+        join_back=False,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "budget_tokens",
+        "cum_before_tokens",
+        F.col("selected").cast("int").alias("selected"),
+    )
+
+
+SQL_TOKEN_BUDGET = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(length(trim(text)) AS BIGINT) AS prio
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY prio DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       n_tokens AS budget_tokens,
+       cb AS cum_before_tokens,
+       CAST(cb < 9000 AS INTEGER) AS selected
+FROM c
+"""
+
+
+# --- LOCAL twin: ngram_top — exact corpus n-gram heavy hitters
+#     (functions/ngrams.py:ngram_counts).  The oracle rebuilds the
+#     trigram stream generically in DuckDB (lower+trim, the explicit
+#     engine-parity whitespace class, 1-based inclusive list slices
+#     over a generate_series of gram starts) and re-aggregates with
+#     GROUP BY / HAVING — checking the zip_with-over-slices gram
+#     builder and the occurrence semantics (every repeat counts, not
+#     document frequency).  min_count=4 keeps 620 of 16k distinct
+#     trigrams at sf0.01 — the HAVING filter carries signal.
+#     LOCAL_TWINS (driver registry at its 50-row cap). ---
+def q_ngram_top(spark, sf_dir):
+    from cl_readability_spark.functions.ngrams import ngram_counts
+
+    return ngram_counts(
+        _docs(spark, sf_dir), text_col="text", n=3, min_count=4
+    ).select("gram", F.col("n_occurrences").cast("long").alias("n_occurrences"))
+
+
+SQL_NGRAM_TOP = """
+WITH norm AS (
+  SELECT lower(trim(text)) AS t FROM documents
+),
+w AS (
+  SELECT regexp_split_to_array(t, '[ \t\n\f\r]+') AS words
+  FROM norm WHERE t <> ''
+),
+g AS (
+  SELECT array_to_string(words[i:i+2], ' ') AS gram
+  FROM w, LATERAL unnest(generate_series(1, len(words) - 2)) AS s(i)
+  WHERE len(words) >= 3
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY gram HAVING COUNT(*) >= 4
+"""
+
+
 # DuckDB-parity twins enforced ONLY by the local rehearsal
 # (tests/test_queries_oracle.py) — NOT registered in the driver's
 # queries(): the 50-entry driver cap is full and every remaining row is
@@ -3517,4 +3654,7 @@ LOCAL_TWINS: dict[str, tuple] = {
     "bpe_word_counts": (q_bpe_word_counts, SQL_BPE_WORD_COUNTS),
     "incremental_exact": (q_incremental_exact, SQL_INCREMENTAL_EXACT),
     "ingest_planted": (q_ingest_planted, SQL_INGEST_PLANTED),
+    "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
+    "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
+    "ngram_top": (q_ngram_top, SQL_NGRAM_TOP),
 }

@@ -1,7 +1,7 @@
 """Training-dataset assembly — the last mile of the pipeline: turning a
 curated corpus into the thing a trainer actually reads.
 
-Three operators:
+Four operators:
 
 - ``epoch_shuffle`` / ``write_epoch_shards`` — deterministic global
   shuffle of the training order + shard assignment.  The shuffle key is
@@ -18,6 +18,12 @@ Three operators:
   SCALABLE two-phase prefix sum (range-partition → per-partition
   window + broadcast partition offsets), never a single-partition
   global window — see the plan-shape note on the function.
+- ``rank_buckets`` — stratify a corpus into N equal-size buckets by
+  global score rank, optionally within groups (per-language) — the
+  CCNet head/middle/tail partition (Wenzek et al. 2020 §4.4) and the
+  general tool for building quality-stratified training mixes.  Same
+  two-phase machinery: the rank is a scalable prefix COUNT, never an
+  ``ntile() OVER (ORDER BY score)`` single-partition window.
 
 Reference parity note: the reference (atlas-engineer/cl-readability)
 is a single-document extraction library with no corpus surface; these
@@ -193,4 +199,131 @@ def token_budget_sample(
         out = df.join(cum.drop("budget_tokens"), id_col)
     else:
         out = cum
+    return attach_pins(out, stamped)
+
+
+def rank_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 3,
+    group_cols: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    ascending: bool = True,
+    labels: tuple[str, ...] | None = None,
+    n_ranges: int | None = None,
+    join_back: bool = True,
+    bucket_col: str = "rank_bucket",
+) -> DataFrame:
+    """Stamp every row with its global score-rank bucket ``1..n_buckets``
+    (optionally per ``group_cols`` stratum): bucket =
+    ``1 + floor((rank - 1) * n_buckets / group_count)`` over the total
+    order (``score_col`` asc-or-desc, ``id_col`` asc — ``id_col`` must
+    be unique, making ties deterministic).  NULL scores sort FIRST when
+    ascending / LAST when descending (Spark's default null ordering is
+    mirrored explicitly so the DuckDB twin agrees).  With 3 buckets and
+    ascending perplexity this is exactly the CCNet head/middle/tail
+    corpus partition (Wenzek et al. 2020 §4.4).  ``labels`` (length
+    ``n_buckets``) adds a ``<bucket_col>_label`` column.
+
+    Scale shape — the naive form is ``ntile(n) OVER (PARTITION BY grp
+    ORDER BY score)``, a per-group SinglePartition window (one task
+    sorts the whole stratum; with no groups, the whole corpus).  Here
+    the global rank is a two-phase prefix COUNT, the
+    ``token_budget_sample`` recipe:
+
+    1. range-partition the narrow (group, score, id) projection on the
+       total order (groups lead the range key, so a stratum occupies a
+       contiguous run of ranges);
+    2. stamp ``spark_partition_id()`` + PIN (range boundaries are
+       sampled per-execution — the offsets job and the rank job must
+       see the same assignment);
+    3. per-(partition, group) row counts → per-group prefix offsets +
+       group totals via windows over the COUNTS frame (≤ n_ranges +
+       n_groups rows — bounded by partition/group count, never data);
+    4. broadcast offsets back; rank = offset + in-partition
+       ``row_number`` keyed by (partition, group) — no global sort, no
+       single-partition stage over rows.
+
+    The returned frame carries the pin — release with
+    ``functions.pins.release_pinned`` when done.  The DuckDB LOCAL twin
+    (``ppl_buckets``) re-derives the same bucket with the plain
+    ``row_number()/count(*)`` global window the oracle can afford.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if labels is not None and len(labels) != int(n_buckets):
+        raise ValueError(
+            f"labels must have exactly n_buckets={n_buckets} entries, "
+            f"got {len(labels)}"
+        )
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    score = F.col(score_col)
+    order_cols = [
+        score.asc_nulls_first() if ascending else score.desc_nulls_last(),
+        F.col(id_col).asc(),
+    ]
+    range_cols = [*[F.col(c) for c in group_cols], *order_cols]
+    grp = [F.col(c) for c in group_cols]
+
+    stamped = (
+        df.select(id_col, *group_cols, score_col)
+        .repartitionByRange(int(n_ranges), *range_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    # counts frame: one row per (range, stratum) cell — strata are
+    # contiguous under the range key, so cells ≤ n_ranges + n_groups
+    counts = stamped.groupBy("_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("_pn")
+    )
+    w_base = (
+        Window.partitionBy(*grp).orderBy("_pid")
+        if group_cols
+        else Window.orderBy("_pid")
+    )
+    # offsets + totals share one window spec → ONE Window operator /
+    # exchange over the bounded counts frame
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(
+            F.sum("_pn").over(
+                w_base.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_pn")
+        .over(
+            w_base.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_gn"),
+    )
+    w_rn = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    rank = F.col("_off") + F.row_number().over(w_rn)
+    bucket = (
+        F.lit(1)
+        + F.floor(
+            (rank - F.lit(1)) * F.lit(int(n_buckets)) / F.col("_gn")
+        )
+    ).cast("int")
+    ranked = (
+        stamped.join(
+            F.broadcast(offsets), ["_pid", *group_cols]
+        )
+        .withColumn("score_rank", rank)
+        .withColumn(bucket_col, bucket)
+        .select(id_col, "score_rank", bucket_col)
+    )
+    if labels is not None:
+        ranked = ranked.withColumn(
+            bucket_col + "_label",
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]), F.col(bucket_col)
+            ),
+        )
+    out = df.join(ranked, id_col) if join_back else ranked
     return attach_pins(out, stamped)

@@ -262,3 +262,57 @@ def lm_perplexity(
         F.col("lm_logp_per_token"),
         F.exp(-F.col("lm_logp_per_token")).alias("lm_perplexity"),
     )
+
+
+def ppl_partition(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    model: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = (),
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = ("head", "middle", "tail"),
+    lam: float = 0.9,
+    **fit_kwargs,
+) -> DataFrame:
+    """The CCNet corpus partition (Wenzek et al. 2020 §4.4): score every
+    document with :func:`lm_perplexity`, then cut the corpus (per
+    ``group_cols`` stratum — CCNet strata are languages) into
+    ``n_buckets`` equal-size rank buckets, LOWEST perplexity first —
+    bucket 1 / label ``head`` is the most-fluent third under the default
+    3-way split.  Token-less documents (NULL perplexity) land in the
+    head buckets under ascending NULLS FIRST ordering — filter them
+    upstream if that is not wanted (CCNet drops empty docs before
+    scoring).  Adds ``lm_logp_per_token``, ``lm_perplexity``,
+    ``score_rank``, ``ppl_bucket`` (+ ``ppl_bucket_label``).
+
+    Scale shape: one LM scoring pass (three bounded broadcast joins +
+    one per-doc mean, see :func:`lm_perplexity`) + the scalable
+    two-phase rank from :func:`~cl_readability_spark.functions.assembly.
+    rank_buckets` — no single-partition sort anywhere.  The returned
+    frame carries the rank stage's pin (``release_pinned`` when done).
+    """
+    if labels is not None and len(labels) != int(n_buckets):
+        labels = None
+    from cl_readability_spark.functions.assembly import rank_buckets
+
+    scored = lm_perplexity(
+        docs,
+        reference=reference,
+        model=model,
+        text_col=text_col,
+        id_col=id_col,
+        lam=lam,
+        **fit_kwargs,
+    )
+    return rank_buckets(
+        scored,
+        score_col="lm_perplexity",
+        n_buckets=n_buckets,
+        group_cols=group_cols,
+        id_col=id_col,
+        ascending=True,
+        labels=labels,
+        bucket_col="ppl_bucket",
+    )

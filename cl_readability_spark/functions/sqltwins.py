@@ -3632,6 +3632,59 @@ FROM g GROUP BY gram HAVING COUNT(*) >= 4
 """
 
 
+# --- LOCAL twin: rank_buckets — stratified score-rank bucketing
+#     (functions/assembly.py:rank_buckets — the machinery under
+#     lm.ppl_partition's CCNet head/middle/tail cut; the LM score core
+#     has its own 6dp twin, lm_ppl, so this one scores with the EXACT
+#     integer n_chars to keep rank ties engine-deterministic).  The
+#     engine computes the per-language rank with the scalable two-phase
+#     prefix COUNT (range partition → in-partition row_number +
+#     broadcast offsets); the oracle re-derives it with the plain
+#     row_number()/count(*) global window DuckDB can afford, and the
+#     SAME floor-rank bucket rule 1 + (rank-1)*3 // n.  NULLS FIRST is
+#     explicit in the SQL (DuckDB defaults ASC to NULLS LAST; Spark to
+#     NULLS FIRST).  LOCAL_TWINS (driver registry at its 50-row cap). ---
+def q_rank_buckets(spark, sf_dir):
+    from cl_readability_spark.functions.assembly import rank_buckets
+
+    out = rank_buckets(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        n_buckets=3,
+        group_cols=("lang",),
+        id_col="doc_id",
+        ascending=True,
+        labels=("head", "middle", "tail"),
+        n_ranges=8,
+        join_back=False,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score_rank").cast("long").alias("score_rank"),
+        F.col("rank_bucket").cast("int").alias("rank_bucket"),
+        F.col("rank_bucket_label").alias("bucket_label"),
+    )
+
+
+SQL_RANK_BUCKETS = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY n_chars ASC NULLS FIRST, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rk AS BIGINT) AS score_rank,
+       CAST(1 + ((rk - 1) * 3) // n AS INTEGER) AS rank_bucket,
+       CASE 1 + ((rk - 1) * 3) // n
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket_label
+FROM r
+"""
+
+
 # DuckDB-parity twins enforced ONLY by the local rehearsal
 # (tests/test_queries_oracle.py) — NOT registered in the driver's
 # queries(): the 50-entry driver cap is full and every remaining row is
@@ -3657,4 +3710,5 @@ LOCAL_TWINS: dict[str, tuple] = {
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "ngram_top": (q_ngram_top, SQL_NGRAM_TOP),
+    "rank_buckets": (q_rank_buckets, SQL_RANK_BUCKETS),
 }

@@ -191,3 +191,200 @@ def test_write_epoch_shards_layout_and_order(spark, tmp_path):
         pdf = spark.read.parquet(shard_dir).toPandas()
         keys = [expect[d] for d in pdf["doc_id"]]
         assert keys == sorted(keys), shard_dir
+
+
+# ---------------------------------------------------------------- rank_buckets
+
+
+def _scored(spark, n=180):
+    # deterministic scores with ties, a null block, and two groups
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 23 == 0, None)
+        .otherwise(F.pmod(F.col("id") * 31 + 7, F.lit(40)).cast("double"))
+        .alias("score"),
+        F.when(F.col("id") % 3 == 0, F.lit("en"))
+        .otherwise(F.lit("de"))
+        .alias("lang"),
+    )
+
+
+def _ref_buckets(rows, n_buckets, group=None, ascending=True):
+    """Driver-side textbook: sort (nulls first asc / last desc,
+    id tiebreak), bucket = 1 + (rank-1)*n//count per stratum."""
+    out = {}
+    strata = {}
+    for r in rows:
+        strata.setdefault(r[group] if group else None, []).append(r)
+    for rs in strata.values():
+        if ascending:
+            rs.sort(
+                key=lambda r: (
+                    (0, None) if r["score"] is None else (1, r["score"]),
+                    r["doc_id"],
+                )
+            )
+        else:
+            rs.sort(
+                key=lambda r: (
+                    (1, 0) if r["score"] is None else (0, -r["score"]),
+                    r["doc_id"],
+                )
+            )
+        n = len(rs)
+        for i, r in enumerate(rs):
+            out[r["doc_id"]] = (i + 1, 1 + (i * n_buckets) // n)
+    return out
+
+
+def test_rank_buckets_matches_reference_global(spark):
+    from cl_readability_spark.functions.assembly import rank_buckets
+
+    df = _scored(spark)
+    ref = _ref_buckets([r.asDict() for r in df.collect()], 3)
+    out = rank_buckets(
+        df, "score", n_buckets=3, id_col="doc_id", n_ranges=7,
+        join_back=False,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == len(ref)
+    for doc_id, (rank, bucket) in ref.items():
+        assert got[doc_id]["score_rank"] == rank, doc_id
+        assert got[doc_id]["rank_bucket"] == bucket, doc_id
+    release_pinned(out)
+
+
+def test_rank_buckets_grouped_descending_labels(spark):
+    from cl_readability_spark.functions.assembly import rank_buckets
+
+    df = _scored(spark)
+    ref = _ref_buckets(
+        [r.asDict() for r in df.collect()], 4, group="lang",
+        ascending=False,
+    )
+    out = rank_buckets(
+        df, "score", n_buckets=4, group_cols=("lang",),
+        id_col="doc_id", ascending=False, n_ranges=5,
+        labels=("a", "b", "c", "d"),
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    for doc_id, (rank, bucket) in ref.items():
+        assert got[doc_id]["score_rank"] == rank, doc_id
+        assert got[doc_id]["rank_bucket"] == bucket, doc_id
+        assert got[doc_id]["rank_bucket_label"] == "abcd"[bucket - 1]
+    # join_back carries the original columns
+    assert {"doc_id", "score", "lang"} <= set(out.columns)
+    release_pinned(out)
+
+
+def test_rank_buckets_edges(spark):
+    from cl_readability_spark.functions.assembly import rank_buckets
+
+    df = _scored(spark, n=10)
+    # n_buckets=1: everything bucket 1
+    one = rank_buckets(df, "score", n_buckets=1, join_back=False)
+    assert {r["rank_bucket"] for r in one.collect()} == {1}
+    release_pinned(one)
+    # n_buckets > rows: buckets spread, max bucket <= n_buckets,
+    # ranks still the permutation 1..n
+    big = rank_buckets(df, "score", n_buckets=64, join_back=False)
+    rows = big.collect()
+    assert sorted(r["score_rank"] for r in rows) == list(range(1, 11))
+    assert all(1 <= r["rank_bucket"] <= 64 for r in rows)
+    release_pinned(big)
+    with pytest.raises(ValueError):
+        rank_buckets(df, "score", n_buckets=0)
+    with pytest.raises(ValueError):
+        rank_buckets(df, "score", n_buckets=3, labels=("x",))
+
+
+def test_rank_buckets_equal_sizes(spark):
+    """Bucket sizes differ by at most 1 (the floor-rank rule)."""
+    from cl_readability_spark.functions.assembly import rank_buckets
+
+    df = _scored(spark, n=100)
+    out = rank_buckets(df, "score", n_buckets=3, join_back=False)
+    sizes = {
+        r["rank_bucket"]: r["n"]
+        for r in out.groupBy("rank_bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(sizes) == {1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    release_pinned(out)
+
+
+def test_rank_buckets_plan_shape(spark):
+    """No data-sized single-partition stage: every SinglePartition
+    exchange in the plan sits above the aggregated counts frame."""
+    from cl_readability_spark.functions.assembly import rank_buckets
+
+    df = _scored(spark)
+    out = rank_buckets(
+        df, "score", n_buckets=3, id_col="doc_id", n_ranges=8,
+        join_back=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    parts = plan.split("Exchange SinglePartition")
+    assert len(parts) >= 2, plan[:3000]
+    for sub in parts[1:]:
+        assert "HashAggregate" in sub, sub[:2000]
+    # the data-path rank window is partitioned by the range id
+    assert "_pid" in plan
+    release_pinned(out)
+
+
+def test_ppl_partition_composes(spark):
+    """head/middle/tail: per-group thirds ordered by ascending
+    perplexity — verified against a driver-side recomputation from
+    lm_perplexity's own output (the LM itself is pinned by its twin)."""
+    from cl_readability_spark.functions.lm import lm_perplexity, ppl_partition
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick word "),
+            F.when(F.col("id") % 7 == 0, F.lit("zz qq xx"))
+            .otherwise(F.lit("the the fox")),
+            F.lit(" run "),
+            (F.col("id") % 5).cast("string"),
+        ).alias("text"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    ref_corpus = spark.range(40).select(
+        F.concat(
+            F.lit("the quick brown fox run the fox "),
+            (F.col("id") % 9).cast("string"),
+        ).alias("text")
+    )
+    out = ppl_partition(
+        docs, reference=ref_corpus, group_cols=("lang",), n_buckets=3,
+        vocab_size=64,
+    )
+    rows = [r.asDict() for r in out.collect()]
+    assert len(rows) == 60
+    assert {"lm_perplexity", "score_rank", "ppl_bucket",
+            "ppl_bucket_label"} <= set(rows[0])
+    scored = {
+        r["doc_id"]: r["lm_perplexity"]
+        for r in lm_perplexity(
+            docs, reference=ref_corpus, vocab_size=64
+        ).collect()
+    }
+    ref = _ref_buckets(
+        [
+            {"doc_id": r["doc_id"], "score": scored[r["doc_id"]],
+             "lang": r["lang"]}
+            for r in rows
+        ],
+        3,
+        group="lang",
+    )
+    lab = {1: "head", 2: "middle", 3: "tail"}
+    for r in rows:
+        rank, bucket = ref[r["doc_id"]]
+        assert r["score_rank"] == rank
+        assert r["ppl_bucket"] == bucket
+        assert r["ppl_bucket_label"] == lab[bucket]
+    release_pinned(out)

@@ -3685,6 +3685,160 @@ FROM r
 """
 
 
+# --- LOCAL twin: url_dedup_planted — URL canonicalization + URL-level
+#     dedup (functions/urls.py).  Both engines build the SAME planted
+#     raw-URL corpus from doc_id (4 variants per page group: shouty
+#     scheme/host + www + utm params; explicit :80 + trailing slash +
+#     reordered params; mixed-case host + fbclid; fragment-only).  The
+#     engine canonicalizes with the codegen projection and picks
+#     winners with the skew-safe min(struct) agg; the oracle re-derives
+#     the WHOLE canonical contract generically in DuckDB SQL — RFC 3986
+#     appendix-B regex split, lower scheme/host, www/default-port
+#     strip, trailing-slash strip, list-level tracking-param filter
+#     (RE2 has no lookahead, so the oracle filters whole params after
+#     splitting — same whole-param semantics as the engine's
+#     boundary-anchored regex), byte-wise param sort — and keeps
+#     min(doc_id) per canonical group via a window.  NULL/blank URLs
+#     are kept (no duplication evidence).  LOCAL_TWINS (driver registry
+#     at its 50-row cap). ---
+def q_url_dedup_planted(spark, sf_dir):
+    from cl_readability_spark.functions.urls import url_dedup
+
+    d = F.col("doc_id")
+    g = d % 100
+    h = (g % 7).cast("string")
+    gs = g.cast("string")
+    ds = d.cast("string")
+    raw = (
+        F.when(d % 23 == 0, F.lit(None).cast("string"))
+        .when(d % 23 == 1, F.lit("  "))
+        .when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Site"), h, F.lit(".COM/page/"), gs,
+                F.lit("?utm_source=feed&x=1&b=2"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("http://site"), h, F.lit(".com:80/page/"), gs,
+                F.lit("/?b=2&x=1"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("http://Site"), h, F.lit(".com/page/"), gs,
+                F.lit("?x=1&b=2&fbclid=f"), ds,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://site"), h, F.lit(".com/page/"), gs,
+                F.lit("#s"), ds,
+            )
+        )
+    )
+    docs = _docs(spark, sf_dir).select("doc_id").withColumn("url", raw)
+    out = url_dedup(docs, url_col="url", id_col="doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "canon_url",
+        F.col("url_keep").cast("int").alias("url_keep"),
+    )
+
+
+SQL_URL_DEDUP_PLANTED = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 23 = 0 THEN NULL
+      WHEN doc_id % 23 = 1 THEN '  '
+      WHEN doc_id % 4 = 0 THEN
+        'HTTP://WWW.Site' || (doc_id % 100) % 7 || '.COM/page/'
+        || doc_id % 100 || '?utm_source=feed&x=1&b=2'
+      WHEN doc_id % 4 = 1 THEN
+        'http://site' || (doc_id % 100) % 7 || '.com:80/page/'
+        || doc_id % 100 || '/?b=2&x=1'
+      WHEN doc_id % 4 = 2 THEN
+        'http://Site' || (doc_id % 100) % 7 || '.com/page/'
+        || doc_id % 100 || '?x=1&b=2&fbclid=f' || doc_id
+      ELSE
+        'http://site' || (doc_id % 100) % 7 || '.com/page/'
+        || doc_id % 100 || '#s' || doc_id
+    END AS url
+  FROM documents
+),
+t AS (SELECT doc_id, trim(url) AS s FROM raw),
+p AS (
+  SELECT doc_id, s,
+    lower(COALESCE(regexp_extract(s, '^(?:([^:/?#]+):)', 1), '')) AS scheme,
+    regexp_matches(s, '^(?:[^:/?#]+:)?//') AS has_auth,
+    COALESCE(regexp_extract(s, '^(?:[^:/?#]+:)?(?://([^/?#]*))?', 1), '') AS rawauth,
+    COALESCE(regexp_extract(s,
+      '^(?:[^:/?#]+:)?(?://[^/?#]*)?([^?#]*)', 1), '') AS rawpath,
+    COALESCE(regexp_extract(s, '^[^?#]*\?([^#]*)', 1), '') AS rawq
+  FROM t
+),
+a AS (
+  SELECT doc_id, s, scheme, has_auth, rawpath, rawq,
+    COALESCE(regexp_extract(rawauth,
+      '^(?:([^@]*@))?(\[[^\]]+\]|[^:]*)(?::([0-9]*))?$', 1), '') AS userinfo,
+    lower(COALESCE(regexp_extract(rawauth,
+      '^(?:([^@]*@))?(\[[^\]]+\]|[^:]*)(?::([0-9]*))?$', 2), '')) AS host0,
+    COALESCE(regexp_extract(rawauth,
+      '^(?:([^@]*@))?(\[[^\]]+\]|[^:]*)(?::([0-9]*))?$', 3), '') AS port0
+  FROM p
+),
+c AS (
+  SELECT doc_id, s, scheme, has_auth, userinfo,
+    CASE WHEN starts_with(host0, 'www.')
+              AND contains(substr(host0, 5), '.')
+         THEN substr(host0, 5) ELSE host0 END AS host,
+    CASE WHEN port0 = '' OR (scheme = 'http' AND port0 = '80')
+              OR (scheme = 'https' AND port0 = '443')
+         THEN '' ELSE ':' || port0 END AS port,
+    CASE WHEN length(
+           CASE WHEN has_auth AND rawpath = '' THEN '/' ELSE rawpath END
+         ) > 1
+         THEN regexp_replace(
+           CASE WHEN has_auth AND rawpath = '' THEN '/' ELSE rawpath END,
+           '/$', '')
+         ELSE CASE WHEN has_auth AND rawpath = '' THEN '/' ELSE rawpath END
+    END AS path,
+    COALESCE(array_to_string(
+      list_sort(
+        list_filter(string_split(rawq, '&'),
+          x -> x <> '' AND NOT regexp_matches(x,
+            '^(utm_[A-Za-z0-9_]+|fbclid|gclid|gclsrc|dclid|msclkid|yclid|igshid|mc_cid|mc_eid|_hsenc|_hsmi|_ga|vero_id|oly_anon_id|oly_enc_id)(=[^&]*)?$'))),
+      '&'), '') AS q
+  FROM a
+),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN s IS NULL OR s = '' THEN NULL ELSE
+      (CASE WHEN scheme = '' THEN '' ELSE scheme || ':' END)
+      || (CASE WHEN has_auth THEN '//' || userinfo || host || port
+               ELSE '' END)
+      || path
+      || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+    END AS canon_url
+  FROM c
+),
+keep AS (
+  SELECT doc_id, canon_url,
+    CASE WHEN canon_url IS NULL THEN 1
+         WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+         THEN 1 ELSE 0 END AS url_keep
+  FROM canon
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, canon_url,
+       CAST(url_keep AS INTEGER) AS url_keep
+FROM keep
+"""
+
+
 # DuckDB-parity twins enforced ONLY by the local rehearsal
 # (tests/test_queries_oracle.py) — NOT registered in the driver's
 # queries(): the 50-entry driver cap is full and every remaining row is
@@ -3711,4 +3865,5 @@ LOCAL_TWINS: dict[str, tuple] = {
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "ngram_top": (q_ngram_top, SQL_NGRAM_TOP),
     "rank_buckets": (q_rank_buckets, SQL_RANK_BUCKETS),
+    "url_dedup_planted": (q_url_dedup_planted, SQL_URL_DEDUP_PLANTED),
 }

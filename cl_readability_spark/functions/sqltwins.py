@@ -3839,6 +3839,68 @@ FROM keep
 """
 
 
+# --- LOCAL twin: tfidf_topk — per-document top-k salient terms
+#     (functions/keywords.py).  The oracle re-derives tf (occurrence
+#     counts per doc), df (DOCUMENT counts via COUNT(DISTINCT doc_id)
+#     — the engine gets the same number from the array_distinct
+#     explode), the smoothed sklearn idf ln((1+N)/(1+df))+1 with N =
+#     ALL corpus rows (incl. blank/null docs — docs.count() parity),
+#     and the (tfidf DESC, word ASC) rank.  Scores hash-checked at
+#     x10k fixed point (the cosine-twin convention).  LOCAL_TWINS
+#     (driver registry at its 50-row cap). ---
+def q_tfidf_topk(spark, sf_dir):
+    from cl_readability_spark.functions.keywords import tfidf_topk
+
+    out = tfidf_topk(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        k=3,
+        strategy="broadcast",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "word",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(F.col("tfidf") * 10000, 0).cast("long").alias("tfidf_x10k"),
+        F.col("term_rank").cast("int").alias("term_rank"),
+    )
+
+
+SQL_TFIDF_TOPK = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\f\r]+'))
+           AS word
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
+),
+dfx AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfx.df,
+         tf.tf * (ln((1.0 + n.n) / (1.0 + dfx.df)) + 1.0) AS tfidf
+  FROM tf JOIN dfx USING (word) CROSS JOIN n
+),
+r AS (
+  SELECT s.*,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, word ASC
+         ) AS term_rank
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, word,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(round(tfidf * 10000) AS BIGINT) AS tfidf_x10k,
+       CAST(term_rank AS INTEGER) AS term_rank
+FROM r WHERE term_rank <= 3
+"""
+
+
 # DuckDB-parity twins enforced ONLY by the local rehearsal
 # (tests/test_queries_oracle.py) — NOT registered in the driver's
 # queries(): the 50-entry driver cap is full and every remaining row is
@@ -3866,4 +3928,5 @@ LOCAL_TWINS: dict[str, tuple] = {
     "ngram_top": (q_ngram_top, SQL_NGRAM_TOP),
     "rank_buckets": (q_rank_buckets, SQL_RANK_BUCKETS),
     "url_dedup_planted": (q_url_dedup_planted, SQL_URL_DEDUP_PLANTED),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
 }

@@ -114,8 +114,12 @@ def tfidf_topk(
     df_tbl = doc_frequencies(
         docs, text_col=text_col, id_col=id_col, min_df=min_df
     )
+    pinned = None
     if strategy == "auto":
-        df_tbl = df_tbl.persist()
+        # pin between the sizing count and the join so the df agg runs
+        # once; carried on the result via the pin registry (release
+        # with functions.pins.release_pinned when done)
+        df_tbl = pinned = df_tbl.persist()
         strategy = (
             "broadcast" if df_tbl.count() <= broadcast_limit else "join"
         )
@@ -131,8 +135,13 @@ def tfidf_topk(
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("word").asc()
     )
-    return (
+    out = (
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= int(k))
         .select(id_col, "word", "tf", "df", "tfidf", "term_rank")
     )
+    if pinned is not None:
+        from cl_readability_spark.functions.pins import attach_pins
+
+        out = attach_pins(out, pinned)
+    return out

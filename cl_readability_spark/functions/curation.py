@@ -1004,6 +1004,51 @@ def c4_rewrite(
     )
 
 
+def url_dedup_gate(
+    extracted: DataFrame,
+    url_col: str = "url",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    pin_input: bool = False,
+    url_opts: dict | None = None,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The ``curate(url_col=)`` stage as a standalone step: URL-level
+    dedup (``functions.urls.url_dedup``) keyed by the composite row
+    key, adding ``canon_url`` (the canonical form — audit/refetch key)
+    and ``url_keep`` (true on exactly one row per canonical URL; rows
+    with NULL/blank URLs are all kept — a missing URL is not evidence
+    of duplication).  Returns (frame, pins) — the operator references
+    its input in two plan branches (the winners aggregation and the
+    join probe), so a nondeterministic upstream should be sink-staged
+    or pass ``pin_input=True`` (pins the input DISK_ONLY; standard
+    ``pins.release_pinned`` handles).  ``url_opts`` forwards
+    canonicalization kwargs (e.g. ``extra_tracking_params``).
+
+    Winner consistency with the content stages: ``url_dedup`` picks
+    the lexicographic-minimum row key per canonical URL with the SAME
+    ``min(struct(key_cols...))`` ordering ``line_dedup`` uses per
+    line, so when URL-duplicate rows carry identical text the URL
+    winner is also the line winner for lines unique to that group —
+    composing ``url_col=`` with ``line_dedup=True`` never line-empties
+    the URL winner in favor of a doomed loser."""
+    from cl_readability_spark.functions.urls import url_dedup
+
+    pins: list[DataFrame] = []
+    if pin_input:
+        from pyspark import StorageLevel
+
+        extracted = extracted.persist(StorageLevel.DISK_ONLY)
+        pins.append(extracted)
+    out = url_dedup(
+        extracted,
+        url_col=url_col,
+        id_col=None,
+        id_cols=key_cols,
+        keep_col="url_keep",
+        **(url_opts or {}),
+    )
+    return out, pins
+
+
 def gopher_repetition_gate(
     extracted: DataFrame,
     text_col: str = "extracted_text",
@@ -1063,6 +1108,9 @@ def curate(
     gopher_repetition_pin: bool = False,
     minhash_k: int = 5,
     pin_stages: bool | str = "auto",
+    url_col: str | None = None,
+    url_pin: bool = False,
+    url_opts: dict | None = None,
 ) -> DataFrame:
     """Adds the curation flags to ``extracted`` (see module doc); filter on
     ``kept`` for the final corpus, aggregate the flags for the report.
@@ -1130,10 +1178,27 @@ def curate(
     into the quality gate the same way.  Same nondeterministic-upstream
     caveat (``gopher_repetition_pin=True`` pins the keyed input).
 
-    With everything on, the stage order is: line_dedup → c4 →
-    substring_dedup → gopher_repetition → quality/decontam/exact
+    ``url_col`` (a column name, e.g. ``"url"``) runs URL-level dedup
+    (``url_dedup_gate``; ``functions.urls.url_dedup``) as the FIRST
+    stage — the deployment order: a crawl sees the same page under
+    tracking-param/case/slash variants, and collapsing those is far
+    cheaper than letting the content stages rediscover them.  Adds
+    ``canon_url`` + ``url_keep``; ``url_keep`` ANDs into the quality
+    gate (the ``c4_keep`` pattern), so URL-dup losers land in
+    ``dropped_quality`` with the per-row flag kept for attribution.
+    Rows with NULL/blank URLs are all kept by the gate (a missing URL
+    is not evidence of duplication).  Winner selection uses the same
+    lexicographic ``min(struct(key_cols...))`` ordering as
+    ``line_dedup``, so composing both never line-empties a URL winner
+    in favor of its doomed loser (see ``url_dedup_gate``).  Same
+    nondeterministic-upstream caveat: ``url_pin=True`` pins the input.
+    ``url_opts`` forwards canonicalization kwargs.
+
+    With everything on, the stage order is: url_dedup → line_dedup →
+    c4 → substring_dedup → gopher_repetition → quality/decontam/exact
     flags → minhash near-dups — the deployment config, hash-checked
-    end to end by the ``curation_full_planted`` driver oracle.
+    end to end by the ``curation_full_planted`` driver oracle (URL
+    stage covered by the LOCAL ``curation_url_planted`` twin).
 
     ``minhash_k`` sets the near-dup shingle width in words (default 5,
     the standard 5-word shingles; 1 = word-set Jaccard, for corpora
@@ -1166,13 +1231,22 @@ def curate(
     # any earlier branching stage below it already got pinned)
     derived = False
     ld_pins: list[DataFrame] = []
+    extra_gates: list[str] = []
+    if url_col is not None:
+        extracted, url_pins = url_dedup_gate(
+            extracted, url_col, key_cols,
+            pin_input=_pin(url_pin, derived),
+            url_opts=url_opts,
+        )
+        ld_pins.extend(url_pins)
+        extra_gates.append("url_keep")
+        derived = True
     if line_dedup:
         extracted, ld_pins = line_dedup_rewrite(
             extracted, text_col, key_cols,
             pin_lines=_pin(line_dedup_pin, derived),
         )
         derived = True
-    extra_gates: list[str] = []
     if c4:
         # BETWEEN the line stage and the substring stage on purpose: the
         # C4 line filters are line-granularity (like the line-dedup

@@ -1303,12 +1303,10 @@ FROM (
 #     Any regression in gating, fingerprinting, windowing, hashing,
 #     banding, verification, label propagation, or the keep-one policy
 #     flips the hash. ---
-def _curation_planted_curated(spark, sf_dir):
-    """The shared planted-corpus curate() run behind curation_planted
-    (per-row flags) and curation_report_planted (the one-row report over
-    the SAME run) — one construction, two verification surfaces."""
-    from cl_readability_spark.functions.curation import curate
-
+def _curation_planted_corpus(spark, sf_dir):
+    """The 18c planted corpus (doc_id, text) with closed-form per-role
+    outcomes — shared by curation_planted, curation_report_planted, and
+    curation_url_planted (which adds a planted url column on top)."""
     docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
     g = (F.col("doc_id") / 10).cast("long").cast("string")
     role = F.pmod(F.col("doc_id"), F.lit(10))
@@ -1337,7 +1335,16 @@ def _curation_planted_curated(spark, sf_dir):
         .when(role >= 5, filler)
         .otherwise(rot(0))
     )
-    corpus = docs.select("doc_id", text.alias("text"))
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _curation_planted_curated(spark, sf_dir):
+    """The shared planted-corpus curate() run behind curation_planted
+    (per-row flags) and curation_report_planted (the one-row report over
+    the SAME run) — one construction, two verification surfaces."""
+    from cl_readability_spark.functions.curation import curate
+
+    corpus = _curation_planted_corpus(spark, sf_dir)
     # materialize="none": this corpus is pure JVM expressions over the
     # documents scan (no Arrow extraction upstream), so the branch
     # re-evaluation the pin exists to prevent costs two cheap window
@@ -3839,6 +3846,65 @@ FROM keep
 """
 
 
+# --- LOCAL twin: curation_url_planted — the COMPOSED
+#     curate(url_col=) chain: URL dedup as the FIRST stage, url_keep
+#     ANDed into the quality gate (the c4_keep pattern).  The 18c
+#     planted corpus gains a url column: roles 5 and 6 of each 10-doc
+#     group carry two raw VARIANTS of the same page URL (tracking
+#     param vs shouty-scheme + www + trailing slash — both canonicalize
+#     to http://site<g>.com/p), everyone else NULL.  Roles 5/6 have
+#     UNIQUE filler text, so no content stage can catch the pair — only
+#     URL dedup drops role 6 (min doc_id 10g+5 wins).  Closed-form per
+#     role: url_keep=0 iff role 6; quality_ok=0 for roles 4 (length)
+#     and 6 (url gate, hierarchically in dropped_quality); kept for
+#     roles 0,5,7,8,9 (role 3 exact-dup, roles 1,2 near-dup — the 18c
+#     outcomes, unchanged by the url stage).  Any regression in
+#     canonicalization, composite-key winner selection, the gate
+#     AND-in, or stage ordering flips the hash.  LOCAL_TWINS (driver
+#     registry at its 50-row cap). ---
+def q_curation_url_planted(spark, sf_dir):
+    from cl_readability_spark.functions.curation import curate
+
+    corpus = _curation_planted_corpus(spark, sf_dir)
+    role = F.pmod(F.col("doc_id"), F.lit(10))
+    g = (F.col("doc_id") / 10).cast("long").cast("string")
+    url = (
+        F.when(
+            role == 5,
+            F.concat(F.lit("http://site"), g, F.lit(".com/p?utm_source=x")),
+        )
+        .when(
+            role == 6,
+            F.concat(F.lit("HTTP://WWW.site"), g, F.lit(".com/p/")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    curated = curate(
+        corpus.withColumn("url", url),
+        text_col="text", key_cols=("doc_id",), policy="clusters",
+        materialize="none", minhash_carry="arrays", url_col="url",
+    )
+    return curated.select(
+        "doc_id",
+        "canon_url",
+        F.col("url_keep").cast("int").alias("url_keep"),
+        F.col("quality_ok").cast("int").alias("quality_ok"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+SQL_CURATION_URL_PLANTED = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 10 IN (5, 6)
+            THEN 'http://site' || CAST(doc_id // 10 AS VARCHAR) || '.com/p'
+            ELSE NULL END AS canon_url,
+       CAST(doc_id % 10 != 6 AS INTEGER)                  AS url_keep,
+       CAST(doc_id % 10 NOT IN (4, 6) AS INTEGER)         AS quality_ok,
+       CAST(doc_id % 10 IN (0, 5, 7, 8, 9) AS INTEGER)    AS kept
+FROM documents
+"""
+
+
 # --- LOCAL twin: tfidf_topk — per-document top-k salient terms
 #     (functions/keywords.py).  The oracle re-derives tf (occurrence
 #     counts per doc), df (DOCUMENT counts via COUNT(DISTINCT doc_id)
@@ -3928,5 +3994,9 @@ LOCAL_TWINS: dict[str, tuple] = {
     "ngram_top": (q_ngram_top, SQL_NGRAM_TOP),
     "rank_buckets": (q_rank_buckets, SQL_RANK_BUCKETS),
     "url_dedup_planted": (q_url_dedup_planted, SQL_URL_DEDUP_PLANTED),
+    "curation_url_planted": (
+        q_curation_url_planted,
+        SQL_CURATION_URL_PLANTED,
+    ),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
 }

@@ -182,30 +182,39 @@ def url_host(url: Column, strip_www: bool = True) -> Column:
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",
-    id_col: str = "doc_id",
+    id_col: str | None = "doc_id",
+    id_cols: tuple[str, ...] | None = None,
     canon_col: str = "canon_url",
     keep_col: str = "url_keep",
     **canon_kwargs,
 ) -> DataFrame:
     """``df`` + ``canon_col`` (the canonical URL) + ``keep_col`` (true
-    on exactly one row — the minimum ``id_col`` — per canonical URL;
+    on exactly one row — the minimum row key — per canonical URL;
     NULL-canonical rows, i.e. blank URLs, are all kept: a missing URL
-    is not evidence of duplication).
+    is not evidence of duplication).  The row key is ``id_col`` or a
+    composite ``id_cols`` tuple (lexicographic minimum) — pass exactly
+    one of the two; it must uniquely key rows.
 
     Winner selection is the skew-safe aggregation+row-key-join recipe
     (see module docstring) — no window over the content key, no join
     keyed on it."""
+    if id_cols is None:
+        if id_col is None:
+            raise ValueError("pass id_col or id_cols")
+        keys: tuple[str, ...] = (id_col,)
+    else:
+        keys = tuple(id_cols)
     canon = df.withColumn(
         canon_col, canonicalize_url(F.col(url_col), **canon_kwargs)
     )
     winners = (
         canon.filter(F.col(canon_col).isNotNull())
         .groupBy(canon_col)
-        .agg(F.min(F.struct(F.col(id_col))).alias("_w"))
-        .select(F.col(f"_w.{id_col}").alias(id_col))
+        .agg(F.min(F.struct(*[F.col(c) for c in keys])).alias("_w"))
+        .select(*[F.col(f"_w.{c}").alias(c) for c in keys])
         .withColumn("_keep", F.lit(True))
     )
-    return canon.join(winners, id_col, "left").withColumn(
+    return canon.join(winners, list(keys), "left").withColumn(
         keep_col,
         F.col(canon_col).isNull() | F.coalesce(F.col("_keep"), F.lit(False)),
     ).drop("_keep")

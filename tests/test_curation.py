@@ -1118,3 +1118,67 @@ def test_curate_pin_stages_auto_pins_midchain_inputs(spark, planted):
     assert pins_outstanding(spark) - base == 4
     release_curated(allpin)
     assert pins_outstanding(spark) == base
+
+
+def test_curate_url_stage(spark):
+    """url_col= runs URL dedup first: the losing copy's url_keep=False
+    ANDs into the quality gate (dropped_quality attribution, the
+    c4_keep pattern); NULL-url rows are untouched; the report
+    partition invariant holds with the extra gate."""
+    rows = [
+        ("c1", 0, GOOD, "http://A.com/x?utm_source=tw"),
+        # same canonical URL, different (even better) text — still a
+        # URL-level dup: ("c1", 0) < ("c2", 0) wins
+        ("c2", 0, GOOD + " Extra words here.", "http://a.com/x/"),
+        ("c3", 0, (
+            "A completely different report covers the migration of the data "
+            "platform, and it describes the rollout schedule in enough words "
+            "to pass every quality gate without overlapping the other rows. "
+        ) * 3, None),  # null URL: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string, url string"
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in curate(df, url_col="url").collect()
+    }
+    assert out[("c1", 0)].url_keep and out[("c1", 0)].kept
+    assert out[("c1", 0)].canon_url == "http://a.com/x"
+    loser = out[("c2", 0)]
+    assert not loser.url_keep and not loser.quality_ok and not loser.kept
+    assert loser.canon_url == "http://a.com/x"
+    assert out[("c3", 0)].url_keep and out[("c3", 0)].kept
+    assert out[("c3", 0)].canon_url is None
+
+    rep = curation_report(curate(df, url_col="url")).collect()[0]
+    assert rep.rows_in == 3
+    assert rep.dropped_quality == 1  # the URL loser, hierarchically
+    assert rep.rows_kept == 2
+    assert (
+        rep.rows_in
+        == rep.dropped_quality + rep.dropped_contaminated
+        + rep.dropped_exact_dup + rep.dropped_near_dup + rep.rows_kept
+    )
+
+
+def test_curate_url_stage_line_winner_consistency(spark):
+    """url_col= composed with line_dedup=True: both stages pick the
+    lexicographic-minimum row key, so the URL winner keeps its lines
+    and the loser husks — never the reverse."""
+    rows = [
+        ("c1", 0, GOOD, "http://a.com/x"),
+        ("c2", 0, GOOD, "http://a.com/x?utm_source=tw"),  # identical text
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string, url string"
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in curate(df, url_col="url", line_dedup=True).collect()
+    }
+    winner, loser = out[("c1", 0)], out[("c2", 0)]
+    assert winner.url_keep and winner.kept
+    assert winner.line_dedup_n_kept == winner.line_dedup_n_lines
+    assert not loser.url_keep and not loser.kept
+    assert loser.line_dedup_n_kept == 0  # husked, not the winner

@@ -219,3 +219,33 @@ def test_plan_shapes(spark):
              or "BroadcastHashJoin" in ln or "ShuffledHashJoin" in ln]
     assert joins and all("doc_id" in ln for ln in joins), joins
     assert not any("canon_url" in ln for ln in joins), joins
+
+
+def test_url_dedup_composite_key(spark):
+    """id_cols=(a, b) keys the winner by the lexicographic-minimum
+    composite row key — the same min(struct(...)) ordering line_dedup
+    uses, which the curate() url stage relies on for winner
+    consistency."""
+    rows = [
+        ("c2", 0, "http://a.com/x"),   # loses: ("c1", 5) < ("c2", 0)
+        ("c1", 5, "http://a.com/x/"),  # wins (min conv_id first)
+        ("c1", 9, "http://a.com/y"),   # distinct canon
+        ("c3", 1, None),               # null url: kept
+    ]
+    out = url_dedup(
+        spark.createDataFrame(rows, ["conv_id", "turn_idx", "url"]),
+        url_col="url",
+        id_col=None,
+        id_cols=("conv_id", "turn_idx"),
+    )
+    got = {(r.conv_id, r.turn_idx): r for r in out.collect()}
+    assert got[("c1", 5)]["url_keep"]
+    assert not got[("c2", 0)]["url_keep"]
+    assert got[("c1", 9)]["url_keep"]
+    assert got[("c3", 1)]["url_keep"]
+
+
+def test_url_dedup_key_validation(spark):
+    df = spark.createDataFrame([(1, "http://a.com")], ["doc_id", "url"])
+    with pytest.raises(ValueError, match="id_col or id_cols"):
+        url_dedup(df, url_col="url", id_col=None, id_cols=None)

@@ -3905,6 +3905,94 @@ FROM documents
 """
 
 
+# --- LOCAL twin: domain_gate_planted — per-host quality aggregation +
+#     domain-level gating (functions/urls.py domain_stats/domain_gate,
+#     the RefinedWeb-style site filter).  Planted: host site<h>.com
+#     (h = doc_id%5, shouty WWW.Site<h>.COM variant to exercise
+#     case/www folding), kept iff (doc_id%25)//5 <= h (per-host kept
+#     fractions step ~0.2/0.4/0.6/0.8/1.0), plus NULL-url and bare-path
+#     rows (no host — excluded from stats, kept by the gate).  The
+#     oracle re-derives EVERYTHING generically in DuckDB: host
+#     extraction (authority regex + userinfo/port strip + lower + www
+#     strip), the per-host GROUP BY with double kept_frac, the
+#     min_docs>=2 / kept_frac<0.5 condemnation, and the LEFT JOIN gate
+#     — any drift in folding, aggregation, thresholds, or the
+#     NULL-host keep stance flips the hash.  LOCAL_TWINS (driver
+#     registry at its 50-row cap). ---
+def q_domain_gate_planted(spark, sf_dir):
+    from cl_readability_spark.functions.urls import domain_gate, domain_stats
+
+    d = F.col("doc_id")
+    h = (d % 5).cast("string")
+    raw = (
+        F.when(d % 23 == 0, F.lit(None).cast("string"))
+        .when(d % 23 == 1, F.lit("just/a/path"))
+        .otherwise(
+            F.concat(
+                F.lit("http://WWW.Site"), h, F.lit(".COM/p/"),
+                d.cast("string"),
+            )
+        )
+    )
+    docs = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .withColumn("url", raw)
+        .withColumn("kept", ((F.col("doc_id") % 25) / 5).cast("long")
+                    <= F.col("doc_id") % 5)
+    )
+    stats = domain_stats(docs, keep_col="kept")
+    out = domain_gate(docs, stats=stats, min_kept_frac=0.5, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.when(F.col("host") == "", F.lit(None).cast("string"))
+        .otherwise(F.col("host")).alias("host"),
+        F.col("domain_keep").cast("int").alias("domain_keep"),
+    )
+
+
+SQL_DOMAIN_GATE_PLANTED = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 0 THEN NULL
+              WHEN doc_id % 23 = 1 THEN 'just/a/path'
+              ELSE 'http://WWW.Site' || doc_id % 5 || '.COM/p/' || doc_id
+         END AS url,
+         (doc_id % 25) // 5 <= doc_id % 5 AS kept
+  FROM documents
+),
+hosted AS (
+  SELECT doc_id, kept,
+         -- url_host contract: authority -> strip userinfo -> strip port
+         -- -> lower -> strip ONE leading www. when a dot remains
+         CASE WHEN h0 IS NULL OR h0 = '' THEN NULL
+              WHEN h0 LIKE 'www.%'
+                   AND POSITION('.' IN SUBSTR(h0, 5)) > 0
+              THEN SUBSTR(h0, 5)
+              ELSE h0 END AS host
+  FROM (
+    SELECT doc_id, kept,
+           LOWER(REGEXP_REPLACE(REGEXP_REPLACE(
+             REGEXP_EXTRACT(TRIM(url),
+                            '^(?:[^:/?#]+:)?//([^/?#]*)', 1),
+             '^[^@]*@', ''), ':[0-9]*$', '')) AS h0
+    FROM raw
+  )
+),
+condemned AS (
+  SELECT host FROM hosted
+  WHERE host IS NOT NULL
+  GROUP BY host
+  HAVING COUNT(*) >= 2
+     AND SUM(CAST(kept AS DOUBLE)) / COUNT(*) < 0.5
+)
+SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+       h.host,
+       CAST(c.host IS NULL AS INTEGER) AS domain_keep
+FROM hosted h LEFT JOIN condemned c USING (host)
+"""
+
+
 # --- LOCAL twin: tfidf_topk — per-document top-k salient terms
 #     (functions/keywords.py).  The oracle re-derives tf (occurrence
 #     counts per doc), df (DOCUMENT counts via COUNT(DISTINCT doc_id)
@@ -3997,6 +4085,10 @@ LOCAL_TWINS: dict[str, tuple] = {
     "curation_url_planted": (
         q_curation_url_planted,
         SQL_CURATION_URL_PLANTED,
+    ),
+    "domain_gate_planted": (
+        q_domain_gate_planted,
+        SQL_DOMAIN_GATE_PLANTED,
     ),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
 }

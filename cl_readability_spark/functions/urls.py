@@ -218,3 +218,102 @@ def url_dedup(
         keep_col,
         F.col(canon_col).isNull() | F.coalesce(F.col("_keep"), F.lit(False)),
     ).drop("_keep")
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    keep_col: str | None = None,
+    score_col: str | None = None,
+    host_col: str = "host",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Per-host corpus statistics — the aggregation side of domain-level
+    filtering (RefinedWeb/C4-style: a page's trustworthiness is partly a
+    property of its SITE, and per-host aggregates are the cheap signal a
+    100 TB pipeline can actually afford).  One row per distinct host
+    (``url_host``; rows with no extractable host are excluded — they
+    carry no site evidence): ``n_docs``, plus ``n_kept``/``kept_frac``
+    when ``keep_col`` names a boolean column (e.g. ``curate()``'s
+    ``kept`` or ``quality_ok``) and ``mean_score`` when ``score_col``
+    names a numeric one.
+
+    Scale shape: ONE map-side-combinable groupBy on host — count/sum/avg
+    all partial-aggregate, so a hot host (half the crawl on one domain)
+    collapses to one slim partial row per input partition before the
+    exchange; output cardinality is #hosts, orders of magnitude below
+    #docs."""
+    host = url_host(F.col(url_col), strip_www=strip_www)
+    hosted = df.withColumn(host_col, host).filter(
+        F.col(host_col).isNotNull() & (F.col(host_col) != "")
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    if keep_col is not None:
+        aggs.append(
+            F.sum(F.col(keep_col).cast("long")).alias("n_kept")
+        )
+        aggs.append(
+            (F.sum(F.col(keep_col).cast("double")) / F.count("*")).alias(
+                "kept_frac"
+            )
+        )
+    if score_col is not None:
+        aggs.append(F.avg(F.col(score_col)).alias("mean_score"))
+    return hosted.groupBy(host_col).agg(*aggs)
+
+
+def domain_gate(
+    df: DataFrame,
+    stats: DataFrame | None = None,
+    url_col: str = "url",
+    host_col: str = "host",
+    keep_col: str = "domain_keep",
+    min_kept_frac: float | None = None,
+    min_mean_score: float | None = None,
+    min_docs: int = 1,
+    blocklist: DataFrame | None = None,
+    strip_www: bool = True,
+) -> DataFrame:
+    """``df`` + ``host_col`` + ``keep_col``: false iff the row's host is
+    condemned — listed in ``blocklist`` (a one-column host frame), or
+    failing the ``stats`` thresholds (``min_kept_frac`` /
+    ``min_mean_score``, applied only to hosts with >= ``min_docs``
+    observations — thin evidence never condemns a site).  Rows with no
+    extractable host are KEPT (no site evidence is not negative
+    evidence), mirroring ``url_dedup``'s NULL stance.
+
+    Scale shape: the condemned-host set is #hosts-bounded (and
+    threshold-filtered far below that), so the gate join BROADCASTS it —
+    a hot host never skews a shuffle because there is no shuffle; the
+    big side stays in place.  ``stats`` is ``domain_stats`` output (or
+    anything with ``host_col`` + the threshold columns) — compute it
+    once per corpus, reuse it across gates."""
+    conditions = []
+    condemned = None
+    if stats is not None:
+        cond = F.lit(False)
+        if min_kept_frac is not None:
+            cond = cond | (F.col("kept_frac") < F.lit(min_kept_frac))
+        if min_mean_score is not None:
+            cond = cond | (F.col("mean_score") < F.lit(min_mean_score))
+        condemned = (
+            stats.filter(F.col("n_docs") >= F.lit(min_docs))
+            .filter(cond)
+            .select(host_col)
+        )
+    if blocklist is not None:
+        bl = blocklist.select(F.col(blocklist.columns[0]).alias(host_col))
+        condemned = bl if condemned is None else condemned.unionByName(bl)
+    if condemned is None:
+        raise ValueError("pass stats (with thresholds) and/or blocklist")
+    condemned = (
+        condemned.distinct().withColumn("_condemned", F.lit(True))
+    )
+    hosted = df.withColumn(
+        host_col, url_host(F.col(url_col), strip_www=strip_www)
+    )
+    return hosted.join(
+        F.broadcast(condemned), host_col, "left"
+    ).withColumn(
+        keep_col, ~F.coalesce(F.col("_condemned"), F.lit(False))
+    ).drop("_condemned")

@@ -249,3 +249,96 @@ def test_url_dedup_key_validation(spark):
     df = spark.createDataFrame([(1, "http://a.com")], ["doc_id", "url"])
     with pytest.raises(ValueError, match="id_col or id_cols"):
         url_dedup(df, url_col="url", id_col=None, id_cols=None)
+
+
+def _hosted_df(spark):
+    rows = [
+        # host a.com: 2 docs, 1 kept, scores 0.2/0.8
+        (1, "http://a.com/p1", True, 0.2),
+        (2, "https://WWW.A.com/p2", False, 0.8),
+        # host b.com: 3 docs, 3 kept
+        (3, "http://b.com/x", True, 1.0),
+        (4, "http://b.com/y", True, 1.0),
+        (5, "http://b.com/z", True, 1.0),
+        # host c.com: 1 doc, 0 kept (thin evidence)
+        (6, "http://c.com/q", False, 0.0),
+        # no extractable host
+        (7, None, True, 0.5),
+        (8, "not a url at all", True, 0.5),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id int, url string, kept boolean, score double"
+    )
+
+
+def test_domain_stats(spark):
+    from cl_readability_spark.functions.urls import domain_stats
+
+    got = {
+        r.host: r
+        for r in domain_stats(
+            _hosted_df(spark), keep_col="kept", score_col="score"
+        ).collect()
+    }
+    # host-less rows (null / bare path) excluded
+    assert set(got) == {"a.com", "b.com", "c.com"}
+    a = got["a.com"]  # www + case folded into one host
+    assert a.n_docs == 2 and a.n_kept == 1
+    assert abs(a.kept_frac - 0.5) < 1e-12
+    assert abs(a.mean_score - 0.5) < 1e-12
+    assert got["b.com"].n_docs == 3 and got["b.com"].kept_frac == 1.0
+
+
+def test_domain_gate_thresholds_and_blocklist(spark):
+    from cl_readability_spark.functions.urls import domain_gate, domain_stats
+
+    df = _hosted_df(spark)
+    stats = domain_stats(df, keep_col="kept", score_col="score")
+    # kept_frac < 0.6 condemns a.com; c.com escapes via min_docs=2
+    out = {
+        r.doc_id: r
+        for r in domain_gate(
+            df, stats=stats, min_kept_frac=0.6, min_docs=2
+        ).collect()
+    }
+    assert not out[1].domain_keep and not out[2].domain_keep
+    assert all(out[i].domain_keep for i in (3, 4, 5, 6, 7, 8))
+    # blocklist unions in; no-host rows still kept
+    bl = spark.createDataFrame([("b.com",)], ["host"])
+    out2 = {
+        r.doc_id: r
+        for r in domain_gate(
+            df, stats=stats, min_kept_frac=0.6, min_docs=2, blocklist=bl
+        ).collect()
+    }
+    assert not out2[3].domain_keep and not out2[1].domain_keep
+    assert out2[6].domain_keep and out2[7].domain_keep
+
+    with pytest.raises(ValueError, match="stats"):
+        domain_gate(df)
+    # stats alone with no thresholds condemns nobody
+    out3 = domain_gate(df, stats=stats, min_docs=1)
+    assert all(r.domain_keep for r in out3.collect())
+
+
+def test_domain_gate_plan_broadcasts_condemned(spark):
+    """The condemned-host side is #hosts-bounded -> the gate join must
+    be a broadcast (no shuffle keyed on host, hot hosts can't skew);
+    domain_stats partial-aggregates map-side."""
+    from cl_readability_spark.functions.urls import domain_gate, domain_stats
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("http://h"), F.pmod(F.col("id"), F.lit(13)),
+            F.lit(".com/p"), F.col("id"),
+        ).alias("url"),
+        (F.pmod(F.col("id"), F.lit(3)) > 0).alias("kept"),
+    )
+    stats = domain_stats(df, keep_col="kept")
+    splan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in splan or "partial" in splan, splan[:2000]
+    out = domain_gate(df, stats=stats, min_kept_frac=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan

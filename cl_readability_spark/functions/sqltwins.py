@@ -3027,13 +3027,17 @@ SQL_TWINS: dict[str, tuple] = {
     "dedup_embedding_planted": (q_dedup_embedding_planted, SQL_DEDUP_EMBEDDING_PLANTED),
     "semdedup_planted": (q_semdedup_planted, SQL_SEMDEDUP_PLANTED),
     "media_planted": (q_media_planted, SQL_MEDIA_PLANTED),
-    "c4_planted": (q_c4_planted, SQL_C4_PLANTED),
+    # Round-8 mid-round rotation: c4_planted and substring_dedup_planted
+    # move to LOCAL_TWINS to fund the two NEW composed twins
+    # (curation_url_planted, domain_gate_planted) under the 50-query
+    # cap.  Both stages stay driver-hash-checked IN COMPOSITION by
+    # curation_full_planted (each 18c2-full role fires exactly one
+    # stage with closed-form attribution) and keep their standalone
+    # python-oracle differentials + plan goldens in pytest; the LOCAL
+    # rehearsal (tests/test_queries_oracle.py) still runs both twins
+    # every round.  They rotate back with the round-9 batch.
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "line_dedup_planted": (q_line_dedup_planted, SQL_LINE_DEDUP_PLANTED),
-    "substring_dedup_planted": (
-        q_substring_dedup_planted,
-        SQL_SUBSTRING_DEDUP_PLANTED,
-    ),
     "pdf_layout_planted": (q_pdf_layout_planted, SQL_PDF_LAYOUT_PLANTED),
     # Round-8 rotation (verdict task 3): the four generic relational
     # twins (pricing_summary, top_customers, regional_customers,
@@ -4082,13 +4086,26 @@ LOCAL_TWINS: dict[str, tuple] = {
     "ngram_top": (q_ngram_top, SQL_NGRAM_TOP),
     "rank_buckets": (q_rank_buckets, SQL_RANK_BUCKETS),
     "url_dedup_planted": (q_url_dedup_planted, SQL_URL_DEDUP_PLANTED),
-    "curation_url_planted": (
-        q_curation_url_planted,
-        SQL_CURATION_URL_PLANTED,
-    ),
-    "domain_gate_planted": (
-        q_domain_gate_planted,
-        SQL_DOMAIN_GATE_PLANTED,
-    ),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    # retired from the driver registry mid-round-8 to fund the two new
+    # composed twins (see the SQL_TWINS note) — still rehearsed here
+    "c4_planted": (q_c4_planted, SQL_C4_PLANTED),
+    "substring_dedup_planted": (
+        q_substring_dedup_planted,
+        SQL_SUBSTRING_DEDUP_PLANTED,
+    ),
 }
+
+# the two new round-8 composed twins take the freed driver slots
+SQL_TWINS.update(
+    {
+        "curation_url_planted": (
+            q_curation_url_planted,
+            SQL_CURATION_URL_PLANTED,
+        ),
+        "domain_gate_planted": (
+            q_domain_gate_planted,
+            SQL_DOMAIN_GATE_PLANTED,
+        ),
+    }
+)

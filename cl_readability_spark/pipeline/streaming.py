@@ -614,6 +614,80 @@ def streaming_exact_dedup(
     return writer.start()
 
 
+def streaming_url_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "1 hour",
+    url_col: str = "url",
+    available_now: bool = True,
+    schema=None,
+    **canon_kwargs,
+) -> StreamingQuery:
+    """Streaming URL-level dedup: the crawl-ingest front gate
+    (``functions.urls.canonicalize_url`` + keep-one per canonical URL)
+    as a stateful streaming operator — ``dropDuplicatesWithinWatermark``
+    keeps ONE row per canonical URL across micro-batches, state bounded
+    by the watermark horizon exactly like ``streaming_exact_dedup``.
+    The emitted rows carry ``canon_url`` (the audit/refetch key).
+
+    NULL/blank-URL rows are ALL kept (a missing URL is not evidence of
+    duplication — the batch ``url_dedup`` stance): their dedup key is
+    salted with the unique row key, so they never collide.
+
+    Contract divergences from the batch operator, both deliberate:
+    streaming keeps the FIRST ARRIVAL per canonical URL (batch keeps
+    the lexicographic-minimum row key — order is unknowable mid-stream),
+    and variants arriving later than the watermark horizon are
+    re-emitted; the batch gate at rest remains the backstop, exactly
+    like the exact-dedup and rollup late-data stances.
+
+    ``schema`` defaults to TRANSCRIPTS_SCHEMA + a nullable string
+    ``url_col``; pass your own StructType for other layouts (must
+    contain ``ts``, ``conv_id``, ``turn_idx``, and ``url_col``).
+    ``canon_kwargs`` forward to ``canonicalize_url``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cl_readability_spark.functions.urls import canonicalize_url
+
+    if schema is None:
+        schema = StructType(
+            TRANSCRIPTS_SCHEMA.fields
+            + [StructField(url_col, StringType(), True)]
+        )
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    canon = canonicalize_url(F.col(url_col), **canon_kwargs)
+    # deterministic per-row salt for NULL canon: never collides, and
+    # identical under checkpoint replay (no uuid/rand)
+    key = F.coalesce(
+        F.col("canon_url"),
+        F.concat_ws(
+            "\x00",
+            F.lit("_nourl"),
+            F.col("conv_id"),
+            F.col("turn_idx").cast("string"),
+        ),
+    )
+    deduped = (
+        stream.withColumn("canon_url", canon)
+        .withColumn("_uk", key)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_uk"])
+        .drop("_uk")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_conversation_flags(
     spark: SparkSession,
     input_path: str,

@@ -954,3 +954,53 @@ def test_streaming_conversation_flags_subsecond_inversion(spark, tmp_path):
     for c, exp in want.items():
         for k, v in exp.items():
             assert got[c][k] == v, (c, k, got[c][k], v)
+
+
+def test_streaming_url_dedup_across_microbatches(spark, tmp_path):
+    """One row per CANONICAL url across micro-batches (variants merge,
+    state in the checkpoint); NULL-url rows are never deduped against
+    each other; late variants of an already-seen page are dropped on
+    the second run."""
+    import datetime
+
+    from cl_readability_spark.pipeline.streaming import streaming_url_dedup
+
+    inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    ts = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows1 = [
+        ("c1", 0, "assistant", "text a", None, ts,
+         "http://A.com/x?utm_source=1"),
+        ("c1", 1, "assistant", "text b", None, ts,
+         "http://a.com/x/"),            # same canon -> intra-batch dup
+        ("c2", 0, "assistant", "text c", None, ts, None),   # no url: kept
+        ("c2", 1, "assistant", "text d", None, ts, None),   # no url: kept
+        ("c3", 0, "assistant", "text e", None, ts, "http://b.com/y"),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, " \
+             "tool string, ts timestamp, url string"
+    spark.createDataFrame(rows1, schema).write.parquet(inp + "/b1")
+    q = streaming_url_dedup(spark, inp + "/*", out, cp, watermark="2 hours")
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 4  # 1 per page (a.com/x, b.com/y) + 2 no-url
+    assert first.filter("url is null").count() == 2
+    assert (
+        first.filter("canon_url = 'http://a.com/x'").count() == 1
+    )
+
+    rows2 = [
+        ("c4", 0, "assistant", "text f", None,
+         ts + datetime.timedelta(minutes=10),
+         "http://a.com/x?utm_medium=m"),  # cross-batch variant -> dropped
+        ("c5", 0, "assistant", "text g", None,
+         ts + datetime.timedelta(minutes=10), "http://c.com/z"),  # fresh
+        ("c5", 1, "assistant", "text h", None,
+         ts + datetime.timedelta(minutes=10), ""),  # blank url: kept
+    ]
+    spark.createDataFrame(rows2, schema).write.parquet(inp + "/b2")
+    q2 = streaming_url_dedup(spark, inp + "/*", out, cp, watermark="2 hours")
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 6
+    assert final.filter("canon_url = 'http://a.com/x'").count() == 1
+    assert final.filter("canon_url = 'http://c.com/z'").count() == 1

@@ -185,6 +185,125 @@ def append_exact_catalog(
     )
 
 
+def write_url_catalog(
+    df: DataFrame,
+    table: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    **canon_kwargs,
+) -> None:
+    """(Re)create the URL catalog from a corpus: one row per distinct
+    CANONICAL url (``functions.urls.canonicalize_url``), keeper id =
+    min(id), bucketed+sorted by ``canon_url`` — the crawler's "have we
+    fetched this page before?" index, same scale shape as the exact
+    catalog (one corpus shuffle at build, bucket-riding probes
+    forever).  Rows with no canonical URL (NULL/blank) carry no page
+    identity and are excluded."""
+    from cl_readability_spark.functions.urls import canonicalize_url
+
+    spark = df.sparkSession
+    cat = (
+        df.select(
+            canonicalize_url(F.col(url_col), **canon_kwargs).alias(
+                "canon_url"
+            ),
+            F.col(id_col).alias("keep_id"),
+        )
+        .filter(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(F.min("keep_id").alias("keep_id"))
+    )
+    (
+        cat.write.mode("overwrite")
+        .bucketBy(n_buckets, "canon_url")
+        .sortBy("canon_url")
+        .saveAsTable(table)
+    )
+    _write_meta(spark, table, {"kind": "url", "n_buckets": n_buckets})
+
+
+def incremental_url_dedup(
+    new_df: DataFrame,
+    table: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    with_batch_keep: bool = True,
+    **canon_kwargs,
+) -> DataFrame:
+    """Flag a NEW batch against the URL catalog: adds ``canon_url``,
+    ``in_catalog`` (the page is already in the corpus) and
+    ``batch_keep`` (first occurrence of the canonical URL WITHIN the
+    batch, by min ``id_col``).  NULL-canonical rows (blank URLs) are
+    never ``in_catalog`` and always ``batch_keep`` — a missing URL is
+    not evidence of duplication (the ``url_dedup`` stance).
+    ``new_rows = batch_keep AND NOT in_catalog`` is the append set.
+
+    Scale shape: identical to ``incremental_exact_dedup`` — the
+    catalog side is a bucketed scan with NO Exchange; only the batch
+    shuffles, into the catalog's bucketing; the intra-batch window
+    partitions by canon_url over the batch only (a crawl batch's hot
+    page collapses within the batch, never against the catalog)."""
+    from pyspark.sql import Window
+
+    from cl_readability_spark.functions.urls import canonicalize_url
+
+    _read_meta(new_df.sparkSession, table, "url")
+    keyed = new_df.withColumn(
+        "canon_url", canonicalize_url(F.col(url_col), **canon_kwargs)
+    )
+    if with_batch_keep:
+        w = Window.partitionBy("canon_url").orderBy(F.col(id_col).asc())
+        keyed = keyed.withColumn(
+            "batch_keep",
+            F.col("canon_url").isNull()
+            | (F.row_number().over(w) == 1),
+        )
+    cat = (
+        new_df.sparkSession.table(table)
+        .select("canon_url")
+        .dropDuplicates(["canon_url"])
+        .withColumn("in_catalog", F.lit(True))
+    )
+    return keyed.join(cat, "canon_url", "left").withColumn(
+        "in_catalog", F.coalesce(F.col("in_catalog"), F.lit(False))
+    )
+
+
+def append_url_catalog(
+    new_df: DataFrame,
+    table: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    **canon_kwargs,
+) -> None:
+    """Append a probed batch's NEW canonical URLs (``batch_keep AND NOT
+    in_catalog``, NULL-canonical rows excluded — they carry no page
+    identity) into the catalog, preserving the bucket spec."""
+    meta = _read_meta(new_df.sparkSession, table, "url")
+    probed = (
+        incremental_url_dedup(
+            new_df, table, url_col, id_col, **canon_kwargs
+        )
+        if "in_catalog" not in new_df.columns
+        else new_df
+    )
+    fresh = (
+        probed.filter(
+            F.col("batch_keep")
+            & ~F.col("in_catalog")
+            & F.col("canon_url").isNotNull()
+        )
+        .select("canon_url", F.col(id_col).alias("keep_id"))
+    )
+    (
+        fresh.write.mode("append")
+        .bucketBy(int(meta["n_buckets"]), "canon_url")
+        .sortBy("canon_url")
+        .saveAsTable(table)
+    )
+
+
 def write_minhash_catalog(
     df: DataFrame,
     table: str,

@@ -221,3 +221,75 @@ def test_minhash_agreement_is_jaccard_estimate(spark):
     # 5-gram shingles); the 32-hash estimate is coarse — wide pin
     assert 0.05 <= row.catalog_sig_agreement <= 0.7
     _cleanup(spark, "t_est")
+
+
+def test_url_probe_append_roundtrip(spark):
+    from cl_readability_spark.functions.incremental import (
+        append_url_catalog,
+        incremental_url_dedup,
+        write_url_catalog,
+    )
+
+    _cleanup(spark, "t_url")
+    corpus = spark.createDataFrame(
+        [(i, f"http://site{i % 5}.com/page/{i}") for i in range(20)],
+        "doc_id long, url string",
+    )
+    write_url_catalog(corpus, "t_url", n_buckets=4)
+    assert spark.table("t_url").count() == 20  # all pages distinct
+    batch = spark.createDataFrame(
+        [
+            # variant of catalog page 3 (www + utm + trailing slash)
+            (100, "HTTP://WWW.site3.com/page/3/?utm_source=x"),
+            (101, "http://site0.com/fresh"),          # new page
+            (102, "http://site0.com/fresh?utm_id=1"), # intra-batch variant
+            (103, None),                              # no url: kept, never cataloged
+            (104, "  "),                              # blank: same
+        ],
+        "doc_id long, url string",
+    )
+    probed = incremental_url_dedup(batch, "t_url")
+    got = {r.doc_id: (r.in_catalog, r.batch_keep) for r in probed.collect()}
+    assert got == {
+        100: (True, True),
+        101: (False, True),
+        102: (False, False),
+        103: (False, True),
+        104: (False, True),
+    }
+
+    append_url_catalog(batch, "t_url")
+    assert spark.table("t_url").count() == 21  # only the fresh page
+    reprobe = incremental_url_dedup(batch, "t_url")
+    hits = {r.doc_id: r.in_catalog for r in reprobe.collect()}
+    assert hits[101] and hits[102] and hits[100]
+    assert not hits[103] and not hits[104]  # null rows never in_catalog
+    _cleanup(spark, "t_url")
+
+
+def test_url_probe_catalog_side_has_no_exchange(spark):
+    """Same scale contract as the exact catalog: the catalog scan rides
+    its buckets (no Exchange); only the batch side shuffles, on
+    canon_url."""
+    from cl_readability_spark.functions.incremental import (
+        incremental_url_dedup,
+        write_url_catalog,
+    )
+
+    _cleanup(spark, "t_url_plan")
+    corpus = spark.createDataFrame(
+        [(i, f"http://site{i % 5}.com/page/{i}") for i in range(20)],
+        "doc_id long, url string",
+    )
+    write_url_catalog(corpus, "t_url_plan", n_buckets=4)
+    batch = corpus.select((F.col("doc_id") + 1000).alias("doc_id"), "url")
+    with _no_broadcast(spark):
+        probed = incremental_url_dedup(batch, "t_url_plan")
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan[:4000]
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all("canon_url" in e for e in exchanges)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+    _cleanup(spark, "t_url_plan")

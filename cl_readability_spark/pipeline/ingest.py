@@ -108,13 +108,29 @@ def _append_kept_to_catalogs(
     exact_table: str | None,
     minhash_table: str | None,
     text_col: str,
+    url_table: str | None = None,
 ) -> None:
     """Append a committed batch's kept rows to the catalogs.  Exact:
     kept rows are one-per-fingerprint by construction (curate()'s exact
     gate), so append them directly under the catalog's bucket spec;
     re-appends after a crash-before-ledger-mark only create duplicate
-    rows the probes tolerate."""
+    rows the probes tolerate.  URL: kept rows are one-per-canon_url by
+    construction (the pre-extraction probe's batch_keep), NULL
+    canon_urls (no page identity) excluded; batches committed before
+    the url catalog existed carry no canon_url column and are skipped."""
     spark = kept.sparkSession
+    if url_table is not None and "canon_url" in kept.columns:
+        from cl_readability_spark.functions.incremental import _read_meta
+
+        meta = _read_meta(spark, url_table, "url")
+        (
+            kept.filter(F.col("canon_url").isNotNull())
+            .select("canon_url", F.col("_ingest_id").alias("keep_id"))
+            .write.mode("append")
+            .bucketBy(int(meta["n_buckets"]), "canon_url")
+            .sortBy("canon_url")
+            .saveAsTable(url_table)
+        )
     if exact_table is not None:
         from cl_readability_spark.functions.incremental import _read_meta
 
@@ -139,6 +155,7 @@ def recover_catalogs(
     minhash_table: str | None,
     ledger: CatalogLedger,
     text_col: str = "extracted_text",
+    url_table: str | None = None,
 ) -> list[str]:
     """Replay the catalog append for every sink-committed batch missing
     from the ledger (a crash between sink commit and catalog append).
@@ -149,7 +166,7 @@ def recover_catalogs(
     plain ``run_resumable``, not ``ingest_batch``) are ledger-marked
     and skipped: bootstrap a pre-existing corpus into the catalogs with
     ``write_exact_catalog``/``write_minhash_catalog`` instead."""
-    if exact_table is None and minhash_table is None:
+    if exact_table is None and minhash_table is None and url_table is None:
         return []
     enumerate_batches = getattr(sink, "committed_batches", None)
     if enumerate_batches is None:
@@ -164,7 +181,7 @@ def recover_catalogs(
         if "kept" in batch.columns and "_ingest_id" in batch.columns:
             kept = batch.filter(F.col("kept"))
             _append_kept_to_catalogs(
-                kept, exact_table, minhash_table, text_col
+                kept, exact_table, minhash_table, text_col, url_table
             )
             replayed.append(bid)
         ledger.mark(bid)
@@ -185,6 +202,8 @@ def ingest_batch(
     curate_opts: dict | None = None,
     pre_extracted: bool = False,
     committed_filter=None,
+    url_table: str | None = None,
+    url_col: str = "url",
 ) -> dict[str, Any]:
     """Run one batch through the full ingest loop (module doc); returns
     the per-batch report dict (counts per drop cause, the sink batch
@@ -212,6 +231,19 @@ def ingest_batch(
     extraction output ``extracted_text`` and the row key is always
     ``(conv_id, turn_idx)`` — the input_hint table shape.
 
+    ``url_table`` (a ``write_url_catalog`` table; input must carry
+    ``url_col``) inserts the URL-catalog probe BEFORE extraction — the
+    crawl payoff: a page whose canonical URL already contributes kept
+    content to the corpus (``url_in_catalog``), or that loses the
+    intra-batch keep-one (``url_batch_dup``), skips the Arrow
+    extraction stage entirely and rides to the sink as a flagged drop
+    (the committed key set must cover every processed row — the resume
+    contract).  NULL/blank-URL rows always proceed.  Kept rows' canonical
+    URLs append to the catalog under the same ledger; a quality-dropped
+    page's URL is deliberately NOT cataloged, so a better copy
+    re-crawled later still gets its chance (the kept-rows-only
+    convention of the content catalogs).
+
     Scale shape per stage: extraction = the salted Arrow stage; exact
     probe = batch-side shuffle into the catalog's buckets (catalog
     unshuffled, plan-goldened in tests/test_incremental.py); minhash
@@ -220,7 +252,11 @@ def ingest_batch(
     Nothing in the loop shuffles the corpus."""
     spark = transcripts.sparkSession
     sink.prepare(spark)
-    using_catalogs = exact_table is not None or minhash_table is not None
+    using_catalogs = (
+        exact_table is not None
+        or minhash_table is not None
+        or url_table is not None
+    )
     ledger = None
     if using_catalogs:
         if ledger_path is None:
@@ -232,7 +268,10 @@ def ingest_batch(
             ledger_path = os.path.join(root, _LEDGER_NAME)
         ledger = CatalogLedger(ledger_path)
     replayed = (
-        recover_catalogs(spark, sink, exact_table, minhash_table, ledger)
+        recover_catalogs(
+            spark, sink, exact_table, minhash_table, ledger,
+            url_table=url_table,
+        )
         if using_catalogs
         else []
     )
@@ -245,6 +284,8 @@ def ingest_batch(
         return {
             "batch": None,
             "rows_in": 0,
+            "url_in_catalog": 0,
+            "url_batch_dup": 0,
             "exact_in_catalog": 0,
             "near_dup_in_catalog": 0,
             "dropped_quality": 0,
@@ -254,6 +295,48 @@ def ingest_batch(
             "rows_kept": 0,
             "recovered_batches": replayed,
         }
+
+    # --- URL-catalog probe BEFORE extraction (the crawl payoff: pages
+    # the corpus already keeps never reach the Arrow stage).  The
+    # probed frame is pinned: three consumers (the url-flag join back
+    # onto the extraction output, the survivors feeding extraction, and
+    # the url-dropped rows riding to the sink) must read one evaluation
+    # of the anti-join + probe chain. ---
+    url_flags = None
+    url_probed = None
+    url_dropped = None
+    if url_table is not None:
+        if url_col not in remaining.columns:
+            raise ValueError(
+                f"url_table requires column {url_col!r} on the input"
+            )
+        from cl_readability_spark.functions.incremental import (
+            incremental_url_dedup,
+        )
+
+        url_probed = (
+            incremental_url_dedup(
+                remaining.withColumn(
+                    "_ingest_id", _row_key(tuple(KEY_COLUMNS))
+                ),
+                url_table,
+                url_col=url_col,
+                id_col="_ingest_id",
+            )
+            .withColumnRenamed("in_catalog", "url_in_catalog")
+            .withColumn("url_batch_dup", ~F.col("batch_keep"))
+            .drop("batch_keep")
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        url_flags = url_probed.select(
+            *KEY_COLUMNS, "canon_url", "url_in_catalog", "url_batch_dup"
+        )
+        url_dropped = url_probed.filter(
+            F.col("url_in_catalog") | F.col("url_batch_dup")
+        ).withColumn("kept", F.lit(False))
+        remaining = url_probed.filter(
+            ~F.col("url_in_catalog") & ~F.col("url_batch_dup")
+        ).drop("_ingest_id", "canon_url", "url_in_catalog", "url_batch_dup")
 
     if pre_extracted:
         missing = {"extracted_text", *KEY_COLUMNS} - set(remaining.columns)
@@ -270,6 +353,11 @@ def ingest_batch(
             num_partitions=num_partitions,
             prefilter_readerable=prefilter_readerable,
         )
+    if url_flags is not None:
+        # 1:1 join on the unique row key (skew-free): the extraction
+        # stage prunes to its own columns, so the url lineage rejoins
+        # here — survivors carry canon_url for the catalog append
+        extracted = extracted.join(url_flags, list(KEY_COLUMNS), "left")
     extracted = extracted.withColumn(
         "_ingest_id", _row_key(tuple(KEY_COLUMNS))
     )
@@ -328,7 +416,14 @@ def ingest_batch(
         )
         full = curated.unionByName(
             catalog_dropped, allowMissingColumns=True
-        ).withColumn("kept", F.coalesce(F.col("kept"), F.lit(False)))
+        )
+        if url_dropped is not None:
+            # url-dropped rows never extracted: they ride with NULL
+            # extraction/curation columns, kept=false (set above)
+            full = full.unionByName(url_dropped, allowMissingColumns=True)
+        full = full.withColumn(
+            "kept", F.coalesce(F.col("kept"), F.lit(False))
+        )
 
         try:
             handle = sink.write_batch(full)
@@ -340,11 +435,32 @@ def ingest_batch(
             release_curated(curated)
     finally:
         probed.unpersist()
+        if url_probed is not None:
+            url_probed.unpersist()
 
     written = sink.read_batch(spark, handle)
+    url_cols = (
+        [
+            F.sum(
+                F.coalesce(F.col("url_in_catalog"), F.lit(False)).cast(
+                    "long"
+                )
+            ).alias("url_in_catalog"),
+            F.sum(
+                F.coalesce(F.col("url_batch_dup"), F.lit(False)).cast(
+                    "long"
+                )
+            ).alias("url_batch_dup"),
+        ]
+        if url_table is not None
+        else []
+    )
     report_row = written.agg(
         F.count("*").alias("rows_in"),
-        F.sum(F.col("exact_in_catalog").cast("long")).alias(
+        *url_cols,
+        F.sum(
+            F.coalesce(F.col("exact_in_catalog"), F.lit(False)).cast("long")
+        ).alias(
             "exact_in_catalog"
         ),
         F.sum(
@@ -381,7 +497,7 @@ def ingest_batch(
     if using_catalogs:
         kept = written.filter(F.col("kept"))
         _append_kept_to_catalogs(
-            kept, exact_table, minhash_table, "extracted_text"
+            kept, exact_table, minhash_table, "extracted_text", url_table
         )
         ledger.mark(_batch_id(handle))
     return report

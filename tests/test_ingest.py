@@ -361,3 +361,114 @@ def test_streaming_ingest_end_to_end_and_replay(spark, tmp_path, batches):
     q2.awaitTermination(300)
     assert all(r["rows_in"] == 0 for r in replays)
     assert sink.read(spark).filter("kept").count() == total_kept
+
+
+def test_url_catalog_gates_ingest_before_extraction(spark, tmp_path):
+    """url_table= probes canonical URLs BEFORE extraction: batch-2
+    rows re-crawling batch-1 KEPT pages under raw URL variants (www/
+    case/utm noise, DIFFERENT text — content gates can't catch them)
+    skip extraction and commit as flagged drops; intra-batch variants
+    collapse to one; NULL-url rows always proceed; kept pages' canon
+    urls append under the ledger; rerun is a no-op."""
+    import shutil
+
+    from cl_readability_spark.functions.incremental import (
+        write_url_catalog,
+    )
+
+    url_t = "ing_url_cat"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for sfx in ("", "__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {url_t}{sfx}")
+        shutil.rmtree(f"{warehouse}/{url_t}{sfx}", ignore_errors=True)
+    write_url_catalog(
+        spark.createDataFrame([], "_ingest_id string, url string"),
+        url_t, url_col="url", id_col="_ingest_id", n_buckets=4,
+    )
+    sink = CheckpointedSink(str(tmp_path / "url_corpus"))
+
+    page = F.concat_ws("/", F.lit("http://ex.com"), "conv_id",
+                       F.col("turn_idx").cast("string"))
+    b1 = synthetic_transcripts(spark, 3, seed=7).withColumn("url", page)
+    r1 = ingest_batch(
+        b1, sink, url_table=url_t, curate_opts=CURATE, url_col="url"
+    )
+    assert r1["url_in_catalog"] == 0 and r1["url_batch_dup"] == 0
+    assert r1["rows_kept"] > 0
+    # catalog grew by exactly the kept rows' canonical urls
+    assert spark.table(url_t).count() == r1["rows_kept"]
+
+    # batch 2: refetches of batch-1 pages under URL variants with NEW
+    # conv_ids and DIFFERENT text + one intra-batch variant pair of a
+    # fresh page + a null-url row
+    variant = F.concat(
+        F.lit("HTTP://WWW."),
+        F.regexp_replace("url", r"^http://", ""),
+        F.lit("?utm_source=tw"),
+    )
+    refetch = (
+        b1.withColumn("conv_id", F.concat(F.lit("re-"), "conv_id"))
+        .withColumn("url", variant)
+        .withColumn(
+            "text", F.concat(F.lit("entirely rewritten body: "), "text")
+        )
+    )
+    extra = spark.createDataFrame(
+        [
+            ("x1", 0, "assistant",
+             "a genuinely fresh page body with plenty of readable words "
+             "in it for the forgiving toy gates", None, None,
+             "http://new.com/p1"),
+            ("x2", 0, "assistant",
+             "another fresh page body that is a url variant of the one "
+             "above and must collapse within the batch", None, None,
+             "http://NEW.com/p1/"),
+            ("x3", 0, "assistant",
+             "a row with no url at all that must flow through every "
+             "content stage untouched by the url gate", None, None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, url string",
+    )
+    b2 = refetch.unionByName(extra)
+    r2 = ingest_batch(
+        b2, sink, url_table=url_t, curate_opts=CURATE, url_col="url"
+    )
+    assert r2["rows_in"] == b2.count()
+    # every batch-1 KEPT page's variant is a url hit (dropped pages
+    # were never cataloged); exactly one intra-batch variant collapses
+    assert r2["url_in_catalog"] == r1["rows_kept"]
+    assert r2["url_batch_dup"] == 1
+    # attribution identity extends with the url terms
+    assert r2["rows_in"] == (
+        r2["url_in_catalog"] + r2["url_batch_dup"]
+        + r2["exact_in_catalog"] + r2["near_dup_in_catalog"]
+        + r2["dropped_quality"] + r2["dropped_contaminated"]
+        + r2["dropped_exact_dup"] + r2["dropped_near_dup"]
+        + r2["rows_kept"]
+    )
+    # url drops committed WITHOUT extraction (resume must see them;
+    # extracted_text stays NULL — the stage was skipped)
+    committed = sink.read(spark)
+    url_dropped = committed.filter(
+        F.coalesce(F.col("url_in_catalog"), F.lit(False))
+        | F.coalesce(F.col("url_batch_dup"), F.lit(False))
+    )
+    assert url_dropped.count() == r2["url_in_catalog"] + r2["url_batch_dup"]
+    assert url_dropped.filter(F.col("extracted_text").isNotNull()).count() == 0
+    assert not url_dropped.filter(F.col("kept")).count()
+    # the null-url row flowed through and was kept
+    assert committed.filter(
+        F.col("conv_id") == "x3"
+    ).select("kept").collect()[0].kept
+
+    # rerun: resume anti-join sees every processed row (drops included)
+    r3 = ingest_batch(
+        b2, sink, url_table=url_t, curate_opts=CURATE, url_col="url"
+    )
+    assert r3["rows_in"] == 0
+
+    for sfx in ("", "__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {url_t}{sfx}")

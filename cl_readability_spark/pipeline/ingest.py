@@ -331,8 +331,15 @@ def ingest_batch(
         url_flags = url_probed.select(
             *KEY_COLUMNS, "canon_url", "url_in_catalog", "url_batch_dup"
         )
+        # slim to the sink contract (committed KEYS for resume + url
+        # lineage + kept): the raw transcript columns — above all the
+        # HTML text — must NOT ride to the sink on dropped rows, or the
+        # gate's whole point (never paying content cost for refetches)
+        # leaks back in as parquet write+read of the skipped pages
         url_dropped = url_probed.filter(
             F.col("url_in_catalog") | F.col("url_batch_dup")
+        ).select(
+            *KEY_COLUMNS, "canon_url", "url_in_catalog", "url_batch_dup"
         ).withColumn("kept", F.lit(False))
         remaining = url_probed.filter(
             ~F.col("url_in_catalog") & ~F.col("url_batch_dup")

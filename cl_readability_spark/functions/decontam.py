@@ -407,3 +407,106 @@ def semantic_decontam(
             F.lit(False),
         ),
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    protect: tuple[str, ...] = ("val", "test"),
+    mode: str = "exact",
+    normalize: bool = True,
+    **near_kwargs,
+) -> DataFrame:
+    """Cross-split leakage audit — the within-corpus counterpart of
+    ``decontaminate``: after ``split_assign`` (or any split column),
+    find TRAINING rows whose content also appears in a protected
+    (eval) split, so the eval is leaked into training by duplication
+    rather than by an external benchmark.
+
+    One output row per leaking non-protected row:
+
+    - ``mode="exact"``: (id, split, fingerprint, leaks_into,
+      n_protected_matches) — fingerprint is md5 of the text
+      (``normalize=True`` applies the doc_fingerprint recipe
+      ``lower → strip [^a-z0-9]`` first, so trivial formatting edits
+      still match); ``leaks_into`` is the sorted comma-joined set of
+      protected splits hit.  Plan: one fingerprint aggregate over the
+      protected rows + one keyed join against the non-protected rows —
+      two shuffles of slim rows, AQE-managed; a boilerplate text shared
+      by millions of rows is one aggregate row fanned back out, never a
+      hot window.
+    - ``mode="near"``: (id, split, leaks_into, n_protected_matches,
+      max_jaccard) — rides ``dedup.minhash_near_dups`` (``near_kwargs``
+      pass through: ``jaccard_threshold``, ``carry``, ...) and keeps
+      the pairs with exactly one protected side, so lightly-edited
+      leaks are caught too.  Scale = the minhash chain's (bucketed,
+      never all-pairs); the split attachment is two slim
+      (id, split)-projection joins.
+
+    A duplicate WITHIN protected splits (val↔test) or within training
+    is not leakage and never flags.  Empty output = clean corpus."""
+    if mode not in ("exact", "near"):
+        raise ValueError(f"mode must be exact|near, got {mode!r}")
+    if not protect:
+        raise ValueError("protect must name at least one split")
+    protected = [str(s) for s in protect]
+    split = F.col(split_col).cast("string")
+    if mode == "exact":
+        text = F.coalesce(F.col(text_col), F.lit(""))
+        if normalize:
+            text = F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
+        fp = df.select(
+            F.col(id_col).alias("id"),
+            split.alias("split"),
+            F.md5(text).alias("fingerprint"),
+        )
+        prot = (
+            fp.filter(F.col("split").isin(protected))
+            .groupBy("fingerprint")
+            .agg(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_set("split"))
+                ).alias("leaks_into"),
+                F.count("*").cast("long").alias("n_protected_matches"),
+            )
+        )
+        return (
+            fp.filter(~F.col("split").isin(protected))
+            .join(prot, "fingerprint")
+            .select(
+                "id", "split", "fingerprint",
+                "leaks_into", "n_protected_matches",
+            )
+        )
+
+    from cl_readability_spark.functions.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(
+        df, id_col=id_col, text_col=text_col, **near_kwargs
+    )
+    labels = df.select(
+        F.col(id_col).alias("_lid"), split.alias("_lsplit")
+    )
+    sided = (
+        pairs.join(labels, pairs["id_a"] == labels["_lid"])
+        .select("id_a", "id_b", "jaccard", F.col("_lsplit").alias("split_a"))
+        .join(labels, F.col("id_b") == labels["_lid"])
+        .select("id_a", "id_b", "jaccard", "split_a", F.col("_lsplit").alias("split_b"))
+    )
+    a_prot = F.col("split_a").isin(protected)
+    b_prot = F.col("split_b").isin(protected)
+    leaks = sided.filter(a_prot != b_prot).select(
+        F.when(a_prot, F.col("id_b")).otherwise(F.col("id_a")).alias("id"),
+        F.when(a_prot, F.col("split_b")).otherwise(F.col("split_a")).alias("split"),
+        F.when(a_prot, F.col("split_a")).otherwise(F.col("split_b")).alias("_prot_split"),
+        "jaccard",
+    )
+    return leaks.groupBy("id", "split").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("_prot_split"))).alias(
+            "leaks_into"
+        ),
+        F.count("*").cast("long").alias("n_protected_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )

@@ -1,0 +1,205 @@
+"""SFT training-example assembly — the transcript-specific last mile:
+turning a curated multi-turn conversation table into supervised
+fine-tuning examples, one per target-role turn.
+
+``sft_examples`` emits, for every ``target_role`` turn (default
+``assistant``), the example a trainer reads: the LONGEST SUFFIX of the
+turns strictly before it whose total token count fits
+``max_context_tokens`` (chat-SFT context assembly: when a conversation
+outgrows the window you keep the most recent turns, never a gap in the
+middle), plus the target turn's text as the label.  The general
+corpus-level assembly stages live in ``functions/assembly.py``
+(epoch_shuffle / token_budget_sample / rank_buckets); this module is
+their per-conversation counterpart over the transcript schema
+(conv_id, turn_idx, role, text, ts).
+
+Reference parity note: the reference (atlas-engineer/cl-readability)
+is a single-document extraction library with no transcript surface;
+this operator is part of the training-data-pipeline extension the
+build brief asks for (transcripts → training examples).
+
+Semantics (engine-exact, DuckDB-twinned):
+
+- token count per turn = the number of maximal non-whitespace runs,
+  with the explicit whitespace class ``[ \\t\\n\\f\\r]`` (java ``\\s``
+  and RE2/python ``\\s`` disagree on U+000B — the transcript_quality
+  stance); whitespace-only/NULL text counts 0.  Pass ``token_col`` to
+  drive the budget with real subword counts instead (e.g.
+  ``bpe_encode`` output sizes) — the assembly is tokenizer-agnostic.
+- a prior turn at position j (0-based within the conversation, turns
+  ordered by ``turn_idx``) is included in the context of the target at
+  position p  iff  cum0[j] >= cum0[p] - max_context_tokens, where
+  cum0[k] = total tokens of the first k turns.  cum0 is monotone
+  non-decreasing, so the included set IS the maximal suffix that fits;
+  zero-token turns at the boundary are included (side='left').
+- ``context_text`` = the included turns rendered as
+  ``role + role_sep + text`` joined by ``turn_sep`` (defaults
+  ``": "`` / ``"\\n"``), NULL role/text rendered as ''.
+- ``truncated`` = some prior turn was excluded (start position > 0).
+- targets with fewer than ``min_context_turns`` context turns are
+  dropped (default 1: a context-free example teaches nothing).
+- on a conversation with DUPLICATED turn_idx values the ordering
+  between the tied turns is unspecified (the conversation_flags
+  ``idx_contiguous`` gate already rejects such conversations).
+
+Scale shape (100 TB): one projection adds the per-turn token count
+(whole-stage codegen — regexp-free size/split, no lambda HOFs), then
+ONE conv-keyed exchange into an Arrow ``applyInPandas`` stage that
+does the per-conversation assembly with numpy cumsum + vectorized
+searchsorted (no per-row python dispatch; string joins are batch-level
+pandas ops).  Per-task work is bounded by the largest single
+conversation — the doc-bounded stance of conversation_flags /
+pdf_layout: a whale conversation is one task, a skewed corpus is not a
+skewed plan.  Plan-shape-tested: exactly one Exchange, one
+FlatMapGroupsInPandas, zero joins/windows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+#: explicit whitespace class shared with transcript_quality/gopher —
+#: java \s and RE2/python \s disagree on U+000B
+_WS = "[ \t\n\f\r]"
+
+_OUT_SCHEMA = (
+    "conv_id string, target_idx long, context_start_idx long, "
+    "n_context_turns long, context_tokens long, target_tokens long, "
+    "truncated boolean, context_text string, target_text string"
+)
+
+
+def default_turn_tokens(text_col) -> "F.Column":
+    """The module's default per-turn token count: the number of maximal
+    non-whitespace runs (explicit class — both-engine-exact; DuckDB
+    twin: ``length(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+'))``).
+    Whitespace-only/NULL text counts 0; no trim-vs-split edge cases
+    (``trim`` strips only spaces, so a tab-padded turn would
+    double-count under the split form)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(text_col, F.lit("")),
+            F.lit("[^ \t\n\f\r]+"),
+            F.lit(0),
+        )
+    ).cast("long")
+
+
+def sft_examples(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    target_role: str = "assistant",
+    max_context_tokens: int = 2048,
+    min_context_turns: int = 1,
+    token_col: str | None = None,
+    role_sep: str = ": ",
+    turn_sep: str = "\n",
+) -> DataFrame:
+    """One SFT example per ``target_role`` turn (module doc for the
+    budget/suffix semantics):
+
+    (conv_id, target_idx, context_start_idx, n_context_turns,
+    context_tokens, target_tokens, truncated, context_text,
+    target_text)
+
+    ``context_start_idx`` is the ``turn_idx`` of the first included
+    context turn.  ``token_col`` (a per-turn token-count column already
+    on ``df``) replaces the default whitespace count — negative counts
+    are rejected at runtime (they would break the monotone-prefix
+    suffix search)."""
+    # kwarg guards before any plan is built (the minhash_banding stance)
+    if max_context_tokens < 0:
+        raise ValueError("max_context_tokens must be >= 0")
+    if min_context_turns < 0:
+        raise ValueError("min_context_turns must be >= 0")
+    if token_col is not None and token_col not in df.columns:
+        raise ValueError(f"token_col {token_col!r} not in df.columns")
+
+    tok = (
+        F.col(token_col).cast("long")
+        if token_col is not None
+        else default_turn_tokens(F.col(text_col))
+    )
+    slim = df.select(
+        F.col(conv_col).cast("string").alias("_conv"),
+        F.col(idx_col).cast("long").alias("_idx"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("_role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+        tok.alias("_tok"),
+    )
+
+    budget = int(max_context_tokens)
+    min_ctx = int(min_context_turns)
+    tgt_role = str(target_role)
+    rsep, tsep = str(role_sep), str(turn_sep)
+
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_idx", kind="mergesort")
+        toks = pdf["_tok"].to_numpy(dtype=np.int64)
+        if toks.size and toks.min() < 0:
+            raise ValueError(
+                "sft_examples: negative token count in token_col"
+            )
+        idxs = pdf["_idx"].to_numpy(dtype=np.int64)
+        roles = pdf["_role"].to_numpy(dtype=object)
+        # cum0[k] = tokens of the first k turns (length n+1, monotone)
+        cum0 = np.zeros(len(pdf) + 1, dtype=np.int64)
+        np.cumsum(toks, out=cum0[1:])
+        targets = np.flatnonzero(roles == tgt_role)
+        if targets.size == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "target_idx": pd.Series(dtype=np.int64),
+                    "context_start_idx": pd.Series(dtype=np.int64),
+                    "n_context_turns": pd.Series(dtype=np.int64),
+                    "context_tokens": pd.Series(dtype=np.int64),
+                    "target_tokens": pd.Series(dtype=np.int64),
+                    "truncated": pd.Series(dtype=bool),
+                    "context_text": pd.Series(dtype=object),
+                    "target_text": pd.Series(dtype=object),
+                }
+            )
+        # maximal fitting suffix: smallest start with
+        # cum0[start] >= cum0[p] - budget (side='left' keeps boundary
+        # zero-token turns)
+        starts = np.searchsorted(
+            cum0, cum0[targets] - budget, side="left"
+        )
+        starts = np.minimum(starts, targets)
+        n_ctx = targets - starts
+        keep = n_ctx >= min_ctx
+        targets, starts, n_ctx = targets[keep], starts[keep], n_ctx[keep]
+        if targets.size == 0:
+            return _assemble(pdf.iloc[0:0])  # typed empty frame
+        lines = (
+            pdf["_role"].astype(str) + rsep + pdf["_text"].astype(str)
+        ).to_numpy(dtype=object)
+        texts = pdf["_text"].to_numpy(dtype=object)
+        ctx_text = [
+            tsep.join(lines[s:p]) for s, p in zip(starts, targets)
+        ]
+        return pd.DataFrame(
+            {
+                "conv_id": np.repeat(
+                    pdf["_conv"].iloc[0], targets.size
+                ),
+                "target_idx": idxs[targets],
+                "context_start_idx": np.where(
+                    n_ctx > 0, idxs[np.minimum(starts, len(idxs) - 1)], -1
+                ),
+                "n_context_turns": n_ctx,
+                "context_tokens": cum0[targets] - cum0[starts],
+                "target_tokens": toks[targets],
+                "truncated": starts > 0,
+                "context_text": ctx_text,
+                "target_text": texts[targets],
+            }
+        )
+
+    return slim.groupBy("_conv").applyInPandas(_assemble, _OUT_SCHEMA)

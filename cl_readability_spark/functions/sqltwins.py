@@ -4109,3 +4109,183 @@ SQL_TWINS.update(
         ),
     }
 )
+
+
+# --- LOCAL twin: sft_planted — SFT training-example assembly
+#     (functions/sft.py:sft_examples) re-derived GENERICALLY in DuckDB.
+#     Both engines build the SAME 6-turn transcript corpus closed-form
+#     from documents (roles user/assistant/user/assistant/tool/
+#     assistant, text = the doc's text, so per-turn token counts vary
+#     10-99); the SQL recomputes the maximal-fitting-suffix selection
+#     from first principles — window cumsum + the inclusive
+#     cum0[j] >= cum0[p] - budget membership predicate as a self-join —
+#     and the rendered context via ordered string_agg, so any
+#     divergence in the suffix boundary, token counting, truncation
+#     flag, or byte-level rendering breaks the hash.  Budget 60 vs the
+#     ~54-token median turn gives signal on every path: idx-1 targets
+#     split into kept-full vs dropped-entirely (first turn alone over
+#     budget ⇒ zero context ⇒ min_context_turns drops it), idx-3/5
+#     targets mostly truncate to a proper suffix with varying
+#     n_context_turns.  LOCAL_TWINS (driver registry at its 50-row
+#     cap; round-9 rotation candidate). ---
+def q_sft_planted(spark, sf_dir):
+    from cl_readability_spark.functions.sft import sft_examples
+
+    doc = F.col("doc_id")
+    pos = (doc % 6).cast("int")
+    role = F.element_at(
+        F.array(
+            F.lit("user"),
+            F.lit("assistant"),
+            F.lit("user"),
+            F.lit("assistant"),
+            F.lit("tool"),
+            F.lit("assistant"),
+        ),
+        pos + 1,
+    )
+    tr = _docs(spark, sf_dir).select(
+        F.floor(doc / 6).cast("long").cast("string").alias("conv_id"),
+        pos.cast("long").alias("turn_idx"),
+        role.alias("role"),
+        F.col("text").alias("text"),
+    )
+    return sft_examples(tr, max_context_tokens=60)
+
+
+SQL_SFT_PLANTED = """
+WITH t AS (
+  SELECT CAST(doc_id // 6 AS VARCHAR) AS conv_id,
+         CAST(doc_id % 6 AS BIGINT) AS turn_idx,
+         (['user','assistant','user','assistant','tool','assistant'])
+           [CAST(doc_id % 6 AS INTEGER) + 1] AS role,
+         text,
+         CAST(length(regexp_extract_all(text, '[^ \t\n\f\r]+'))
+              AS BIGINT) AS toks
+  FROM documents
+),
+c AS (
+  SELECT *, sum(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+p AS (
+  SELECT g.conv_id, g.turn_idx AS target_idx, g.text AS target_text,
+         g.toks AS target_tokens,
+         x.turn_idx AS ctx_idx, x.toks AS ctx_toks,
+         x.role || ': ' || x.text AS ctx_line
+  FROM c g JOIN c x
+    ON x.conv_id = g.conv_id AND x.turn_idx < g.turn_idx
+   AND x.cum - x.toks >= g.cum - g.toks - 60
+  WHERE g.role = 'assistant'
+)
+SELECT conv_id,
+       target_idx,
+       MIN(ctx_idx) AS context_start_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_context_turns,
+       CAST(SUM(ctx_toks) AS BIGINT) AS context_tokens,
+       CAST(MAX(target_tokens) AS BIGINT) AS target_tokens,
+       MIN(ctx_idx) > 0 AS truncated,
+       string_agg(ctx_line, chr(10) ORDER BY ctx_idx) AS context_text,
+       MAX(target_text) AS target_text
+FROM p
+GROUP BY conv_id, target_idx
+"""
+
+
+# --- LOCAL twin: split_leak_planted — cross-split leakage audit
+#     (functions/decontam.py:split_leakage, exact mode) over a planted
+#     corpus covering every semantic class: a train→test exact copy
+#     (doc_id%20=0), a train→val copy (%20=5), a train row copied into
+#     BOTH protected splits (%20=12 ⇒ leaks_into 'test,val'), a
+#     val→test copy that must NOT flag (protected↔protected), and a
+#     train→train copy that must NOT flag (no protected match).  The
+#     twin is generic: the SQL recomputes the normalized md5
+#     fingerprint, the protected-side aggregate, and the join from
+#     scratch, so incidental text collisions in the synthetic corpus
+#     are handled identically by construction.  LOCAL_TWINS (driver
+#     registry at its 50-row cap; round-9 rotation candidate). ---
+def q_split_leak_planted(spark, sf_dir):
+    from cl_readability_spark.functions.decontam import split_leakage
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("id"), "text"
+    )
+    doc = F.col("id")
+    base = docs.select(
+        doc.alias("id"),
+        F.when(doc % 10 == 8, "val")
+        .when(doc % 10 == 9, "test")
+        .otherwise("train")
+        .alias("split"),
+        "text",
+    )
+
+    def _copies(mod, rem, offset, split):
+        return docs.filter(doc % mod == rem).select(
+            (doc + offset).alias("id"),
+            F.lit(split).alias("split"),
+            "text",
+        )
+
+    corpus = (
+        base.unionByName(_copies(20, 0, 100_000, "test"))
+        .unionByName(_copies(20, 5, 100_000, "val"))
+        .unionByName(_copies(20, 12, 110_000, "val"))
+        .unionByName(_copies(20, 12, 120_000, "test"))
+        .unionByName(_copies(10, 8, 200_000, "test"))
+        .unionByName(_copies(20, 7, 300_000, "train"))
+    )
+    return split_leakage(corpus, id_col="id")
+
+
+SQL_SPLIT_LEAK_PLANTED = """
+WITH corpus AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 10 = 8 THEN 'val'
+              WHEN doc_id % 10 = 9 THEN 'test'
+              ELSE 'train' END AS split,
+         text
+  FROM documents
+  UNION ALL SELECT doc_id + 100000, 'test', text FROM documents
+    WHERE doc_id % 20 = 0
+  UNION ALL SELECT doc_id + 100000, 'val', text FROM documents
+    WHERE doc_id % 20 = 5
+  UNION ALL SELECT doc_id + 110000, 'val', text FROM documents
+    WHERE doc_id % 20 = 12
+  UNION ALL SELECT doc_id + 120000, 'test', text FROM documents
+    WHERE doc_id % 20 = 12
+  UNION ALL SELECT doc_id + 200000, 'test', text FROM documents
+    WHERE doc_id % 10 = 8
+  UNION ALL SELECT doc_id + 300000, 'train', text FROM documents
+    WHERE doc_id % 20 = 7
+),
+fp AS (
+  SELECT id, split,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+           AS fingerprint
+  FROM corpus
+),
+prot AS (
+  SELECT fingerprint,
+         array_to_string(list_sort(list(DISTINCT split)), ',')
+           AS leaks_into,
+         CAST(count(*) AS BIGINT) AS n_protected_matches
+  FROM fp
+  WHERE split IN ('val', 'test')
+  GROUP BY fingerprint
+)
+SELECT t.id AS id, t.split AS split, t.fingerprint AS fingerprint,
+       p.leaks_into AS leaks_into,
+       p.n_protected_matches AS n_protected_matches
+FROM fp t JOIN prot p USING (fingerprint)
+WHERE t.split NOT IN ('val', 'test')
+"""
+
+
+LOCAL_TWINS.update(
+    {
+        "sft_planted": (q_sft_planted, SQL_SFT_PLANTED),
+        "split_leak_planted": (q_split_leak_planted, SQL_SPLIT_LEAK_PLANTED),
+    }
+)

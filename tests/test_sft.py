@@ -1,0 +1,309 @@
+"""SFT example assembly (functions/sft.py) and cross-split leakage
+audit (functions/decontam.py:split_leakage): authored edge-case
+goldens, a randomized python differential for the suffix-budget
+selection, plan-shape pins, and planted leakage semantics.  The
+DuckDB twins (sft_planted / split_leak_planted) are rehearsed in
+test_queries_oracle.py."""
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cl_readability_spark.functions.decontam import split_leakage
+from cl_readability_spark.functions.sft import sft_examples
+
+pytestmark = pytest.mark.spark
+
+
+TURNS_SCHEMA = "conv_id string, turn_idx int, role string, text string"
+
+
+def _rows(out):
+    return sorted(
+        (r.asDict() for r in out.collect()),
+        key=lambda d: (d["conv_id"], d["target_idx"]),
+    )
+
+
+def test_budget_suffix_and_truncation(spark):
+    # conv A: u(3 tok) a(2) u(4) a(1); budget 5 keeps turn-0 context for
+    # target 1 (3 <= 5) and truncates target 3 to the turn-2 suffix
+    # (3+2+4=9 > 5; suffix [2] = 4 <= 5; suffix [1,2] = 6 > 5)
+    df = spark.createDataFrame(
+        [
+            ("A", 0, "user", "one two three"),
+            ("A", 1, "assistant", "aa bb"),
+            ("A", 2, "user", "c d e f"),
+            ("A", 3, "assistant", "z"),
+        ],
+        TURNS_SCHEMA,
+    )
+    got = _rows(sft_examples(df, max_context_tokens=5))
+    assert got == [
+        {
+            "conv_id": "A",
+            "target_idx": 1,
+            "context_start_idx": 0,
+            "n_context_turns": 1,
+            "context_tokens": 3,
+            "target_tokens": 2,
+            "truncated": False,
+            "context_text": "user: one two three",
+            "target_text": "aa bb",
+        },
+        {
+            "conv_id": "A",
+            "target_idx": 3,
+            "context_start_idx": 2,
+            "n_context_turns": 1,
+            "context_tokens": 4,
+            "target_tokens": 1,
+            "truncated": True,
+            "context_text": "user: c d e f",
+            "target_text": "z",
+        },
+    ]
+
+
+def test_zero_token_turns_and_min_context(spark):
+    # whitespace-only turn counts 0 tokens and rides along at the
+    # suffix boundary; a target with NO prior turns is dropped by the
+    # default min_context_turns=1 but kept (context_start_idx=-1,
+    # empty context) with min_context_turns=0
+    df = spark.createDataFrame(
+        [
+            ("B", 0, "assistant", "hello"),
+            ("B", 1, "user", "  \t "),
+            ("B", 2, "assistant", "resp"),
+        ],
+        TURNS_SCHEMA,
+    )
+    got = _rows(sft_examples(df, max_context_tokens=5))
+    assert [g["target_idx"] for g in got] == [2]
+    assert got[0]["n_context_turns"] == 2
+    assert got[0]["context_tokens"] == 1  # ws-only turn = 0 tokens
+    assert got[0]["context_text"] == "assistant: hello\nuser:   \t "
+
+    got0 = _rows(sft_examples(df, max_context_tokens=5, min_context_turns=0))
+    assert [g["target_idx"] for g in got0] == [0, 2]
+    first = got0[0]
+    assert first["n_context_turns"] == 0
+    assert first["context_start_idx"] == -1
+    assert first["context_text"] == ""
+    assert first["truncated"] is False
+
+
+def test_budget_zero_and_oversized_first_turn(spark):
+    # budget 0: every context turn is excluded -> all targets dropped
+    # under min_context_turns=1; a first turn alone over budget makes
+    # the idx-1 target context-free (dropped), not partially included
+    df = spark.createDataFrame(
+        [
+            ("C", 0, "user", "w1 w2 w3 w4 w5 w6"),
+            ("C", 1, "assistant", "ok"),
+        ],
+        TURNS_SCHEMA,
+    )
+    assert _rows(sft_examples(df, max_context_tokens=0)) == []
+    assert _rows(sft_examples(df, max_context_tokens=5)) == []
+    got = _rows(sft_examples(df, max_context_tokens=6))
+    assert got[0]["n_context_turns"] == 1 and got[0]["truncated"] is False
+
+
+def test_token_col_overrides_default(spark):
+    # caller-supplied token counts drive the budget (the BPE
+    # composition path); text word counts are ignored
+    df = spark.createDataFrame(
+        [
+            ("D", 0, "user", "a b c d e", 1),
+            ("D", 1, "user", "x", 100),
+            ("D", 2, "assistant", "y", 1),
+        ],
+        TURNS_SCHEMA + ", n_tok int",
+    )
+    got = _rows(
+        sft_examples(df, max_context_tokens=50, token_col="n_tok")
+    )
+    # turn 1 (100 tok) busts the budget; only turn 0 would fit but the
+    # suffix must be contiguous-from-the-end, so context = [] -> dropped
+    assert got == []
+    got = _rows(
+        sft_examples(df, max_context_tokens=101, token_col="n_tok")
+    )
+    assert got[0]["n_context_turns"] == 2
+    assert got[0]["context_tokens"] == 101
+
+
+def test_kwarg_guards(spark):
+    df = spark.createDataFrame([("E", 0, "user", "x")], TURNS_SCHEMA)
+    with pytest.raises(ValueError):
+        sft_examples(df, max_context_tokens=-1)
+    with pytest.raises(ValueError):
+        sft_examples(df, min_context_turns=-1)
+    with pytest.raises(ValueError):
+        sft_examples(df, token_col="nope")
+
+
+def _python_mirror(turns, budget, min_ctx, tgt_role):
+    """Independent per-conv reference: explicit O(n^2) scan instead of
+    cumsum+searchsorted."""
+    out = []
+    by_conv = {}
+    for t in turns:
+        by_conv.setdefault(t[0], []).append(t)
+    for conv, ts in by_conv.items():
+        ts = sorted(ts, key=lambda t: t[1])
+        toks = [len(t[3].split()) if t[3] else 0 for t in ts]
+        for p, t in enumerate(ts):
+            if t[2] != tgt_role:
+                continue
+            start = p
+            total = 0
+            while start > 0 and total + toks[start - 1] <= budget:
+                total += toks[start - 1]
+                start -= 1
+            n_ctx = p - start
+            if n_ctx < min_ctx:
+                continue
+            ctx = "\n".join(
+                f"{ts[j][2]}: {ts[j][3]}" for j in range(start, p)
+            )
+            out.append(
+                (
+                    conv,
+                    ts[p][1],
+                    ts[start][1] if n_ctx else -1,
+                    n_ctx,
+                    total,
+                    toks[p],
+                    start > 0,
+                    ctx,
+                    ts[p][3],
+                )
+            )
+    return sorted(out)
+
+
+def test_randomized_python_differential(spark):
+    rng = random.Random(20260818)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    turns = []
+    for c in range(40):
+        n = rng.randint(1, 12)
+        for i in range(n):
+            role = rng.choice(["user", "assistant", "tool"])
+            text = " ".join(
+                rng.choice(words) for _ in range(rng.randint(0, 9))
+            )
+            turns.append((f"c{c}", i, role, text))
+    df = spark.createDataFrame(turns, TURNS_SCHEMA)
+    for budget, min_ctx in ((7, 1), (0, 0), (3, 2), (100, 1)):
+        got = [
+            tuple(d[k] for k in (
+                "conv_id", "target_idx", "context_start_idx",
+                "n_context_turns", "context_tokens", "target_tokens",
+                "truncated", "context_text", "target_text",
+            ))
+            for d in _rows(
+                sft_examples(
+                    df,
+                    max_context_tokens=budget,
+                    min_context_turns=min_ctx,
+                )
+            )
+        ]
+        assert got == _python_mirror(turns, budget, min_ctx, "assistant"), (
+            budget,
+            min_ctx,
+        )
+
+
+def test_plan_shape_one_exchange_one_arrow_stage(spark):
+    # the 100 TB shape: token projection codegen'd below ONE conv-keyed
+    # exchange feeding ONE Arrow stage — no joins, no windows, no
+    # interpreted lambda HOFs
+    df = spark.createDataFrame(
+        [("A", 0, "user", "x y"), ("A", 1, "assistant", "z")],
+        TURNS_SCHEMA,
+    )
+    plan = (
+        sft_examples(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("Exchange") == 1
+    for bad in ("Join", "Window", "ArrayFilter", "ArrayTransform"):
+        assert bad not in plan, bad
+
+
+# --- split_leakage ---
+
+
+CORPUS_SCHEMA = "doc_id long, split string, text string"
+
+
+def test_split_leakage_exact_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "train", "the quick brown fox jumps"),
+            (2, "test", "The quick brown fox jumps!"),  # normalized dup
+            (3, "train", "completely unique text one"),
+            (4, "val", "another unique eval text"),
+            (5, "val", "shared eval passage here"),
+            (6, "test", "shared eval passage here"),  # val-test: no flag
+            (7, "train", "shared eval passage here"),  # both splits
+            (8, "train", "dup inside train only"),
+            (9, "train", "dup inside train only"),  # train-train: no flag
+        ],
+        CORPUS_SCHEMA,
+    )
+    got = sorted(
+        (r.asDict() for r in split_leakage(df).collect()),
+        key=lambda d: d["id"],
+    )
+    assert [d["id"] for d in got] == [1, 7]
+    assert got[0]["leaks_into"] == "test"
+    assert got[1]["leaks_into"] == "test,val"
+    assert got[1]["n_protected_matches"] == 2
+    # normalize=False: formatting edit no longer matches
+    strict = split_leakage(df, normalize=False).collect()
+    assert sorted(r.id for r in strict) == [7]
+
+
+def test_split_leakage_near_planted(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "train", base),
+            (2, "test", base + " extra"),
+            (
+                3,
+                "train",
+                "totally different words entirely unrelated content "
+                "for sure nothing shared with anything else at all ok",
+            ),
+        ],
+        CORPUS_SCHEMA,
+    )
+    got = split_leakage(df, mode="near", jaccard_threshold=0.5).collect()
+    assert len(got) == 1
+    row = got[0].asDict()
+    assert row["id"] == 1 and row["leaks_into"] == "test"
+    assert row["max_jaccard"] >= 0.5
+
+
+def test_split_leakage_guards(spark):
+    df = spark.createDataFrame([(1, "train", "x")], CORPUS_SCHEMA)
+    with pytest.raises(ValueError):
+        split_leakage(df, mode="fuzzy")
+    with pytest.raises(ValueError):
+        split_leakage(df, protect=())
+    # clean corpus -> empty audit
+    assert split_leakage(df).count() == 0

@@ -353,6 +353,25 @@ def main() -> None:
 
     run("ngram_top", _ngram_top)
 
+    # 9. transcripts → SFT training examples over the cached corpus
+    # (token-budgeted context suffix per assistant turn; correctness row
+    # is the sft_planted LOCAL twin) + cross-split leakage audit over
+    # the planted-leak corpus (split_leak_planted LOCAL twin)
+    from cl_readability_spark.functions.decontam import split_leakage
+    from cl_readability_spark.functions.sft import sft_examples
+    from cl_readability_spark.functions.sqltwins import q_split_leak_planted
+
+    def _sft_examples():
+        out = sft_examples(corpus, max_context_tokens=256)
+        return int(out.agg(F.sum("context_tokens")).collect()[0][0])
+
+    run("sft_examples", _sft_examples)
+
+    run(
+        "split_leakage",
+        lambda: q_split_leak_planted(spark, sf_dir).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     throughput = {
         "extract_documents_turns_per_sec": round(

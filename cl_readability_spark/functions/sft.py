@@ -99,6 +99,7 @@ def sft_examples(
     token_col: str | None = None,
     role_sep: str = ": ",
     turn_sep: str = "\n",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """One SFT example per ``target_role`` turn (module doc for the
     budget/suffix semantics):
@@ -111,7 +112,18 @@ def sft_examples(
     context turn.  ``token_col`` (a per-turn token-count column already
     on ``df``) replaces the default whitespace count — negative counts
     are rejected at runtime (they would break the monotone-prefix
-    suffix search)."""
+    suffix search).
+
+    ``num_partitions`` pins the conv-keyed exchange width with an
+    explicit ``repartition(n, conv)`` that AQE will not coalesce (it
+    satisfies the groupBy distribution, so the plan still has exactly
+    ONE exchange — plan-shape-tested).  Set it when the shuffled BYTES
+    understate the python-side work: AQE's byte-based coalescing sized
+    a 50k-turn corpus to one partition (measured — one task carried the
+    whole Arrow stage), because the per-conv string assembly cost lives
+    in python, not in the exchange volume.  Default None keeps AQE
+    sizing, which is right when partitions are byte-bound (real
+    100 TB-scale string-heavy transcripts)."""
     # kwarg guards before any plan is built (the minhash_banding stance)
     if max_context_tokens < 0:
         raise ValueError("max_context_tokens must be >= 0")
@@ -119,6 +131,8 @@ def sft_examples(
         raise ValueError("min_context_turns must be >= 0")
     if token_col is not None and token_col not in df.columns:
         raise ValueError(f"token_col {token_col!r} not in df.columns")
+    if num_partitions is not None and num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
 
     tok = (
         F.col(token_col).cast("long")
@@ -202,4 +216,6 @@ def sft_examples(
             }
         )
 
+    if num_partitions is not None:
+        slim = slim.repartition(num_partitions, "_conv")
     return slim.groupBy("_conv").applyInPandas(_assemble, _OUT_SCHEMA)

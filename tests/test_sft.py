@@ -228,16 +228,25 @@ def test_plan_shape_one_exchange_one_arrow_stage(spark):
         [("A", 0, "user", "x y"), ("A", 1, "assistant", "z")],
         TURNS_SCHEMA,
     )
-    plan = (
-        sft_examples(df)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert plan.count("FlatMapGroupsInPandas") == 1
-    assert plan.count("Exchange") == 1
-    for bad in ("Join", "Window", "ArrayFilter", "ArrayTransform"):
-        assert bad not in plan, bad
+    for kwargs in ({}, {"num_partitions": 3}):
+        plan = (
+            sft_examples(df, **kwargs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the explicit repartition SATISFIES the groupBy distribution —
+        # pinning the width must not add a second exchange
+        assert plan.count("FlatMapGroupsInPandas") == 1, kwargs
+        assert plan.count("Exchange") == 1, kwargs
+        for bad in ("Join", "Window", "ArrayFilter", "ArrayTransform"):
+            assert bad not in plan, (bad, kwargs)
+    # the pinned width actually spreads the Arrow stage (AQE coalesced
+    # an unpinned small corpus to ONE python task — measured)
+    out = sft_examples(df, num_partitions=3)
+    assert out.rdd.getNumPartitions() == 3
+    with pytest.raises(ValueError):
+        sft_examples(df, num_partitions=0)
 
 
 # --- split_leakage ---

@@ -372,6 +372,21 @@ def main() -> None:
         lambda: q_split_leak_planted(spark, sf_dir).count(),
     )
 
+    # 9b. composed transcript deployment path: conversation gate →
+    # assembly → example dedup → conv-level splits (correctness row is
+    # the sft_dataset_planted LOCAL twin; the gate rides conv_flags)
+    from cl_readability_spark.functions.sft import sft_dataset
+
+    def _sft_dataset():
+        out = sft_dataset(
+            corpus, max_context_tokens=256, conv_gate_opts={
+                "require_user_start": False,
+            },
+        )
+        return int(out.agg(F.count("*")).collect()[0][0])
+
+    run("sft_dataset", _sft_dataset)
+
     total = round(sum(timings.values()), 3)
     throughput = {
         "extract_documents_turns_per_sec": round(

@@ -219,3 +219,116 @@ def sft_examples(
     if num_partitions is not None:
         slim = slim.repartition(num_partitions, "_conv")
     return slim.groupBy("_conv").applyInPandas(_assemble, _OUT_SCHEMA)
+
+
+def sft_dataset(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str | None = "ts",
+    max_context_tokens: int = 2048,
+    conv_gate: bool = True,
+    conv_gate_opts: dict | None = None,
+    dedup: bool = True,
+    split_seed: int | None = 0,
+    val_hexes: tuple[str, ...] = ("c", "d"),
+    test_hexes: tuple[str, ...] = ("e", "f"),
+    **sft_kwargs,
+) -> DataFrame:
+    """The composed transcript deployment path: curated conversations →
+    trainer-ready SFT dataset, in one declarative chain —
+
+    1. **conversation gate** (``conv_gate=True``): only ``conv_ok``
+       conversations pass (``transcript_quality.conversation_flags``;
+       ``conv_gate_opts`` forwards thresholds) via a conv-keyed
+       LEFT SEMI join — broken protocol never becomes an example.
+    2. **assembly**: ``sft_examples`` (every kwarg forwards, incl.
+       ``token_col`` / ``num_partitions``).
+    3. **example-level exact dedup** (``dedup=True``): fingerprint =
+       md5(context_text \\x1f target_text); ONE winner per fingerprint
+       by the skew-safe min(struct(conv_id, target_idx)) aggregation +
+       row-key join (the url_dedup/line_dedup recipe — no window on
+       the content key, a boilerplate example repeated across millions
+       of conversations collapses map-side).  Non-winners are DROPPED.
+    4. **conversation-level split assignment** (``split_seed`` not
+       None): split = first hex char of md5(seed \\x1f conv_id) —
+       12/2/2 sixteenths train/val/test, the ``split_assign`` recipe
+       keyed by CONVERSATION so no example's context ever comes from
+       another split's conversation, and deterministic at any cluster
+       size.  Because dedup runs BEFORE the split filter, an exact
+       duplicate example lands in exactly ONE split (never train AND
+       test); near-duplicate leakage stays auditable downstream with
+       ``decontam.split_leakage(mode="near")`` over
+       (fingerprint, context_text+target_text, split).
+
+    Output = the kept examples with ``fingerprint`` and (when
+    ``split_seed`` is set) ``split`` appended.  Feed
+    ``assembly.epoch_shuffle`` / ``packing.pack_sequences`` for shard
+    writing.  Plan shape: one conv-keyed semi join, the sft_examples
+    exchange, one fingerprint aggregate + one row-key join — every
+    wide op keyed, no collects, no windows on content keys."""
+    if conv_gate:
+        from cl_readability_spark.functions.transcript_quality import (
+            conversation_flags,
+        )
+
+        flags = conversation_flags(
+            df,
+            conv_col=conv_col,
+            idx_col=idx_col,
+            role_col=role_col,
+            text_col=text_col,
+            ts_col=ts_col,
+            **(conv_gate_opts or {}),
+        )
+        ok = flags.filter(F.col("conv_ok")).select(F.col(conv_col))
+        df = df.join(ok, [conv_col], "left_semi")
+    ex = sft_examples(
+        df,
+        conv_col=conv_col,
+        idx_col=idx_col,
+        role_col=role_col,
+        text_col=text_col,
+        max_context_tokens=max_context_tokens,
+        **sft_kwargs,
+    )
+    ex = ex.withColumn(
+        "fingerprint",
+        F.md5(F.concat_ws("\x1f", "context_text", "target_text")),
+    )
+    if dedup:
+        winners = (
+            ex.groupBy("fingerprint")
+            .agg(
+                F.min(F.struct("conv_id", "target_idx")).alias("_w")
+            )
+            .select(
+                F.col("_w.conv_id").alias("conv_id"),
+                F.col("_w.target_idx").alias("target_idx"),
+                F.lit(True).alias("_keep"),
+            )
+        )
+        ex = (
+            ex.join(winners, ["conv_id", "target_idx"], "left")
+            .filter(F.coalesce(F.col("_keep"), F.lit(False)))
+            .drop("_keep")
+        )
+    if split_seed is not None:
+        bucket = F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.lit(str(int(split_seed))), F.col("conv_id")
+                )
+            ),
+            1,
+            1,
+        )
+        ex = ex.withColumn(
+            "split",
+            F.when(bucket.isin(*val_hexes), "val")
+            .when(bucket.isin(*test_hexes), "test")
+            .otherwise("train"),
+        )
+    return ex

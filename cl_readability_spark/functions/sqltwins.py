@@ -4289,3 +4289,129 @@ LOCAL_TWINS.update(
         "split_leak_planted": (q_split_leak_planted, SQL_SPLIT_LEAK_PLANTED),
     }
 )
+
+
+# --- LOCAL twin: sft_dataset_planted — the COMPOSED transcript
+#     deployment path (functions/sft.py:sft_dataset: assembly →
+#     example-fingerprint exact dedup → conversation-level split
+#     assignment; conv_gate=False here — the gate has its own
+#     conv_flags twin).  Corpus = the sft_planted 6-turn recipe, plus
+#     every 9th conversation rewritten to a FIXED per-position text —
+#     those ~9 conversations are byte-identical, so their examples
+#     collapse to ONE winner each (min conv_id under STRING ordering —
+#     '17' < '8' — pinning the lexicographic winner rule in both
+#     engines), while the winner's conversation-level split lands it in
+#     exactly one split.  The SQL re-derives the whole chain: suffix
+#     assembly, md5 example fingerprint, row_number winner, md5-hex
+#     split buckets (seed 7).  LOCAL_TWINS (driver registry at its
+#     50-row cap; round-9 rotation candidate). ---
+def q_sft_dataset_planted(spark, sf_dir):
+    from cl_readability_spark.functions.sft import sft_dataset
+
+    doc = F.col("doc_id")
+    pos = (doc % 6).cast("int")
+    conv = F.floor(doc / 6).cast("long")
+    role = F.element_at(
+        F.array(
+            F.lit("user"),
+            F.lit("assistant"),
+            F.lit("user"),
+            F.lit("assistant"),
+            F.lit("tool"),
+            F.lit("assistant"),
+        ),
+        pos + 1,
+    )
+    text = F.when(
+        conv % 9 == 8,
+        F.concat(F.lit("dup turn body number "), pos.cast("string")),
+    ).otherwise(F.col("text"))
+    tr = _docs(spark, sf_dir).select(
+        conv.cast("string").alias("conv_id"),
+        pos.cast("long").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+    )
+    return sft_dataset(
+        tr,
+        max_context_tokens=60,
+        conv_gate=False,
+        ts_col=None,
+        split_seed=7,
+    )
+
+
+SQL_SFT_DATASET_PLANTED = """
+WITH t AS (
+  SELECT CAST(doc_id // 6 AS VARCHAR) AS conv_id,
+         CAST(doc_id % 6 AS BIGINT) AS turn_idx,
+         (['user','assistant','user','assistant','tool','assistant'])
+           [CAST(doc_id % 6 AS INTEGER) + 1] AS role,
+         CASE WHEN (doc_id // 6) % 9 = 8
+              THEN 'dup turn body number ' || CAST(doc_id % 6 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+tk AS (
+  SELECT *, CAST(length(regexp_extract_all(text, '[^ \t\n\f\r]+'))
+                 AS BIGINT) AS toks
+  FROM t
+),
+c AS (
+  SELECT *, sum(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tk
+),
+p AS (
+  SELECT g.conv_id, g.turn_idx AS target_idx, g.text AS target_text,
+         g.toks AS target_tokens,
+         x.turn_idx AS ctx_idx, x.toks AS ctx_toks,
+         x.role || ': ' || x.text AS ctx_line
+  FROM c g JOIN c x
+    ON x.conv_id = g.conv_id AND x.turn_idx < g.turn_idx
+   AND x.cum - x.toks >= g.cum - g.toks - 60
+  WHERE g.role = 'assistant'
+),
+ex AS (
+  SELECT conv_id,
+         target_idx,
+         MIN(ctx_idx) AS context_start_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_context_turns,
+         CAST(SUM(ctx_toks) AS BIGINT) AS context_tokens,
+         CAST(MAX(target_tokens) AS BIGINT) AS target_tokens,
+         MIN(ctx_idx) > 0 AS truncated,
+         string_agg(ctx_line, chr(10) ORDER BY ctx_idx) AS context_text,
+         MAX(target_text) AS target_text
+  FROM p
+  GROUP BY conv_id, target_idx
+),
+fp AS (
+  SELECT *, md5(context_text || chr(31) || target_text) AS fingerprint
+  FROM ex
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint
+                               ORDER BY conv_id, target_idx) AS rn
+  FROM fp
+)
+SELECT conv_id, target_idx, context_start_idx, n_context_turns,
+       context_tokens, target_tokens, truncated, context_text,
+       target_text, fingerprint,
+       CASE WHEN substr(md5('7' || chr(31) || conv_id), 1, 1)
+                 IN ('c', 'd') THEN 'val'
+            WHEN substr(md5('7' || chr(31) || conv_id), 1, 1)
+                 IN ('e', 'f') THEN 'test'
+            ELSE 'train' END AS split
+FROM w
+WHERE rn = 1
+"""
+
+
+LOCAL_TWINS.update(
+    {
+        "sft_dataset_planted": (
+            q_sft_dataset_planted,
+            SQL_SFT_DATASET_PLANTED,
+        ),
+    }
+)

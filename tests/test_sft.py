@@ -316,3 +316,89 @@ def test_split_leakage_guards(spark):
         split_leakage(df, protect=())
     # clean corpus -> empty audit
     assert split_leakage(df).count() == 0
+
+
+# --- sft_dataset (composed path) ---
+
+
+def test_sft_dataset_gate_dedup_split(spark):
+    from cl_readability_spark.functions.sft import sft_dataset
+
+    rows = []
+    # two byte-identical conversations -> examples collapse to ONE
+    for conv in ("a1", "a2"):
+        rows += [
+            (conv, 0, "user", "hello there friend"),
+            (conv, 1, "assistant", "hi back"),
+        ]
+    # protocol violation (assistant twice in a row) -> gated out
+    rows += [
+        ("bad", 0, "user", "x"),
+        ("bad", 1, "assistant", "y"),
+        ("bad", 2, "assistant", "z"),
+    ]
+    df = spark.createDataFrame(rows, TURNS_SCHEMA)
+    out = sft_dataset(
+        df,
+        max_context_tokens=10,
+        ts_col=None,
+        conv_gate_opts={"min_turns": 2},
+    ).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["conv_id"] == "a1"  # min(conv_id, target_idx) winner
+    assert row["split"] in ("train", "val", "test")
+    assert len(row["fingerprint"]) == 32
+
+    # conv_gate=False keeps the bad conversation's examples
+    ungated = sft_dataset(
+        df, max_context_tokens=10, conv_gate=False, ts_col=None
+    )
+    assert ungated.filter(F.col("conv_id") == "bad").count() > 0
+
+    # dedup=False keeps both clones; split_seed=None omits the column
+    both = sft_dataset(
+        df,
+        max_context_tokens=10,
+        ts_col=None,
+        conv_gate_opts={"min_turns": 2},
+        dedup=False,
+        split_seed=None,
+    )
+    assert both.count() == 2
+    assert "split" not in both.columns
+
+
+def test_sft_dataset_split_is_conversation_level_and_stable(spark):
+    from cl_readability_spark.functions.sft import sft_dataset
+
+    rows = []
+    for c in range(30):
+        rows += [
+            (f"c{c}", 0, "user", f"question number {c} words here"),
+            (f"c{c}", 1, "assistant", f"answer number {c}"),
+            (f"c{c}", 2, "user", f"followup {c}"),
+            (f"c{c}", 3, "assistant", f"final {c}"),
+        ]
+    df = spark.createDataFrame(rows, TURNS_SCHEMA)
+
+    def splits(n_parts):
+        out = sft_dataset(
+            df.repartition(n_parts),
+            max_context_tokens=100,
+            ts_col=None,
+            conv_gate=False,
+        )
+        return {
+            (r["conv_id"], r["target_idx"]): r["split"]
+            for r in out.collect()
+        }
+
+    a, b = splits(2), splits(7)
+    assert a == b  # partitioning-independent
+    per_conv = {}
+    for (conv, _idx), s in a.items():
+        per_conv.setdefault(conv, set()).add(s)
+    # every example of a conversation lands in the SAME split
+    assert all(len(v) == 1 for v in per_conv.values())
+    assert len({s for v in per_conv.values() for s in v}) > 1

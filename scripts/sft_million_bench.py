@@ -252,6 +252,38 @@ def main() -> None:
         }))
         df.unpersist()
 
+    # --- composed sft_dataset at 1M: conversation gate (all convs pass
+    # by construction — the probe prices the gate, dedup, and split
+    # stages on top of plain assembly) ---
+    from cl_readability_spark.functions.sft import sft_dataset
+
+    df = build_transcripts(n_turns, whale=False)
+    t0 = time.perf_counter()
+    row = (
+        sft_dataset(
+            df,
+            ts_col=None,
+            max_context_tokens=256,
+            conv_gate_opts={"require_user_start": False},
+            num_partitions=max(cores, 32),
+        )
+        .agg(
+            F.count("*").alias("examples"),
+            F.count_distinct("split").alias("splits"),
+            F.sum("context_tokens").alias("ctx_tokens"),
+        )
+        .collect()[0]
+    )
+    w = time.perf_counter() - t0
+    print(json.dumps({
+        "probe": "sft-dataset-composed",
+        "n_turns": n_turns,
+        "wall_sec": round(w, 2),
+        "turns_per_sec": round(n_turns / w, 1),
+        "stats": row.asDict(),
+    }))
+    df.unpersist()
+
     spark.stop()
 
 

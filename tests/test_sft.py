@@ -402,3 +402,57 @@ def test_sft_dataset_split_is_conversation_level_and_stable(spark):
     # every example of a conversation lands in the SAME split
     assert all(len(v) == 1 for v in per_conv.values())
     assert len({s for v in per_conv.values() for s in v}) > 1
+
+
+def test_sft_with_bpe_subword_counts(spark):
+    """The real-subword budget path: bpe_encode's token counts drive
+    the context suffix (token_col), so the budget is measured in the
+    trainer's actual tokens, not whitespace words.  The selection is
+    re-derived from the COLLECTED per-turn subword counts with the
+    python mirror logic."""
+    from cl_readability_spark.functions.bpe import bpe_encode, bpe_fit
+    from cl_readability_spark.functions.sft import sft_examples
+
+    rows = []
+    for c in range(8):
+        for i in range(6):
+            role = "assistant" if i % 2 else "user"
+            rows.append(
+                (f"c{c}", i, role,
+                 f"shared words material unique{c}x{i} extra tail here")
+            )
+    df = spark.createDataFrame(rows, TURNS_SCHEMA)
+    merges = bpe_fit(df, n_merges=25)
+    enc = bpe_encode(df, merges).withColumn(
+        "n_tok", F.size("bpe_tokens").cast("long")
+    )
+    budget = 30
+    got = {
+        (d["conv_id"], d["target_idx"]): (
+            d["n_context_turns"], d["context_tokens"], d["truncated"]
+        )
+        for d in _rows(
+            sft_examples(enc, max_context_tokens=budget, token_col="n_tok")
+        )
+    }
+    # independent expectation from the collected subword counts
+    counts = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["n_tok"])
+        for r in enc.select("conv_id", "turn_idx", "role", "n_tok").collect()
+    }
+    expect = {}
+    for c in range(8):
+        toks = [counts[(f"c{c}", i)][1] for i in range(6)]
+        for p in range(6):
+            if counts[(f"c{c}", p)][0] != "assistant":
+                continue
+            start, total = p, 0
+            while start > 0 and total + toks[start - 1] <= budget:
+                total += toks[start - 1]
+                start -= 1
+            if p - start >= 1:
+                expect[(f"c{c}", p)] = (p - start, total, start > 0)
+    assert got == expect
+    # and the budget actually bites somewhere (signal both ways)
+    assert any(v[2] for v in got.values())
+    assert any(not v[2] for v in got.values())

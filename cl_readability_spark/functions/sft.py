@@ -100,6 +100,7 @@ def sft_examples(
     role_sep: str = ": ",
     turn_sep: str = "\n",
     num_partitions: int | None = None,
+    impl: str = "batched",
 ) -> DataFrame:
     """One SFT example per ``target_role`` turn (module doc for the
     budget/suffix semantics):
@@ -123,8 +124,19 @@ def sft_examples(
     whole Arrow stage), because the per-conv string assembly cost lives
     in python, not in the exchange volume.  Default None keeps AQE
     sizing, which is right when partitions are byte-bound (real
-    100 TB-scale string-heavy transcripts)."""
+    100 TB-scale string-heavy transcripts).
+
+    ``impl``: ``"batched"`` (default) = conv-keyed repartition +
+    partition-local sort + ONE ``mapInPandas`` stage vectorizing
+    across many conversations per Arrow batch, with the trailing
+    conversation carried between batches; ``"grouped"`` = the
+    ``applyInPandas`` per-conversation form.  Identical values
+    (equality-tested); batched measured 4.3× faster at 1M 20-turn
+    conversations because applyInPandas pays a pandas-frame-per-group
+    overhead that dominates on short conversations."""
     # kwarg guards before any plan is built (the minhash_banding stance)
+    if impl not in ("batched", "grouped"):
+        raise ValueError(f"impl must be batched|grouped, got {impl!r}")
     if max_context_tokens < 0:
         raise ValueError("max_context_tokens must be >= 0")
     if min_context_turns < 0:
@@ -216,9 +228,112 @@ def sft_examples(
             }
         )
 
-    if num_partitions is not None:
-        slim = slim.repartition(num_partitions, "_conv")
-    return slim.groupBy("_conv").applyInPandas(_assemble, _OUT_SCHEMA)
+    if impl == "grouped":
+        if num_partitions is not None:
+            slim = slim.repartition(num_partitions, "_conv")
+        return slim.groupBy("_conv").applyInPandas(_assemble, _OUT_SCHEMA)
+
+    # impl == "batched": conv-keyed repartition + partition-local sort,
+    # then ONE mapInPandas stage that vectorizes across MANY
+    # conversations per Arrow batch.  applyInPandas builds a pandas
+    # frame PER GROUP (~150-180 us each) — at 20-turn conversations
+    # that overhead dominated: 1M turns measured 4.3x FASTER through
+    # this path (BENCH/BASELINE.md).  Values are identical
+    # (equality-tested against the grouped path on randomized corpora).
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Assemble over a frame of one-or-more COMPLETE conversations,
+        sorted by (_conv, _idx)."""
+        toks = pdf["_tok"].to_numpy(dtype=np.int64)
+        if toks.size and toks.min() < 0:
+            raise ValueError(
+                "sft_examples: negative token count in token_col"
+            )
+        conv = pdf["_conv"].to_numpy(dtype=object)
+        idxs = pdf["_idx"].to_numpy(dtype=np.int64)
+        roles = pdf["_role"].to_numpy(dtype=object)
+        n = len(pdf)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = conv[1:] != conv[:-1]
+        gstart = np.flatnonzero(new)
+        goffs = gstart[np.cumsum(new) - 1]  # group-start row per row
+        # cum0[k] = sum of toks[:k] over the WHOLE sorted batch —
+        # globally monotone (toks >= 0), so one searchsorted serves
+        # every conversation; the group boundary is enforced by
+        # clamping to the group-start row.
+        cum0 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(toks, out=cum0[1:])
+        targets = np.flatnonzero(roles == tgt_role)
+        if targets.size == 0:
+            return _assemble(pdf.iloc[0:0])  # typed empty frame
+        starts = np.searchsorted(
+            cum0, cum0[targets] - budget, side="left"
+        )
+        starts = np.maximum(starts, goffs[targets])
+        starts = np.minimum(starts, targets)
+        n_ctx = targets - starts
+        keep = n_ctx >= min_ctx
+        targets, starts, n_ctx = targets[keep], starts[keep], n_ctx[keep]
+        if targets.size == 0:
+            return _assemble(pdf.iloc[0:0])
+        lines = (
+            pdf["_role"].astype(str) + rsep + pdf["_text"].astype(str)
+        ).to_numpy(dtype=object)
+        texts = pdf["_text"].to_numpy(dtype=object)
+        ctx_text = [
+            tsep.join(lines[s:p]) for s, p in zip(starts, targets)
+        ]
+        return pd.DataFrame(
+            {
+                "conv_id": conv[targets],
+                "target_idx": idxs[targets],
+                "context_start_idx": np.where(
+                    n_ctx > 0, idxs[np.minimum(starts, n - 1)], -1
+                ),
+                "n_context_turns": n_ctx,
+                "context_tokens": cum0[targets] - cum0[starts],
+                "target_tokens": toks[targets],
+                "truncated": starts > goffs[targets],
+                "context_text": ctx_text,
+                "target_text": texts[targets],
+            }
+        )
+
+    def _iter_assemble(batches):
+        # a conversation may straddle Arrow batches within the sorted
+        # partition: hold the trailing conversation's rows and prepend
+        # them to the next batch; flush at end.  Memory bound = the
+        # largest single conversation (the applyInPandas bound).
+        held: pd.DataFrame | None = None
+        for pdf in batches:
+            if held is not None:
+                pdf = pd.concat([held, pdf], ignore_index=True)
+                held = None
+            if len(pdf) == 0:
+                continue
+            conv = pdf["_conv"].to_numpy(dtype=object)
+            neq = np.flatnonzero(conv != conv[-1])
+            cut = int(neq[-1]) + 1 if neq.size else 0
+            if cut == 0:
+                held = pdf  # whole batch is one conversation
+                continue
+            held = pdf.iloc[cut:].reset_index(drop=True)
+            out = _process(pdf.iloc[:cut])
+            if len(out):
+                yield out
+        if held is not None and len(held):
+            out = _process(held)
+            if len(out):
+                yield out
+
+    parted = (
+        slim.repartition(num_partitions, "_conv")
+        if num_partitions is not None
+        else slim.repartition("_conv")
+    )
+    return parted.sortWithinPartitions("_conv", "_idx").mapInPandas(
+        _iter_assemble, _OUT_SCHEMA
+    )
 
 
 def sft_dataset(

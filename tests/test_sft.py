@@ -228,16 +228,26 @@ def test_plan_shape_one_exchange_one_arrow_stage(spark):
         [("A", 0, "user", "x y"), ("A", 1, "assistant", "z")],
         TURNS_SCHEMA,
     )
-    for kwargs in ({}, {"num_partitions": 3}):
+    for kwargs in (
+        {},
+        {"num_partitions": 3},
+        {"impl": "grouped"},
+        {"impl": "grouped", "num_partitions": 3},
+    ):
         plan = (
             sft_examples(df, **kwargs)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        # the explicit repartition SATISFIES the groupBy distribution —
+        # the explicit repartition SATISFIES the required distribution —
         # pinning the width must not add a second exchange
-        assert plan.count("FlatMapGroupsInPandas") == 1, kwargs
+        arrow_op = (
+            "FlatMapGroupsInPandas"
+            if kwargs.get("impl") == "grouped"
+            else "MapInPandas"
+        )
+        assert plan.count(arrow_op) == 1, kwargs
         assert plan.count("Exchange") == 1, kwargs
         for bad in ("Join", "Window", "ArrayFilter", "ArrayTransform"):
             assert bad not in plan, (bad, kwargs)
@@ -247,6 +257,8 @@ def test_plan_shape_one_exchange_one_arrow_stage(spark):
     assert out.rdd.getNumPartitions() == 3
     with pytest.raises(ValueError):
         sft_examples(df, num_partitions=0)
+    with pytest.raises(ValueError):
+        sft_examples(df, impl="rowwise")
 
 
 # --- split_leakage ---
@@ -456,3 +468,44 @@ def test_sft_with_bpe_subword_counts(spark):
     # and the budget actually bites somewhere (signal both ways)
     assert any(v[2] for v in got.values())
     assert any(not v[2] for v in got.values())
+
+
+def test_batched_equals_grouped_and_cross_batch_carry(spark):
+    """The default batched (mapInPandas) implementation is
+    value-identical to the grouped (applyInPandas) one — including when
+    a conversation straddles Arrow batches (forced with a 5-row batch
+    size against 40-turn conversations, so every conversation spans
+    several batches and the carry path runs on every one)."""
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "delta"]
+    turns = []
+    for c in range(12):
+        for i in range(40):
+            turns.append(
+                (
+                    f"c{c}",
+                    i,
+                    rng.choice(["user", "assistant", "tool"]),
+                    " ".join(
+                        rng.choice(words)
+                        for _ in range(rng.randint(0, 6))
+                    ),
+                )
+            )
+    df = spark.createDataFrame(turns, TURNS_SCHEMA)
+
+    def rows(impl):
+        out = sft_examples(
+            df, max_context_tokens=9, impl=impl, num_partitions=3
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    baseline = rows("grouped")
+    assert rows("batched") == baseline
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "5")
+    try:
+        assert rows("batched") == baseline
+    finally:
+        spark.conf.set(key, old)

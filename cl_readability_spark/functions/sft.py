@@ -301,28 +301,47 @@ def sft_examples(
 
     def _iter_assemble(batches):
         # a conversation may straddle Arrow batches within the sorted
-        # partition: hold the trailing conversation's rows and prepend
-        # them to the next batch; flush at end.  Memory bound = the
-        # largest single conversation (the applyInPandas bound).
-        held: pd.DataFrame | None = None
+        # partition: hold the trailing conversation's rows (as a LIST
+        # of slices — concatenated ONCE at flush, so a whale
+        # conversation spanning many batches costs one copy, not a
+        # re-copy per batch) and flush when the stream moves past it.
+        # Memory bound = the largest single conversation (the
+        # applyInPandas bound).
+        held_parts: list[pd.DataFrame] = []
+        held_conv = None
+
+        def _flush(extra=None):
+            parts = held_parts + ([extra] if extra is not None else [])
+            held_parts.clear()
+            frame = (
+                parts[0]
+                if len(parts) == 1
+                else pd.concat(parts, ignore_index=True)
+            )
+            return _process(frame)
+
         for pdf in batches:
-            if held is not None:
-                pdf = pd.concat([held, pdf], ignore_index=True)
-                held = None
             if len(pdf) == 0:
                 continue
             conv = pdf["_conv"].to_numpy(dtype=object)
+            if held_parts and conv[0] != held_conv:
+                out = _flush()  # held conversation ended at a batch edge
+                if len(out):
+                    yield out
             neq = np.flatnonzero(conv != conv[-1])
             cut = int(neq[-1]) + 1 if neq.size else 0
             if cut == 0:
-                held = pdf  # whole batch is one conversation
+                held_parts.append(pdf)  # whole batch is one conversation
+                held_conv = conv[-1]
                 continue
-            held = pdf.iloc[cut:].reset_index(drop=True)
-            out = _process(pdf.iloc[:cut])
+            head = pdf.iloc[:cut]
+            out = _flush(head) if held_parts else _process(head)
             if len(out):
                 yield out
-        if held is not None and len(held):
-            out = _process(held)
+            held_parts.append(pdf.iloc[cut:])
+            held_conv = conv[-1]
+        if held_parts:
+            out = _flush()
             if len(out):
                 yield out
 

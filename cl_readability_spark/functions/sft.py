@@ -466,3 +466,70 @@ def sft_dataset(
             .otherwise("train"),
         )
     return ex
+
+
+def assemble_conversation(
+    idxs,
+    roles,
+    texts,
+    toks,
+    *,
+    max_context_tokens: int,
+    min_context_turns: int = 1,
+    target_role: str = "assistant",
+    role_sep: str = ": ",
+    turn_sep: str = "\n",
+) -> dict:
+    """Single-conversation assembly over parallel arrays (sorted here
+    by ``idxs``, stable) — the per-conversation core shared by the
+    streaming operator (``pipeline/streaming.py:streaming_sft_examples``,
+    which accumulates a conversation's turns in state and assembles at
+    session close) and by tests.  Returns a dict of column lists in
+    the ``sft_examples`` output order (without conv_id); value parity
+    with the batch operator is pinned by the batch≡stream equality
+    test."""
+    order = np.argsort(np.asarray(idxs, dtype=np.int64), kind="stable")
+    idx = np.asarray(idxs, dtype=np.int64)[order]
+    rol = np.asarray(roles, dtype=object)[order]
+    txt = np.asarray(texts, dtype=object)[order]
+    tok = np.asarray(toks, dtype=np.int64)[order]
+    if tok.size and tok.min() < 0:
+        raise ValueError("assemble_conversation: negative token count")
+    cum0 = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(tok, out=cum0[1:])
+    targets = np.flatnonzero(rol == target_role)
+    empty: dict = {
+        "target_idx": [], "context_start_idx": [], "n_context_turns": [],
+        "context_tokens": [], "target_tokens": [], "truncated": [],
+        "context_text": [], "target_text": [],
+    }
+    if targets.size == 0:
+        return empty
+    starts = np.searchsorted(
+        cum0, cum0[targets] - int(max_context_tokens), side="left"
+    )
+    starts = np.minimum(starts, targets)
+    n_ctx = targets - starts
+    keep = n_ctx >= int(min_context_turns)
+    targets, starts, n_ctx = targets[keep], starts[keep], n_ctx[keep]
+    if targets.size == 0:
+        return empty
+    lines = np.asarray(
+        [f"{r}{role_sep}{t}" for r, t in zip(rol, txt)], dtype=object
+    )
+    return {
+        "target_idx": [int(idx[p]) for p in targets],
+        "context_start_idx": [
+            int(idx[s]) if n else -1 for s, n in zip(starts, n_ctx)
+        ],
+        "n_context_turns": [int(n) for n in n_ctx],
+        "context_tokens": [
+            int(cum0[p] - cum0[s]) for s, p in zip(starts, targets)
+        ],
+        "target_tokens": [int(tok[p]) for p in targets],
+        "truncated": [bool(s > 0) for s in starts],
+        "context_text": [
+            turn_sep.join(lines[s:p]) for s, p in zip(starts, targets)
+        ],
+        "target_text": [txt[p] for p in targets],
+    }

@@ -918,3 +918,112 @@ def conversation_flags_stale_ids(
         .filter(F.col("_got").isNull() | (F.col("_got") != F.col("_want")))
         .select("conv_id")
     )
+
+
+def streaming_sft_examples(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    max_context_tokens: int = 2048,
+    min_context_turns: int = 1,
+    target_role: str = "assistant",
+    idle_timeout_ms: int = 1000,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming SFT example assembly — the incremental front-end of
+    ``functions/sft.py:sft_examples``: turns accumulate per
+    conversation in ``applyInPandasWithState`` state across
+    micro-batches, and the conversation's trainer examples are emitted
+    ONCE, when it goes idle (processing-time timeout) — close-only
+    emission, because a context is only final when no earlier-indexed
+    turn can still arrive; turns arriving out of order WITHIN the
+    session are sorted by ``turn_idx`` at close, so batch parity holds
+    under intra-session reordering (pinned by the batch≡stream
+    equality test, the streaming_conversation_flags stance).
+
+    Per-turn token counts are computed JVM-side BEFORE the stateful
+    stage with the SAME ``default_turn_tokens`` expression as the
+    batch operator, so the python state carries four slim arrays per
+    conversation and the budget arithmetic can never diverge.  State
+    memory is bounded by the largest open conversation (the batch
+    operator's own bound); the timeout bounds how long a conversation
+    stays open.  Output schema = the batch operator's 9 columns."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cl_readability_spark.functions.sft import (
+        _OUT_SCHEMA,
+        assemble_conversation,
+        default_turn_tokens,
+    )
+
+    if max_context_tokens < 0:
+        raise ValueError("max_context_tokens must be >= 0")
+    if min_context_turns < 0:
+        raise ValueError("min_context_turns must be >= 0")
+
+    state_schema = (
+        "idxs array<long>, roles array<string>, texts array<string>, "
+        "toks array<long>"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            idxs, roles, texts, toks = state.get
+            state.remove()
+            cols = assemble_conversation(
+                idxs, roles, texts, toks,
+                max_context_tokens=max_context_tokens,
+                min_context_turns=min_context_turns,
+                target_role=target_role,
+            )
+            if cols["target_idx"]:
+                yield pd.DataFrame(
+                    {"conv_id": [key[0]] * len(cols["target_idx"]), **cols}
+                )
+            return
+        idxs, roles, texts, toks = (
+            state.get if state.exists else ([], [], [], [])
+        )
+        idxs, roles, texts, toks = (
+            list(idxs), list(roles), list(texts), list(toks)
+        )
+        for pdf in pdfs:
+            idxs.extend(int(v) for v in pdf["turn_idx"])
+            roles.extend(str(v) for v in pdf["role"])
+            texts.extend(str(v) for v in pdf["text"])
+            toks.extend(int(v) for v in pdf["tok"])
+        state.update((idxs, roles, texts, toks))
+        state.setTimeoutDuration(idle_timeout_ms)
+        return
+
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    slim = stream.select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.coalesce(F.col("role"), F.lit("")).alias("role"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        default_turn_tokens(F.col("text")).alias("tok"),
+    )
+    examples = slim.groupBy(F.col("conv_id")).applyInPandasWithState(
+        update,
+        _OUT_SCHEMA,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        examples.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

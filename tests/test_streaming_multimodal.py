@@ -1004,3 +1004,80 @@ def test_streaming_url_dedup_across_microbatches(spark, tmp_path):
     assert final.count() == 6
     assert final.filter("canon_url = 'http://a.com/x'").count() == 1
     assert final.filter("canon_url = 'http://c.com/z'").count() == 1
+
+
+def test_streaming_sft_examples_matches_batch(spark, tmp_path):
+    """Close-only streaming SFT assembly reaches column-for-column batch
+    parity — including when turns arrive OUT OF ORDER within the
+    conversation (the input file is written with turn order scrambled;
+    the state sorts by turn_idx at session close)."""
+    import datetime
+    import random
+    import time
+
+    from cl_readability_spark.functions.sft import sft_examples
+    from cl_readability_spark.pipeline.streaming import (
+        streaming_sft_examples,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    for c in range(6):
+        n = rng.randint(2, 9)
+        for i in range(n):
+            rows.append(
+                (
+                    f"conv-{c}",
+                    i,
+                    rng.choice(["user", "assistant", "tool"]),
+                    " ".join(
+                        rng.choice(["aa", "bb", "cc", "dd"])
+                        for _ in range(rng.randint(1, 7))
+                    ),
+                    None,
+                    datetime.datetime(2026, 1, 1, 0, 0, i),
+                )
+            )
+    rng.shuffle(rows)  # intra-conversation arrival disorder
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    inp = str(tmp_path / "sft-in")
+    out = str(tmp_path / "sft-out")
+    cp = str(tmp_path / "sft-cp")
+    # several files + maxFilesPerTrigger=1 => every conversation's turns
+    # arrive across SEVERAL micro-batches, exercising the state
+    # accumulation path, not just the single-batch close
+    df.repartition(5).write.parquet(inp)
+
+    expected = sorted(
+        tuple(r)
+        for r in sft_examples(df, max_context_tokens=6).collect()
+    )
+    assert expected  # fixture has signal
+
+    q = streaming_sft_examples(
+        spark, inp, out, cp, max_context_tokens=6, idle_timeout_ms=1000,
+        max_files_per_trigger=1,
+    )
+
+    def committed():
+        try:
+            return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        except Exception:
+            return []
+
+    deadline = time.time() + 150
+    got = []
+    while time.time() < deadline:
+        got = committed()
+        if len(got) >= len(expected) or not q.isActive:
+            break
+        time.sleep(2)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)
+    got = committed() or got
+    assert got == expected

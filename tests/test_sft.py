@@ -509,3 +509,55 @@ def test_batched_equals_grouped_and_cross_batch_carry(spark):
         assert rows("batched") == baseline
     finally:
         spark.conf.set(key, old)
+
+
+def test_sft_dataset_to_shards_composition(spark):
+    """The full last mile composes: sft_dataset output feeds
+    epoch_shuffle (composite example key) and pack_sequences (budget =
+    context+target tokens) — deterministic shards, every example packed
+    exactly once, token mass conserved."""
+    from cl_readability_spark.functions.assembly import epoch_shuffle
+    from cl_readability_spark.functions.packing import pack_sequences
+    from cl_readability_spark.functions.sft import sft_dataset
+
+    rows = []
+    for c in range(12):
+        for i in range(6):
+            rows.append(
+                (f"c{c}", i, "assistant" if i % 2 else "user",
+                 f"words for conversation {c} turn {i} padding here")
+            )
+    df = spark.createDataFrame(rows, TURNS_SCHEMA)
+    ds = sft_dataset(
+        df, max_context_tokens=30, ts_col=None, conv_gate=False
+    )
+    n_examples = ds.count()
+    assert n_examples > 0
+
+    shuf = epoch_shuffle(
+        ds, seed=3, id_cols=("conv_id", "target_idx"), n_shards=4
+    )
+    a = sorted(
+        (r.conv_id, r.target_idx, r.shard) for r in shuf.collect()
+    )
+    b = sorted(
+        (r.conv_id, r.target_idx, r.shard)
+        for r in epoch_shuffle(
+            ds.repartition(7),
+            seed=3,
+            id_cols=("conv_id", "target_idx"),
+            n_shards=4,
+        ).collect()
+    )
+    assert a == b  # shard membership is partitioning-independent
+
+    toks = ds.select(
+        F.concat_ws("\x1f", "conv_id", F.col("target_idx").cast("string"))
+        .alias("doc_id"),
+        (F.col("context_tokens") + F.col("target_tokens")).alias("n_tokens"),
+    )
+    total = toks.agg(F.sum("n_tokens")).collect()[0][0]
+    packed = pack_sequences(toks, max_tokens=64, num_partitions=4).collect()
+    assert len(packed) == n_examples
+    assert sum(r.n_tokens for r in packed) == total
+    assert not any(r.oversize for r in packed)

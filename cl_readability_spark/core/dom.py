@@ -40,6 +40,13 @@ _P_CLOSERS = frozenset(
     "section table ul".split()
 )
 
+# inline elements that do NOT stop the implicit-<p>-close scan (shared by
+# the stdlib builder and the fast tokenizer so the two paths cannot diverge)
+_P_SCOPE_INLINE = frozenset(
+    ("span", "a", "b", "i", "em", "strong", "u", "s",
+     "small", "font", "code", "label")
+)
+
 # tag on stack -> start tags that implicitly close it
 _AUTO_CLOSE = {
     "li": frozenset(["li"]),
@@ -82,9 +89,16 @@ def _index_of(parent, node) -> int:
 
 
 class Text:
-    """Text node (readability-plump.lisp:107-111)."""
+    """Text node (readability-plump.lisp:107-111).
+
+    Class-level ``tag = None`` / ``children = ()`` let the hot tree walks
+    treat Text and Element uniformly (one attribute load instead of a
+    ``type()`` check per visited node — measured on the extraction profile
+    where the walks are the top cost)."""
 
     __slots__ = ("parent", "data", "_pos")
+    tag = None
+    children: tuple = ()
 
     def __init__(self, data: str, parent: "Element | None" = None):
         self.data = data
@@ -151,12 +165,12 @@ class Element:
     # --- tree navigation (readability.lisp:73-96) ---
     @property
     def element_children(self) -> list["Element"]:
-        return [c for c in self.children if isinstance(c, Element)]
+        return [c for c in self.children if c.tag is not None]
 
     @property
     def first_element_child(self) -> "Element | None":
         for c in self.children:
-            if isinstance(c, Element):
+            if c.tag is not None:
                 return c
         return None
 
@@ -233,7 +247,7 @@ class Element:
 
         def walk(n):
             for c in n.children:
-                if type(c) is Text:
+                if c.tag is None:
                     out.append(c.data)
                 elif c.children:
                     walk(c)
@@ -245,7 +259,7 @@ class Element:
             stack = [self]
             while stack:
                 n = stack.pop()
-                if type(n) is Text:
+                if n.tag is None:
                     out.append(n.data)
                 else:
                     kids = n.children
@@ -361,8 +375,7 @@ class _TreeBuilder(HTMLParser):
                 if t == "p":
                     del self.stack[i:]
                     break
-                if t not in ("span", "a", "b", "i", "em", "strong", "u", "s",
-                             "small", "font", "code", "label"):
+                if t not in _P_SCOPE_INLINE:
                     break
         while len(self.stack) > 1 and tag in _AUTO_CLOSE.get(self._top().tag, ()):
             self.stack.pop()
@@ -450,32 +463,60 @@ USE_FAST_PARSER = True  # tests flip this for differential runs
 
 
 def _fast_feed(html: str, builder: "_TreeBuilder") -> None:
+    # The tree operations are INLINED here (no handle_* dispatch): each is
+    # the literal body of the corresponding _TreeBuilder callback (starttag
+    # → _open, data → handle_data, endtag → handle_endtag), so the stdlib
+    # fallback and this path build identical trees — pinned by the
+    # differential suite in tests/test_fast_parser.py.
     pos, n = 0, len(html)
+    root = builder.root
+    stack = builder.stack
+    max_elements = builder.max_elements
+    master_match = _MASTER.match
     while pos < n:
-        m = _MASTER.match(html, pos)
+        m = master_match(html, pos)
         if m is None:
             raise _FastParseBail
-        text = m.group("text")
+        group = m.group
+        text = group("text")
         if text is not None:
-            builder.handle_data(unescape(text) if "&" in text else text)
+            # handle_data, inlined (fresh Text append — no reparenting)
+            if "&" in text:
+                text = unescape(text)
+            kids = stack[-1].children
+            last = kids[-1] if kids else None
+            if last is not None and last.tag is None:
+                last.data += text
+            else:
+                t = Text(text, stack[-1])
+                t._pos = len(kids)
+                kids.append(t)
             pos = m.end()
             continue
-        ctag = m.group("ctag")
+        ctag = group("ctag")
         if ctag is not None:
-            builder.handle_endtag(ctag.lower())
+            # handle_endtag, inlined
+            tag = ctag.lower()
+            if tag not in VOID_ELEMENTS:
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == tag:
+                        del stack[i:]
+                        break
             pos = m.end()
             continue
-        tag = m.group("tag")
+        tag = group("tag")
         if tag is not None:
             tag = tag.lower()
-            attrs_s = m.group("attrs")
-            selfclose = m.group("selfclose")
+            attrs_s = group("attrs")
+            selfclose = group("selfclose")
             if selfclose and attrs_s and attrs_s[-1] not in " \t\r\n\"'":
                 # `<img src=x/>`: stdlib folds the '/' into the unquoted value
                 raise _FastParseBail
             if attrs_s and "<" in attrs_s:
                 raise _FastParseBail  # tag soup like `<div<!-- -->`
-            attrs: list = []
+            # attr scan builds the first-occurrence-wins dict directly
+            # (== _make_attrs over the (name, value) list)
+            attrs: dict = {}
             if attrs_s and not attrs_s.isspace():
                 apos = 0
                 for am in _ATTR.finditer(attrs_s):
@@ -484,7 +525,7 @@ def _fast_feed(html: str, builder: "_TreeBuilder") -> None:
                     apos = am.end()
                     name = am.group(1).lower()
                     if am.group(2) is None:
-                        val = None
+                        val = ""
                     else:
                         if am.group(4) is not None:
                             val = am.group(4)
@@ -494,31 +535,66 @@ def _fast_feed(html: str, builder: "_TreeBuilder") -> None:
                             val = am.group(6) or ""
                         if "&" in val:
                             val = unescape(val)
-                    attrs.append((name, val))
+                    if name not in attrs:
+                        attrs[name] = val
                 if attrs_s[apos:].strip():
                     raise _FastParseBail
-            if selfclose:
-                builder.handle_startendtag(tag, attrs)
-                pos = m.end()
-                continue
-            builder.handle_starttag(tag, attrs)
+            # _open, inlined
+            root.element_count += 1
+            if max_elements is not None and root.element_count > max_elements:
+                raise TooManyElementsError(
+                    f"document has more than {max_elements} elements"
+                )
+            if tag in _P_CLOSERS:
+                for i in range(len(stack) - 1, 0, -1):
+                    t = stack[i].tag
+                    if t == "p":
+                        del stack[i:]
+                        break
+                    if t not in _P_SCOPE_INLINE:
+                        break
+            while len(stack) > 1 and tag in _AUTO_CLOSE.get(stack[-1].tag, ()):
+                stack.pop()
+            el = Element(tag, attrs)
+            top = stack[-1]
+            el.parent = top
+            el._pos = len(top.children)
+            top.children.append(el)
             pos = m.end()
+            if selfclose or tag in VOID_ELEMENTS:
+                continue
+            stack.append(el)
             if tag in _RAW_END:
                 rm = _RAW_END[tag].search(html, pos)
                 if rm is None:
                     # EOF inside raw text — stdlib buffers and drops it;
                     # don't replicate, defer
                     raise _FastParseBail
-                builder.handle_data(html[pos : rm.start()])
+                raw = html[pos : rm.start()]
+                if raw:
+                    # handle_data again (raw text: no unescape — stdlib
+                    # does not convert charrefs inside script/style)
+                    kids = el.children
+                    last = kids[-1] if kids else None
+                    if last is not None and last.tag is None:
+                        last.data += raw
+                    else:
+                        t = Text(raw, el)
+                        t._pos = len(kids)
+                        kids.append(t)
                 gt = html.find(">", rm.start())
                 if gt == -1:
                     raise _FastParseBail
                 if html[rm.end() : gt].strip():
                     raise _FastParseBail  # `</script foo>` — let stdlib decide
-                builder.handle_endtag(tag)
+                # handle_endtag for the raw container
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == tag:
+                        del stack[i:]
+                        break
                 pos = gt + 1
             continue
-        decl = m.group("decl")
+        decl = group("decl")
         if decl is not None and decl.startswith("["):
             raise _FastParseBail  # CDATA marked section — stdlib semantics
         # comment / doctype / PI: dropped, same as the builder callbacks
@@ -601,14 +677,14 @@ def _ensure_structure(doc: Document) -> None:
 def iter_elements(root: Element):
     """Pre-order DFS over descendant elements (clss ordered-select '*',
     readability-plump.lisp:10,17). Excludes ``root`` itself."""
-    stack = [c for c in reversed(root.children) if isinstance(c, Element)]
+    stack = [c for c in reversed(root.children) if c.tag is not None]
     while stack:
         el = stack.pop()
         yield el
         kids = el.children
         if kids:
             stack.extend(
-                c for c in reversed(kids) if isinstance(c, Element)
+                c for c in reversed(kids) if c.tag is not None
             )
 
 
@@ -620,7 +696,7 @@ def _gebt_stack(root: Element, want) -> list[Element]:
     stack = list(reversed(root.children))
     while stack:
         n = stack.pop()
-        if type(n) is not Text:  # children hold only Text or Element
+        if n.tag is not None:  # Text carries tag=None
             if (n.tag == want) if single else (n.tag in want):
                 out.append(n)
             kids = n.children
@@ -639,14 +715,14 @@ def get_elements_by_tag(root: Element, *tags: str) -> list[Element]:
     if len(tags) == 1:
         want = tags[0]
         out: list[Element] = []
+        append = out.append
 
         def walk(n):
             for c in n.children:
-                if type(c) is not Text:
-                    if c.tag == want:
-                        out.append(c)
-                    if c.children:
-                        walk(c)
+                if c.tag == want:
+                    append(c)
+                if c.children:
+                    walk(c)
 
         try:
             walk(root)
@@ -655,14 +731,14 @@ def get_elements_by_tag(root: Element, *tags: str) -> list[Element]:
         return out
     want_set = frozenset(tags)
     out = []
+    append = out.append
 
     def walk_set(n):
         for c in n.children:
-            if type(c) is not Text:
-                if c.tag in want_set:
-                    out.append(c)
-                if c.children:
-                    walk_set(c)
+            if c.tag in want_set:
+                append(c)
+            if c.children:
+                walk_set(c)
 
     try:
         walk_set(root)

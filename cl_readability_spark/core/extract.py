@@ -278,8 +278,9 @@ def _check_byline(node: Element, match_string: str, state: dict) -> bool:
     first-found wins per JS)."""
     if state.get("byline"):
         return False
-    rel = node.get("rel")
-    itemprop = node.get("itemprop")
+    attrs = node.attrs
+    rel = attrs.get("rel")
+    itemprop = attrs.get("itemprop")
     if (
         rel == "author"
         or (itemprop is not None and "author" in itemprop)
@@ -345,7 +346,12 @@ def _get_node_ancestors(node: Element, max_depth: int = 0) -> list[Element]:
 # TODOs at readability-plump.lisp:256,259 cite)
 # ---------------------------------------------------------------------------
 
-def grab_article(doc: Document, cfg: ExtractorConfig, state: dict) -> Element | None:
+def grab_article(
+    doc: Document,
+    cfg: ExtractorConfig,
+    state: dict,
+    rebuild=None,
+) -> Element | None:
     page = doc.body
     if page is None:
         return None
@@ -356,7 +362,12 @@ def grab_article(doc: Document, cfg: ExtractorConfig, state: dict) -> Element | 
         "weight_classes": cfg.weight_classes,
         "clean_conditionally": cfg.clean_conditionally,
     }
-    page_cache = [_clone(c) for c in page.children]
+    # Pristine-body cache for the retry restores (JS: page.innerHTML kept as
+    # a string).  When the caller can re-derive the pre-grab body (extract()
+    # passes ``rebuild`` = fresh parse + the deterministic pre-passes), the
+    # cache is built LAZILY on first retry — most documents succeed on the
+    # first attempt and never pay for it.
+    page_cache = None if rebuild is not None else [_clone(c) for c in page.children]
     attempts: list[tuple[Element, int]] = []
 
     while True:
@@ -386,9 +397,23 @@ def grab_article(doc: Document, cfg: ExtractorConfig, state: dict) -> Element | 
         state["retries"] = state.get("retries", 0) + 1
         # restore the body for the next attempt (JS: page.innerHTML = cache);
         # done only when another attempt actually runs
+        if page_cache is None:
+            page_cache = rebuild()
         page.children = []
-        for c in page_cache:
-            page.append_child(_clone(c))
+        if not (
+            flags["strip_unlikelys"]
+            or flags["weight_classes"]
+            or flags["clean_conditionally"]
+        ):
+            # final attempt — no further restore can happen, so the cache
+            # can be MOVED in instead of cloned
+            for c in page_cache:
+                c.parent = page
+                c._pos = len(page.children)
+                page.children.append(c)
+        else:
+            for c in page_cache:
+                page.append_child(_clone(c))
 
 
 def _grab_article_once(
@@ -398,6 +423,10 @@ def _grab_article_once(
     weight_classes = flags["weight_classes"]
     elements_to_score: list[Element] = []
 
+    # *visibility-checker* hook (globals.lisp:32-33): config override,
+    # defaulting to _isProbablyVisible
+    visible = state["cfg"].visibility_checker or is_probably_visible
+
     # --- strip + rewrap pass (readability-plump.lisp:202-255 gates,
     #     JS _grabArticle traversal) ---
     node: Element | None = doc.html
@@ -405,15 +434,13 @@ def _grab_article_once(
         if node.tag == "html":
             state.setdefault("lang", node.get("lang"))
 
-        match_string = node.class_name + " " + node.id
+        attrs = node.attrs
+        match_string = attrs.get("class", "") + " " + attrs.get("id", "")
 
-        # *visibility-checker* hook (globals.lisp:32-33): config override,
-        # defaulting to _isProbablyVisible
-        visible = state["cfg"].visibility_checker or is_probably_visible
         if not visible(node):
             node = remove_and_get_next(node)
             continue
-        if node.get("aria-modal") == "true" and node.get("role") == "dialog":
+        if attrs.get("aria-modal") == "true" and attrs.get("role") == "dialog":
             node = remove_and_get_next(node)
             continue
         if _check_byline(node, match_string, state):
@@ -432,7 +459,7 @@ def _grab_article_once(
             ):
                 node = remove_and_get_next(node)
                 continue
-            if node.get("role") in UNLIKELY_ROLES:
+            if attrs.get("role") in UNLIKELY_ROLES:
                 node = remove_and_get_next(node)
                 continue
         if node.tag in (
@@ -655,21 +682,29 @@ def _grab_article_once(
 # prep-article battery (SURVEY §2.3 #43-52)
 # ---------------------------------------------------------------------------
 
+_PRESENTATIONAL_SET = frozenset(PRESENTATIONAL_ATTRIBUTES)
+
+
 def clean_styles(e: Element) -> None:
-    """Readability._cleanStyles (readability.lisp:360-372)."""
-    if e.tag == "svg":
-        return
-    attrs = e.attrs
-    if attrs:
-        for attr in PRESENTATIONAL_ATTRIBUTES:
-            if attr in attrs:
-                del attrs[attr]
-        if e.tag in DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
-            attrs.pop("width", None)
-            attrs.pop("height", None)
-    for child in e.children:
-        if isinstance(child, Element):
-            clean_styles(child)
+    """Readability._cleanStyles (readability.lisp:360-372).  Iterative, and
+    scans the (usually tiny) present-attribute set against the removal set
+    rather than probing all 12 removal names per element."""
+    stack = [e]
+    while stack:
+        el = stack.pop()
+        if el.tag == "svg":
+            continue
+        attrs = el.attrs
+        if attrs:
+            drop = [a for a in attrs if a in _PRESENTATIONAL_SET]
+            for a in drop:
+                del attrs[a]
+            if el.tag in DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
+                attrs.pop("width", None)
+                attrs.pop("height", None)
+        for child in el.children:
+            if child.tag is not None:
+                stack.append(child)
 
 
 def _get_row_and_column_count(table: Element) -> tuple[int, int]:
@@ -849,7 +884,7 @@ def clean_conditionally(
             stack = list(reversed(node.children))
             while stack:
                 n = stack.pop()
-                if type(n) is not Text:
+                if n.tag is not None:
                     t = n.tag
                     if t == "p":
                         p += 1
@@ -966,10 +1001,22 @@ def prep_article(
     _replace_node_tags(get_elements_by_tag(article_content, "h1"), "h2")
 
     def empty_paragraph(p: Element) -> bool:
-        content_el_count = len(
-            get_elements_by_tag(p, "img", "embed", "object", "iframe")
-        )
-        return content_el_count == 0 and not get_inner_text(p, False)
+        # fused single walk, early exit — boolean-equivalent to "no
+        # img/embed/object/iframe descendant AND no non-whitespace text"
+        # (= count==0 and not get_inner_text(p, False))
+        stack = list(p.children)
+        while stack:
+            c = stack.pop()
+            t = c.tag
+            if t is None:
+                if c.data.strip():
+                    return False
+            else:
+                if t in ("img", "embed", "object", "iframe"):
+                    return False
+                if c.children:
+                    stack.extend(c.children)
+        return True
 
     _remove_nodes(get_elements_by_tag(article_content, "p"), empty_paragraph)
 
@@ -1232,7 +1279,20 @@ def extract(
         result.published_time = metadata["published_time"]
         state["title"] = metadata["title"] or ""
 
-        article = grab_article(doc, config, state)
+        def _rebuild_body_children() -> list:
+            # Re-derive the pristine pre-grab body for a retry restore: a
+            # fresh parse plus the SAME deterministic pre-passes that ran
+            # above (metadata readers in between do not mutate the DOM), so
+            # the children returned are value-identical to an eager clone
+            # taken before the first attempt (differential-tested).
+            d2 = parse_html(html or "", config.max_elements)
+            unwrap_noscript_images(d2)
+            remove_scripts(d2)
+            prepare_document(d2)
+            b2 = d2.body
+            return list(b2.children) if b2 is not None else []
+
+        article = grab_article(doc, config, state, rebuild=_rebuild_body_children)
         result.retries = state.get("retries", 0)
         result.candidates_scored = state.get("candidates_scored", 0)
         result.byline = metadata["byline"] or state.get("byline")

@@ -118,14 +118,29 @@ def is_element_without_content(node: Element) -> bool:
     """Readability._isElementWithoutContent (readability.lisp:120-130): no
     non-whitespace text, and the direct-child count equals the *descendant*
     br+hr count (JS compares children.length against
-    getElementsByTagName('br'/'hr') which search the whole subtree)."""
-    if node.text_content().strip():
-        return False
-    kids = [c for c in node.children if isinstance(c, Element)]
-    if not kids:
-        return True
-    n_br_hr = len(get_elements_by_tag(node, "br", "hr"))
-    return len(kids) == n_br_hr
+    getElementsByTagName('br'/'hr') which search the whole subtree).
+
+    Single fused walk: any non-whitespace text node short-circuits False
+    (boolean-equivalent to stripping the joined text), the same pass counts
+    the br/hr descendants — the naive form re-walked the subtree twice."""
+    n_kids = 0
+    n_br_hr = 0
+    stack = list(node.children)
+    for c in stack:
+        if c.tag is not None:
+            n_kids += 1
+    while stack:
+        c = stack.pop()
+        t = c.tag
+        if t is None:
+            if c.data.strip():
+                return False
+        else:
+            if t == "br" or t == "hr":
+                n_br_hr += 1
+            if c.children:
+                stack.extend(c.children)
+    return n_kids == 0 or n_kids == n_br_hr
 
 
 def has_single_tag_inside(element: Element, tag: str) -> bool:

@@ -146,8 +146,12 @@ def sft_examples(
     if num_partitions is not None and num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
 
+    # NULL token counts coalesce to 0 (mirroring the default tokenizer's
+    # NULL-text → 0) — uncoalesced they reach the Arrow stage as NaN
+    # (nullable long → float64) and crash the int64 cast with an opaque
+    # message; negative counts still get the explicit runtime guard
     tok = (
-        F.col(token_col).cast("long")
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0))
         if token_col is not None
         else default_turn_tokens(F.col(text_col))
     )
@@ -403,6 +407,20 @@ def sft_dataset(
     writing.  Plan shape: one conv-keyed semi join, the sft_examples
     exchange, one fingerprint aggregate + one row-key join — every
     wide op keyed, no collects, no windows on content keys."""
+    # split-bucket kwarg guards before any plan is built (the module's
+    # guards-before-plan stance): md5 hex is lowercase, so an uppercase
+    # or non-hex value would silently route everything to train, and an
+    # overlapping pair would silently favor val
+    _hexdigits = frozenset("0123456789abcdef")
+    if not set(val_hexes) <= _hexdigits or not set(test_hexes) <= _hexdigits:
+        raise ValueError(
+            "val_hexes/test_hexes must be lowercase hex digits, got "
+            f"{val_hexes!r} / {test_hexes!r}"
+        )
+    if set(val_hexes) & set(test_hexes):
+        raise ValueError(
+            f"val_hexes and test_hexes overlap: {val_hexes!r} / {test_hexes!r}"
+        )
     if conv_gate:
         from cl_readability_spark.functions.transcript_quality import (
             conversation_flags,
@@ -417,7 +435,12 @@ def sft_dataset(
             ts_col=ts_col,
             **(conv_gate_opts or {}),
         )
-        ok = flags.filter(F.col("conv_ok")).select(F.col(conv_col))
+        # conversation_flags always names its key column 'conv_id' —
+        # re-alias to the caller's conv_col so non-default names resolve
+        # (ADVICE r8: select(F.col(conv_col)) raised UNRESOLVED_COLUMN)
+        ok = flags.filter(F.col("conv_ok")).select(
+            F.col("conv_id").alias(conv_col)
+        )
         df = df.join(ok, [conv_col], "left_semi")
     ex = sft_examples(
         df,

@@ -561,3 +561,80 @@ def test_sft_dataset_to_shards_composition(spark):
     assert len(packed) == n_examples
     assert sum(r.n_tokens for r in packed) == total
     assert not any(r.oversize for r in packed)
+
+
+def test_sft_dataset_non_default_conv_col_gate(spark):
+    """ADVICE r8: conversation_flags always names its key 'conv_id', so a
+    non-default conv_col with conv_gate=True used to raise
+    UNRESOLVED_COLUMN; the gate must re-alias and produce the same rows as
+    the default-named run."""
+    from cl_readability_spark.functions.sft import sft_dataset
+
+    rows = [
+        ("a", 0, "user", "hello there friend"),
+        ("a", 1, "assistant", "hi back"),
+        ("bad", 0, "user", "x"),
+        ("bad", 1, "assistant", "y"),
+        ("bad", 2, "assistant", "z"),  # protocol violation -> gated out
+    ]
+    df = spark.createDataFrame(rows, TURNS_SCHEMA)
+    renamed = df.withColumnRenamed("conv_id", "cid")
+    out = sft_dataset(
+        renamed,
+        conv_col="cid",
+        max_context_tokens=10,
+        ts_col=None,
+        conv_gate_opts={"min_turns": 2},
+    ).collect()
+    base = sft_dataset(
+        df,
+        max_context_tokens=10,
+        ts_col=None,
+        conv_gate_opts={"min_turns": 2},
+    ).collect()
+    assert sorted(tuple(r) for r in out) == sorted(tuple(r) for r in base)
+    assert {r["conv_id"] for r in out} == {"a"}
+
+
+def test_sft_examples_null_token_col_counts_zero(spark):
+    """ADVICE r8: a NULL in a caller-supplied token_col used to reach the
+    Arrow stage as NaN and crash the int64 cast; it now coalesces to 0
+    (mirroring the default tokenizer's NULL-text -> 0)."""
+    rows = [
+        ("c", 0, "user", "one two", 2),
+        ("c", 1, "assistant", "three", None),
+        ("c", 2, "user", "four five six", 3),
+        ("c", 3, "assistant", "seven", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, n_tok int",
+    )
+    out = _rows(sft_examples(df, max_context_tokens=4, token_col="n_tok"))
+    # identical to an explicit 0 in place of the NULL
+    df0 = spark.createDataFrame(
+        [(c, i, r, t, 0 if n is None else n) for c, i, r, t, n in rows],
+        "conv_id string, turn_idx int, role string, text string, n_tok int",
+    )
+    assert out == _rows(
+        sft_examples(df0, max_context_tokens=4, token_col="n_tok")
+    )
+    # the NULL-token target itself emits (0-token target fits any budget)
+    assert any(d["target_idx"] == 1 and d["target_tokens"] == 0 for d in out)
+
+
+def test_sft_dataset_split_hex_guards(spark):
+    """ADVICE r8: overlapping or non-lowercase-hex split buckets are now
+    rejected before any plan is built."""
+    from cl_readability_spark.functions.sft import sft_dataset
+
+    df = spark.createDataFrame(
+        [("a", 0, "user", "x"), ("a", 1, "assistant", "y")], TURNS_SCHEMA
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        sft_dataset(df, val_hexes=("c",), test_hexes=("c", "f"),
+                    conv_gate=False, ts_col=None)
+    with pytest.raises(ValueError, match="lowercase hex"):
+        sft_dataset(df, val_hexes=("C",), conv_gate=False, ts_col=None)
+    with pytest.raises(ValueError, match="lowercase hex"):
+        sft_dataset(df, test_hexes=("g",), conv_gate=False, ts_col=None)

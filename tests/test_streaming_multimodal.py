@@ -1069,7 +1069,12 @@ def test_streaming_sft_examples_matches_batch(spark, tmp_path):
         except Exception:
             return []
 
-    deadline = time.time() + 150
+    # generous ceiling (ADVICE r8): the close-only emission needs several
+    # processing-time timeouts to fire, and a loaded machine (concurrent
+    # Spark sessions) stretched the old 150 s budget past its limit once —
+    # the deadline only bounds the WAIT; correctness is still asserted by
+    # the final equality check below, so a large ceiling hides nothing.
+    deadline = time.time() + 600
     got = []
     while time.time() < deadline:
         got = committed()

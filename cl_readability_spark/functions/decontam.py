@@ -149,6 +149,10 @@ def decontaminate(
     (pytest-pinned equivalence)."""
     if strategy not in ("auto", "broadcast", "join"):
         raise ValueError(f"strategy must be auto/broadcast/join, got {strategy!r}")
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # gram hashing is CPU-bound — parallelism floor (no-op mid-chain)
+    corpus = ensure_parallelism(corpus)
     key = str(seed).encode()
     if hashes is None and benchmark is None:
         raise ValueError("pass either benchmark or hashes")

@@ -240,7 +240,14 @@ def minhash_stage(
                 out["signature"] = sig_col
             yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(_batches, out_schema)
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # CPU-heavy python stage: floor the parallelism — a byte-sized scan
+    # of a small-on-disk corpus otherwise runs the whole shingle+hash
+    # pass on 1-2 cores (no-op when the input already spans the cores)
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        _batches, out_schema
+    )
 
 
 def band_signature_stage(
@@ -316,7 +323,13 @@ def band_signature_stage(
                     )
             yield pd.DataFrame(out)
 
-    return df.select(*cols, text_col).mapInPandas(_batches, out_schema)
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # parallelism floor as in minhash_stage (no-op for streaming inputs:
+    # ensure_parallelism leaves frames whose .rdd is unavailable alone)
+    return ensure_parallelism(df.select(*cols, text_col)).mapInPandas(
+        _batches, out_schema
+    )
 
 
 def minhash_params(
@@ -967,7 +980,12 @@ def simhash_signature(
                 sims.append(np.uint64(sim).astype(np.int64))
             yield pd.DataFrame({id_col: ids, "simhash": sims})
 
-    return df.select(id_col, text_col).mapInPandas(_batches, out_schema)
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # parallelism floor as in minhash_stage
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        _batches, out_schema
+    )
 
 
 def simhash_signature_agg(
@@ -1079,7 +1097,13 @@ def winnow_fingerprints(
                     fps.append(int(np.int64(h[p])))
             yield pd.DataFrame({id_col: ids, "pos": poss, "fingerprint": fps})
 
-    return df.select(id_col, text_col).mapInPandas(_batches, out_schema)
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # parallelism floor as in minhash_stage (a byte-sized scan starves
+    # the rolling-hash python pass on small-on-disk corpora)
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        _batches, out_schema
+    )
 
 
 def winnow_candidates(

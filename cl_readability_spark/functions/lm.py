@@ -51,11 +51,19 @@ def _words(text_col):
     """Lower-cased whitespace tokens (the DSIR convention: explicit
     whitespace class for Java/RE2 parity; empty/NULL text → empty
     array)."""
-    t = F.regexp_replace(
+    t_expr = F.regexp_replace(
         F.lower(F.coalesce(text_col, F.lit(""))), f"^{_WS}+|{_WS}+$", ""
     )
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, f"{_WS}+")
+    # bind the trimmed string once (the ngram_array single-element-array
+    # trick — interpreted HOF eval re-runs the regexp per reference)
+    return F.element_at(
+        F.transform(
+            F.array(t_expr),
+            lambda t: F.when(
+                t == "", F.array().cast("array<string>")
+            ).otherwise(F.split(t, f"{_WS}+")),
+        ),
+        1,
     )
 
 
@@ -64,24 +72,32 @@ def _pair_structs(words):
     pairs with NULL prev, the rest via zip_with over two slices (no
     per-position indexing of the words expression — the interpreted-HOF
     quadratic-re-tokenization trap)."""
-    n = F.size(words)
-    pairs = F.when(n < 2, F.array().cast("array<struct<_p:string,_w:string>>")).otherwise(
-        F.zip_with(
-            F.slice(words, 1, n - 1),
-            F.slice(words, 2, n - 1),
-            lambda a, b: F.struct(a.alias("_p"), b.alias("_w")),
-        )
-    )
-    first = F.when(
-        n >= 1,
-        F.array(
-            F.struct(
-                F.lit(None).cast("string").alias("_p"),
-                F.element_at(words, 1).alias("_w"),
+    def build(w):
+        n = F.size(w)
+        pairs = F.when(
+            n < 2, F.array().cast("array<struct<_p:string,_w:string>>")
+        ).otherwise(
+            F.zip_with(
+                F.slice(w, 1, n - 1),
+                F.slice(w, 2, n - 1),
+                lambda a, b: F.struct(a.alias("_p"), b.alias("_w")),
             )
-        ),
-    ).otherwise(F.array().cast("array<struct<_p:string,_w:string>>"))
-    return F.concat(first, pairs)
+        )
+        first = F.when(
+            n >= 1,
+            F.array(
+                F.struct(
+                    F.lit(None).cast("string").alias("_p"),
+                    F.element_at(w, 1).alias("_w"),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<_p:string,_w:string>>"))
+        return F.concat(first, pairs)
+
+    # bind the words array once (the ngram_array single-element-array
+    # trick): the size/slice/first-token references otherwise re-run the
+    # whole tokenization per reference under interpreted HOF eval
+    return F.element_at(F.transform(F.array(words), build), 1)
 
 
 def lm_fit(
@@ -106,10 +122,29 @@ def lm_fit(
         raise ValueError(f"alpha must be > 0, got {alpha}")
     from pyspark.sql.window import Window
 
-    toks = reference.select(
-        F.explode(_words(F.col(text_col))).alias("_w")
+    # ONE reference pass: explode (prev, word) pairs and aggregate raw
+    # counts by the exact (prev, word) strings.  Every token appears
+    # exactly once as _w (the first pairs with NULL prev), so the raw
+    # UNIGRAM counts derive from this same bounded frame by summing over
+    # _p — the old shape tokenized the reference twice (a separate
+    # unigram explode; measured ~3.6 s of the 15.9 s sf1.0 query).  All
+    # integer aggregation, so every downstream model frame is
+    # value-identical.  The bounded pair-count frame is pinned DISK_ONLY
+    # (several plan branches read it; handle under model["pins"]).
+    from pyspark.storagelevel import StorageLevel
+
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    raw_pairs = (
+        ensure_parallelism(reference).select(
+            F.explode(_pair_structs(_words(F.col(text_col)))).alias("_pr")
+        )
+        .select(F.col("_pr._p").alias("_p"), F.col("_pr._w").alias("_w"))
+        .groupBy("_p", "_w")
+        .agg(F.count("*").alias("_pc"))
+        .persist(StorageLevel.DISK_ONLY)
     )
-    raw_uni = toks.groupBy("_w").agg(F.count("*").alias("_c"))
+    raw_uni = raw_pairs.groupBy("_w").agg(F.sum("_pc").alias("_c"))
     vocab = (
         raw_uni.orderBy(F.desc("_c"), F.asc("_w"))
         .limit(vocab_size - 1)
@@ -150,10 +185,7 @@ def lm_fit(
             / (F.sum("_c").over(tot_w) + F.lit(float(alpha * vocab_size)))
         ).alias("_p_uni"),
     )
-    pairs = reference.select(
-        F.explode(_pair_structs(_words(F.col(text_col)))).alias("_pr")
-    ).select(F.col("_pr._p").alias("_p"), F.col("_pr._w").alias("_w"))
-    bigrams = pairs.filter(F.col("_p").isNotNull())
+    bigrams = raw_pairs.filter(F.col("_p").isNotNull())
     closed = (
         bigrams.join(
             F.broadcast(
@@ -168,9 +200,10 @@ def lm_fit(
         .select(
             F.when(F.col("_pin"), F.col("_p")).otherwise(F.lit(UNK)).alias("_p"),
             F.when(F.col("_win"), F.col("_w")).otherwise(F.lit(UNK)).alias("_w"),
+            F.col("_pc"),
         )
     )
-    bi_counts = closed.groupBy("_p", "_w").agg(F.count("*").alias("_c"))
+    bi_counts = closed.groupBy("_p", "_w").agg(F.sum("_pc").alias("_c"))
     ctx_w = Window.partitionBy("_p")
     bi = (
         bi_counts.withColumn("_ctx", F.sum("_c").over(ctx_w))
@@ -186,6 +219,9 @@ def lm_fit(
         "vocab_size": int(vocab_size),
         "alpha": float(alpha),
         "min_bigram_count": int(min_bigram_count),
+        # the raw pair-count pin (release via pins.release_pinned on a
+        # frame that carries it, or pins.release_all_pins(spark))
+        "pins": [raw_pairs],
     }
 
 
@@ -210,7 +246,9 @@ def lm_perplexity(
         model = lm_fit(reference, text_col=text_col, **fit_kwargs)
     vocab, uni, bi = model["vocab"], model["uni"], model["bi"]
 
-    tokens = docs.select(
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    tokens = ensure_parallelism(docs).select(
         F.col(id_col).alias("_lm_id"),
         F.explode(_pair_structs(_words(F.col(text_col)))).alias("_pr"),
     ).select(
@@ -257,11 +295,16 @@ def lm_perplexity(
     out = docs.join(
         per_doc, docs[id_col] == per_doc["_lm_id"], "left"
     ).drop("_lm_id")
-    return out.select(
+    out = out.select(
         *[F.col(c) for c in docs.columns],
         F.col("lm_logp_per_token"),
         F.exp(-F.col("lm_logp_per_token")).alias("lm_perplexity"),
     )
+    if model.get("pins"):
+        from cl_readability_spark.functions.pins import attach_pins
+
+        out = attach_pins(out, *model["pins"])
+    return out
 
 
 def ppl_partition(

@@ -177,6 +177,11 @@ def doc_chunks(
         raise ValueError(
             f"stride must be in [1, max_tokens], got {stride}/{max_tokens}"
         )
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # the tokenize+explode is CPU-bound — floor the parallelism so a
+    # byte-sized single-row-group scan cannot serialize it
+    docs = ensure_parallelism(docs)
 
     toks = F.regexp_extract_all(
         F.col(text_col), F.lit(CHUNK_TOKEN_PATTERN), F.lit(0)

@@ -47,11 +47,21 @@ def _words(text_col):
     ADVICE lesson: a tab-leading doc would otherwise split into a
     phantom '' token and hash it into a bucket); empty text → empty
     array (split of '' would likewise yield [''])."""
-    t = F.regexp_replace(
+    t_expr = F.regexp_replace(
         F.lower(F.coalesce(text_col, F.lit(""))), f"^{_WS}+|{_WS}+$", ""
     )
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, f"{_WS}+")
+    # bind the trimmed string ONCE (single-element-array + transform
+    # lambda): referencing t_expr in both the emptiness check and the
+    # split re-runs the regexp_replace per reference under interpreted
+    # HOF eval (the ngram_array lesson — no subexpression elimination)
+    return F.element_at(
+        F.transform(
+            F.array(t_expr),
+            lambda t: F.when(
+                t == "", F.array().cast("array<string>")
+            ).otherwise(F.split(t, f"{_WS}+")),
+        ),
+        1,
     )
 
 
@@ -70,24 +80,33 @@ def _grams(text_col, ngrams: tuple[int, ...]):
     diagnosis).  The slice form re-evaluates the tokenization a small
     CONSTANT number of times per doc (size + two slices) whatever the
     doc length."""
-    words = _words(text_col)
-    parts = []
-    if 1 in ngrams:
-        parts.append(words)
-    if 2 in ngrams:
-        parts.append(
-            F.when(F.size(words) < 2, F.array().cast("array<string>")).otherwise(
-                F.zip_with(
-                    F.slice(words, 1, F.size(words) - 1),
-                    F.slice(words, 2, F.size(words) - 1),
-                    lambda a, b: F.concat_ws(" ", a, b),
+    bad = set(ngrams) - {1, 2}
+    if bad or not set(ngrams) & {1, 2}:
+        raise ValueError(f"ngrams must be a non-empty subset of (1, 2), got {ngrams}")
+
+    def build(w):
+        parts = []
+        if 1 in ngrams:
+            parts.append(w)
+        if 2 in ngrams:
+            parts.append(
+                F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(
+                    F.zip_with(
+                        F.slice(w, 1, F.size(w) - 1),
+                        F.slice(w, 2, F.size(w) - 1),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    )
                 )
             )
-        )
-    bad = set(ngrams) - {1, 2}
-    if bad or not parts:
-        raise ValueError(f"ngrams must be a non-empty subset of (1, 2), got {ngrams}")
-    return parts[0] if len(parts) == 1 else F.concat(*parts)
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+    # bind the words array ONCE (ngram_array's single-element-array +
+    # transform trick): the slices/size guards then reference the lambda
+    # variable, not the tokenize expression — interpreted HOF eval has no
+    # subexpression elimination, so the direct form re-tokenized per
+    # reference (a constant-factor cost the module docstring already
+    # bounds, now removed outright)
+    return F.element_at(F.transform(F.array(_words(text_col)), build), 1)
 
 
 def _bucket(gram_col, n_buckets: int):
@@ -144,9 +163,45 @@ def dsir_logweights(
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     from pyspark.sql.window import Window
 
-    src = source if source is not None else df
+    # When the source fit is df itself (the paper's raw-corpus setting —
+    # and the bench/oracle shape), the corpus would be tokenized + md5-
+    # bucketed TWICE: once for the source fit and once for the weight
+    # pass (measured at sf1.0: each full-corpus gram pass is ~12 s of the
+    # 32 s query).  Instead build the per-(doc, bucket) count frame ONCE,
+    # pin it DISK_ONLY (narrow: id + two longs, collapsed map-side
+    # because a doc's grams are row-local), and derive BOTH the source
+    # bucket counts (Σ over docs) and the per-doc weights (Σ c_b·λ_b)
+    # from it.  Counts are value-identical; the weight sum regroups the
+    # per-gram λ sum by bucket, which only reorders float addition —
+    # inside the oracle's 6-dp rounding by a ~1e-9 margin (the DuckDB
+    # twin already sums in its own order).  The pin rides the returned
+    # frame's release handle (pins.release_pinned).
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # tokenize+md5 passes are CPU-bound — parallelism floor on each fit/
+    # weight input (no-op on inputs already spanning the cores)
+    df = ensure_parallelism(df)
+    target = ensure_parallelism(target)
+    id_bucket_counts = None
     tc = _bucket_counts(target, text_col, n_buckets, ngrams)
-    sc = _bucket_counts(src, text_col, n_buckets, ngrams)
+    if source is None:
+        from pyspark.storagelevel import StorageLevel
+
+        id_bucket_counts = (
+            df.select(
+                F.col(id_col),
+                F.explode(_grams(F.col(text_col), ngrams)).alias("_g"),
+            )
+            .select(id_col, _bucket(F.col("_g"), n_buckets).alias("_b"))
+            .groupBy(id_col, "_b")
+            .agg(F.count("*").alias("_c"))
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        sc = id_bucket_counts.groupBy("_b").agg(F.sum("_c").alias("_c"))
+    else:
+        sc = _bucket_counts(
+            ensure_parallelism(source), text_col, n_buckets, ngrams
+        )
     a, b = float(alpha), int(n_buckets)
     # λ over a range(B) bucket SPINE so every possible bucket has a row
     # (a never-seen-bucket fallback branch would re-reference the count
@@ -180,18 +235,30 @@ def dsir_logweights(
             )
         ).alias("_lam"),
     )
-    doc_grams = df.select(
-        F.col(id_col), F.explode(_grams(F.col(text_col), ngrams)).alias("_g")
-    ).select(id_col, _bucket(F.col("_g"), n_buckets).alias("_b"))
     # inner join is safe: the spine covers every bucket a gram can hash to
-    weights = (
-        doc_grams.join(F.broadcast(lam_tbl), "_b")
-        .groupBy(id_col)
-        .agg(F.sum("_lam").alias("dsir_logw"))
-    )
-    return df.join(weights, id_col, "left").withColumn(
+    if id_bucket_counts is not None:
+        weights = (
+            id_bucket_counts.join(F.broadcast(lam_tbl), "_b")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("_c") * F.col("_lam")).alias("dsir_logw"))
+        )
+    else:
+        doc_grams = df.select(
+            F.col(id_col), F.explode(_grams(F.col(text_col), ngrams)).alias("_g")
+        ).select(id_col, _bucket(F.col("_g"), n_buckets).alias("_b"))
+        weights = (
+            doc_grams.join(F.broadcast(lam_tbl), "_b")
+            .groupBy(id_col)
+            .agg(F.sum("_lam").alias("dsir_logw"))
+        )
+    out = df.join(weights, id_col, "left").withColumn(
         "dsir_logw", F.coalesce(F.col("dsir_logw"), F.lit(0.0))
     )
+    if id_bucket_counts is not None:
+        from cl_readability_spark.functions.pins import attach_pins
+
+        out = attach_pins(out, id_bucket_counts)
+    return out
 
 
 def dsir_sample(
@@ -236,11 +303,19 @@ def dsir_sample(
         ).cast("long")
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    return (
+    out = (
         weighted.withColumn("dsir_key", F.col("dsir_logw") - F.log(-F.log(u)))
         .orderBy(F.desc("dsir_key"), F.asc(id_col))
         .limit(int(k))
     )
+    # forward the logweights pass's pin handle (source-fit reuse) so
+    # release_pinned on the returned frame drops it too
+    mh_pins = list(getattr(weighted, "_clrs_pinned", []) or [])
+    if mh_pins:
+        from cl_readability_spark.functions.pins import attach_pins
+
+        out = attach_pins(out, *mh_pins)
+    return out
 
 
 def classifier_quality(

@@ -86,6 +86,11 @@ def _query_scores(df, query_vec, k, id_col, vec_col, score_arrow):
     large (``ARROW_SCORE_GUIDANCE_ROWS``): the lambda-HOF cosine is
     interpreted per row and dominates wall time on big probe sets
     (1M-scale A/B in BENCH/BASELINE.md)."""
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # the per-row cosine (interpreted HOF or numpy) is CPU-bound: floor
+    # the parallelism so a byte-sized scan cannot serialize the scoring
+    df = ensure_parallelism(df)
     if score_arrow:
         sim = _arrow_query_scorer(query_vec)(F.col(vec_col))
     else:
@@ -144,7 +149,10 @@ def hyperplane_signature(
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
-    return df.withColumn(out_col, sig)
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # n_planes interpreted-HOF dot products per row — parallelism floor
+    return ensure_parallelism(df).withColumn(out_col, sig)
 
 
 def _sig_of(vec: list[float], n_planes: int, seed: int) -> int:
@@ -333,6 +341,11 @@ def embedding_near_dups(
         out = np.concatenate([band_sigs, refine_sigs[:, None]], axis=1)
         return pd.Series(list(out))
 
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # signature matmul stage is CPU-bound — parallelism floor (no-op on
+    # inputs that already span the configured cores)
+    embeddings = ensure_parallelism(embeddings)
     grp = [F.col(group_col).alias("_grp")] if group_col else []
     sig_df = embeddings.select(
         F.col(id_col).alias("_id"), *grp, _sigs(F.col(vec_col)).alias("_sigs")
@@ -639,7 +652,11 @@ def ivf_assign(
         m = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
         return pd.Series((m @ cents.T).argmax(axis=1).astype("int32"))
 
-    return embeddings.withColumn("ivf_cell", _cell(F.col(vec_col)))
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    return ensure_parallelism(embeddings).withColumn(
+        "ivf_cell", _cell(F.col(vec_col))
+    )
 
 
 def ivf_topk(

@@ -155,9 +155,16 @@ def decode_pdf_boxes(
     zero-box payloads one 'empty' sentinel, so the downstream assembly
     can return one row per input doc without re-branching over this
     (expensive) stage."""
-    sel = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col(payload_col).alias("payload"),
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # the decode is a CPU-bound python stage — floor the parallelism so
+    # a byte-sized scan (or a narrow payload-building projection over
+    # one) cannot serialize it onto one or two cores
+    sel = ensure_parallelism(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(payload_col).alias("payload"),
+        )
     )
 
     def mapper(batches):
@@ -167,6 +174,11 @@ def decode_pdf_boxes(
                     "PDF decode requires pdfminer.six/pypdf — not in this "
                     "runtime image; use fake=True for the toy-format decoder"
                 )
+            if len(pdf):
+                fast = _decode_batch_vectorized(pdf)
+                if fast is not None:
+                    yield fast
+                    continue
             rows: list[tuple] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 doc_id = int(doc_id)
@@ -216,6 +228,121 @@ def decode_pdf_boxes(
             )
 
     return sel.mapInPandas(mapper, PDF_BOX_SCHEMA)
+
+
+def _decode_batch_vectorized(pdf: pd.DataFrame) -> "pd.DataFrame | None":
+    """Vectorized fast path for a batch where EVERY payload is a
+    well-formed toy document with >= 1 box: pyarrow line split +
+    numpy page/box accounting + one C-level float cast, instead of
+    5M+ python ``float()`` calls over the line loop (measured 17 s →
+    ~3 s on the 50k-doc sf1.0 bench corpus).  Returns None on ANY
+    anomaly — null/blank/malformed payloads, blank or unknown lines,
+    zero-box docs, non-plain-numeric fields — and the caller falls
+    back to the row loop, the semantics of record (so sentinel rows,
+    error statuses and python float parsing quirks stay
+    byte-identical)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if pdf["payload"].isna().any():
+        return None
+    try:
+        arr = pa.array(pdf["payload"].tolist(), type=pa.binary())
+        texts = pc.cast(arr, pa.string())  # validates utf-8
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return None
+    lines_list = pc.split_pattern(texts, "\n")
+    lengths = pc.list_value_length(lines_list).to_numpy()
+    if (lengths < 2).any():
+        return None
+    lines = pc.list_flatten(lines_list)
+    n = len(lines)
+    doc_starts = np.zeros(len(pdf), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=doc_starts[1:])
+    row_doc = np.repeat(np.arange(len(pdf), dtype=np.int64), lengths)
+    is_page = pc.starts_with(lines, "page ").to_numpy(zero_copy_only=False)
+    is_box = pc.starts_with(lines, "box ").to_numpy(zero_copy_only=False)
+    # every line must be the magic (at its doc start), a page line,
+    # or a box line — anything else (incl. blank) → slow path
+    is_magic = np.zeros(n, dtype=bool)
+    is_magic[doc_starts] = True
+    if not (is_magic | is_page | is_box).all():
+        return None
+    magic_ok = pc.equal(
+        pc.list_element(lines_list, 0), "PDFFAKE1"
+    ).to_numpy(zero_copy_only=False)
+    if not magic_ok.all():
+        return None
+    if (is_page[doc_starts] | is_box[doc_starts]).any():
+        return None
+    # page numbering per doc + "box before page" guard
+    page_cum = np.cumsum(is_page)
+    page_of_row = page_cum - page_cum[doc_starts[row_doc]] - 1
+    if (page_of_row[is_box] < 0).any():
+        return None
+    # zero-box docs need an 'empty' sentinel — slow path
+    box_counts = np.zeros(len(pdf), dtype=np.int64)
+    np.add.at(box_counts, row_doc[is_box], 1)
+    if (box_counts == 0).any():
+        return None
+    # page dims: the few page lines parse in python with the slow
+    # path's exact split semantics
+    page_idx = np.flatnonzero(is_page)
+    pws = np.empty(len(page_idx), dtype=np.float64)
+    phs = np.empty(len(page_idx), dtype=np.float64)
+    lines_py = lines.to_pylist()
+    for j, li in enumerate(page_idx):
+        parts = lines_py[li].split()
+        if len(parts) != 3:
+            return None
+        try:
+            pws[j] = float(parts[1])
+            phs[j] = float(parts[2])
+        except ValueError:
+            return None
+    # box fields: split " " max 6 → exactly 7 parts, plain-numeric
+    # coordinate fields only (so python float() agrees byte-for-byte)
+    box_lines = lines.filter(pa.array(is_box))
+    splits = pc.split_pattern(box_lines, " ", max_splits=6)
+    if not pc.all(
+        pc.equal(pc.list_value_length(splits), 7)
+    ).as_py():
+        return None
+    num_re = r"^-?[0-9]+(\.[0-9]+)?$"
+    cols = []
+    for i in range(1, 6):
+        part = pc.list_element(splits, i)
+        if not pc.all(pc.match_substring_regex(part, num_re)).as_py():
+            return None
+        cols.append(pc.cast(part, pa.float64()).to_numpy())
+    box_text = pc.list_element(splits, 6)
+    # assemble (order = doc order, then line order — the loop's order)
+    box_rows = np.flatnonzero(is_box)
+    doc_of_box = row_doc[box_rows]
+    box_cum = np.cumsum(is_box)
+    # doc starts are magic lines (asserted above), so box_cum at the
+    # doc start counts exactly the boxes of earlier docs
+    box_idx = box_cum[box_rows] - 1 - box_cum[doc_starts[doc_of_box]]
+    page_ord = page_cum[box_rows] - 1  # global page-line ordinal
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(doc_ids[doc_of_box], dtype="Int64"),
+            "page": pd.array(page_of_row[box_rows], dtype="Int32"),
+            "box_idx": pd.array(box_idx, dtype="Int32"),
+            "page_w": pd.array(pws[page_ord], dtype="Float64"),
+            "page_h": pd.array(phs[page_ord], dtype="Float64"),
+            "x0": pd.array(cols[0], dtype="Float64"),
+            "y0": pd.array(cols[1], dtype="Float64"),
+            "x1": pd.array(cols[2], dtype="Float64"),
+            "y1": pd.array(cols[3], dtype="Float64"),
+            "size": pd.array(cols[4], dtype="Float64"),
+            "text": box_text.to_pylist(),
+            "status": "ok",
+        }
+    )
+
 
 
 def assemble_layout(

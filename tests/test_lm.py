@@ -200,4 +200,14 @@ def test_lm_plan_broadcasts_model(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # the per-position indexing trap must stay out of the pair build
-    assert plan.count("element_at") <= 2  # first-token extraction only
+    # first-token extraction only: every element_at indexes position 1 —
+    # the O(words²) trap is per-POSITION indexing of the tokenize
+    # expression (element_at(words, i) for growing i inside a lambda).
+    # The count itself is no longer meaningful: the r9 single-pass fit
+    # pins the pair-count frame, and the plan printer repeats the cached
+    # build subtree (with its one first-token element_at) under every
+    # cache reference.
+    import re as _re
+
+    idxs = {m.group(1) for m in _re.finditer(r"element_at\([^,]*, (\d+)", plan)}
+    assert idxs <= {"1"}, idxs

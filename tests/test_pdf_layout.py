@@ -371,3 +371,66 @@ def test_assemble_layout_direct_boxes(spark):
     a = {r["doc_id"]: r.asDict() for r in assemble_layout(boxes).collect()}
     b = {r["doc_id"]: r.asDict() for r in pdf_extract(pdfs).collect()}
     assert a == b
+
+
+def test_vectorized_decode_matches_row_loop(spark):
+    """r9: the vectorized toy-decode fast path must be row-identical to
+    the _parse_toy_pdf row loop on well-formed payloads — and must bail
+    (return None) on every anomaly class so the loop keeps owning the
+    sentinel semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from cl_readability_spark.pipeline.pdf_layout import (
+        _decode_batch_vectorized,
+        _parse_toy_pdf,
+        make_toy_pdf,
+    )
+
+    payloads = [
+        make_toy_pdf(
+            [
+                {
+                    "w": 612,
+                    "h": 792,
+                    "boxes": [
+                        (50, 20 + 14 * k, 270, 32 + 14 * k, 10,
+                         f"doc {d} pg {p} line {k} with  double space")
+                        for k in range(5)
+                    ],
+                }
+                for p in range(2)
+            ]
+        )
+        for d in range(7)
+    ]
+    pdf = pd.DataFrame({"doc_id": pd.array(range(7), dtype="Int64"),
+                        "payload": payloads})
+    fast = _decode_batch_vectorized(pdf)
+    assert fast is not None
+    slow_rows = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        for idx, (pg, pw, ph, x0, y0, x1, y1, size, text) in enumerate(
+            _parse_toy_pdf(payload)
+        ):
+            slow_rows.append((int(doc_id), pg, idx, pw, ph, x0, y0, x1, y1,
+                              size, text, "ok"))
+    fast_rows = [tuple(r) for r in fast.itertuples(index=False, name=None)]
+    assert fast_rows == slow_rows
+
+    # anomaly classes must all bail to the row loop
+    def bails(payload):
+        p2 = pd.DataFrame({"doc_id": pd.array([0], dtype="Int64"),
+                           "payload": [payload]})
+        return _decode_batch_vectorized(p2) is None
+
+    assert bails(None)                                   # null payload
+    assert bails(b"not a pdf")                           # bad magic
+    assert bails(b"PDFFAKE1\npage 612 792")              # zero boxes
+    assert bails(b"PDFFAKE1\nbox 1 2 3 4 5 t")           # box before page
+    assert bails(b"PDFFAKE1\npage 612 792\nweird line")  # unknown record
+    assert bails(b"PDFFAKE1\npage 612\nbox 1 2 3 4 5 t")   # bad page line
+    assert bails(b"PDFFAKE1\npage 612 792\nbox 1 2 3 t")   # short box line
+    assert bails(b"PDFFAKE1\npage 612 792\nbox 1 2 3 4 1e5 t")  # non-plain num
+    assert bails(b"PDFFAKE1\npage 612 792\n\nbox 1 2 3 4 5 t")  # blank line
+    assert bails(b"\xff\xfe\x00PDFFAKE1")                # invalid utf-8

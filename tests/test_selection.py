@@ -183,10 +183,16 @@ def test_dsir_plan_shape(spark):
         .executedPlan()
         .toString()
     )
-    scans = len(_re.findall(r"FileScan parquet \[", plan)) + len(
-        _re.findall(r"InMemoryTableScan \[", plan)
-    )
-    assert scans == 4, plan[:2000]  # target fit, source fit, weights, output
+    file_scans = len(_re.findall(r"FileScan parquet \[", plan))
+    mem_scans = len(_re.findall(r"InMemoryTableScan \[", plan))
+    # r9 shape: the source fit and the weight pass both read the ONE
+    # pinned per-(doc, bucket) count frame (2 InMemoryTableScans over the
+    # same InMemoryRelation — the corpus gram pass runs once); the 4
+    # FileScans are the target fit, the pinned frame's build subtree
+    # (printed under each cache reference), and the output join's left
+    # side.
+    assert file_scans == 4, plan[:2000]
+    assert mem_scans == 2, plan[:2000]
     assert plan.count("BroadcastNestedLoopJoin") == 0
     assert plan.count("SortMergeJoin") == 1  # the row-key output join
     assert plan.count("Exchange SinglePartition") == 1  # B-row totals window
@@ -195,7 +201,11 @@ def test_dsir_plan_shape(spark):
     # interpreted HOF eval — O(words²)/doc, 50+ min on the 1M corpus
     # (jstack: all cores in RegExpReplace.nullSafeEval).  zip_with over
     # two slices keeps re-evaluation constant per doc.
-    assert "element_at" not in plan, plan[:2000]
+    # the r9 bind-once gram build unwraps its single-element array with
+    # element_at(..., 1) — the quadratic trap is per-POSITION indexing
+    # (element_at(words, i) for growing i), so assert every index is 1
+    idxs = {m.group(1) for m in _re.finditer(r"element_at\([^,]*, (\d+)", plan)}
+    assert idxs <= {"1"}, idxs
     assert "zip_with" in plan
 
 

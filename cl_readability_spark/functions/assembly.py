@@ -159,9 +159,15 @@ def token_budget_sample(
         F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("_tok")
     )
 
+    # pin the narrow projection BEFORE the range partitioner: range
+    # boundaries are derived from a SAMPLING job that evaluates the
+    # projection once, and the exchange then evaluates it again — for a
+    # token-count projection (a tokenize per row) that doubles the real
+    # work.  The pin is narrow (id + one or two longs), so both the
+    # sampler and the exchange read it instead (one source evaluation).
+    narrow = df.select(*narrow_cols).persist(StorageLevel.DISK_ONLY)
     stamped = (
-        df.select(*narrow_cols)
-        .repartitionByRange(int(n_ranges), *order_cols)
+        narrow.repartitionByRange(int(n_ranges), *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.DISK_ONLY)
     )
@@ -199,7 +205,7 @@ def token_budget_sample(
         out = df.join(cum.drop("budget_tokens"), id_col)
     else:
         out = cum
-    return attach_pins(out, stamped)
+    return attach_pins(out, stamped, narrow)
 
 
 def rank_buckets(
@@ -267,9 +273,13 @@ def rank_buckets(
     range_cols = [*[F.col(c) for c in group_cols], *order_cols]
     grp = [F.col(c) for c in group_cols]
 
+    # narrow pre-range pin: the range sampler + the exchange would each
+    # evaluate the projection (see token_budget_sample)
+    narrow = df.select(id_col, *group_cols, score_col).persist(
+        StorageLevel.DISK_ONLY
+    )
     stamped = (
-        df.select(id_col, *group_cols, score_col)
-        .repartitionByRange(int(n_ranges), *range_cols)
+        narrow.repartitionByRange(int(n_ranges), *range_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.DISK_ONLY)
     )
@@ -326,4 +336,4 @@ def rank_buckets(
             ),
         )
     out = df.join(ranked, id_col) if join_back else ranked
-    return attach_pins(out, stamped)
+    return attach_pins(out, stamped, narrow)

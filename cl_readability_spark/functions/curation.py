@@ -615,6 +615,31 @@ def _row_key(key_cols: tuple[str, ...]):
     return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
 
 
+def _stage_pin(df: DataFrame, mode: str) -> tuple[DataFrame, list[DataFrame]]:
+    """Materialize a branching stage's input per ``mode``:
+
+    - ``"disk"`` — ``persist(DISK_ONLY)``: fault-tolerant (lineage kept,
+      lost blocks recompute), release via the returned pins handle.  The
+      cluster-safe default.
+    - ``"local_checkpoint"`` — eager ``localCheckpoint()``: additionally
+      TRUNCATES lineage, which is what bounds the composed chain's PLAN
+      SIZE — each branching stage references its input ~3×, so with
+      lineage kept the final logical tree replicates the whole upstream
+      ~3^k times and Catalyst ANALYSIS dominates wall time (measured on
+      the sf0.01 curation_full twin: 55 jobs totalling 10.6 s of
+      execution under 17.2 s of driver-side gaps; truncation halves the
+      query).  Single-JVM / local-mode semantics: an executor loss makes
+      the frame unrecoverable (the _RoundPinner "local" trade).  No
+      release handle — localCheckpoint storage is reclaimed by the
+      ContextCleaner once the frame is collected."""
+    if mode == "local_checkpoint":
+        return df.localCheckpoint(eager=True), []
+    from pyspark import StorageLevel
+
+    pinned = df.persist(StorageLevel.DISK_ONLY)
+    return pinned, [pinned]
+
+
 # PII patterns chosen to mean the same thing in Java regex (Spark) and
 # RE2 (DuckDB oracle): no lookaround, no backrefs, non-capturing groups
 # only.  ORDER IS SIGNIFICANT — patterns are applied top to bottom and
@@ -889,6 +914,7 @@ def line_dedup_rewrite(
     text_col: str = "extracted_text",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     pin_lines: bool = False,
+    pin_mode: str = "disk",
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The ``curate(line_dedup=True)`` pre-stage as a standalone step
     (also used by scripts/corpus_pipeline.py's decomposed sink path):
@@ -910,10 +936,7 @@ def line_dedup_rewrite(
     keyed = extracted.withColumn("_ld_key", _row_key(key_cols))
     pins: list[DataFrame] = []
     if pin_lines:
-        from pyspark import StorageLevel
-
-        keyed = keyed.persist(StorageLevel.DISK_ONLY)
-        pins.append(keyed)
+        keyed, pins = _stage_pin(keyed, pin_mode)
     # the line stage's own self-branch now reads the pinned frame, so
     # its internal pin_lines is unnecessary
     deduped = _ld(keyed, id_col="_ld_key", text_col=text_col)
@@ -940,6 +963,7 @@ def substring_dedup_rewrite(
     k: int = 50,
     keep: str = "none",
     pin_tokens: bool = False,
+    pin_mode: str = "disk",
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The ``curate(substring_dedup_k=)`` pre-stage as a standalone
     step: ExactSubstr duplicated-run removal (``functions.dedup.
@@ -960,10 +984,7 @@ def substring_dedup_rewrite(
     keyed = extracted.withColumn("_sd_key", _row_key(key_cols))
     pins: list[DataFrame] = []
     if pin_tokens:
-        from pyspark import StorageLevel
-
-        keyed = keyed.persist(StorageLevel.DISK_ONLY)
-        pins.append(keyed)
+        keyed, pins = _stage_pin(keyed, pin_mode)
     deduped = _sd(keyed, id_col="_sd_key", text_col=text_col, k=k, keep=keep)
     out = (
         keyed.drop(text_col)
@@ -1010,6 +1031,7 @@ def url_dedup_gate(
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     pin_input: bool = False,
     url_opts: dict | None = None,
+    pin_mode: str = "disk",
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The ``curate(url_col=)`` stage as a standalone step: URL-level
     dedup (``functions.urls.url_dedup``) keyed by the composite row
@@ -1034,10 +1056,7 @@ def url_dedup_gate(
 
     pins: list[DataFrame] = []
     if pin_input:
-        from pyspark import StorageLevel
-
-        extracted = extracted.persist(StorageLevel.DISK_ONLY)
-        pins.append(extracted)
+        extracted, pins = _stage_pin(extracted, pin_mode)
     out = url_dedup(
         extracted,
         url_col=url_col,
@@ -1054,6 +1073,7 @@ def gopher_repetition_gate(
     text_col: str = "extracted_text",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     pin_input: bool = False,
+    pin_mode: str = "disk",
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The ``curate(gopher_repetition=True)`` stage as a standalone
     step: the Gopher repetition battery (``gopher_repetition_flags``)
@@ -1068,10 +1088,7 @@ def gopher_repetition_gate(
     keyed = extracted.withColumn("_gr_key", _row_key(key_cols))
     pins: list[DataFrame] = []
     if pin_input:
-        from pyspark import StorageLevel
-
-        keyed = keyed.persist(StorageLevel.DISK_ONLY)
-        pins.append(keyed)
+        keyed, pins = _stage_pin(keyed, pin_mode)
     rep = gopher_repetition_flags(keyed, id_col="_gr_key", text_col=text_col)
     out = keyed.join(
         rep.select("_gr_key", "repetition_ok"), "_gr_key"
@@ -1108,6 +1125,7 @@ def curate(
     gopher_repetition_pin: bool = False,
     minhash_k: int = 5,
     pin_stages: bool | str = "auto",
+    stage_pin_mode: str = "disk",
     url_col: str | None = None,
     url_pin: bool = False,
     url_opts: dict | None = None,
@@ -1219,7 +1237,21 @@ def curate(
     where the per-stage ``*_pin`` flag asks.  Per-stage flags always
     force a pin regardless of ``pin_stages``.  Value-neutral (pins
     change execution, never results); all pins ride the returned
-    frame's registry handles (``release_curated``)."""
+    frame's registry handles (``release_curated``).
+
+    ``stage_pin_mode`` selects HOW a firing stage pin materializes
+    (``_stage_pin``): ``"disk"`` (default — fault-tolerant persist,
+    released via the handles) or ``"local_checkpoint"`` (eager
+    localCheckpoint, additionally TRUNCATING lineage so the composed
+    chain's plan size stays linear in stage count instead of ~3^k —
+    the single-JVM / bench shape; see ``_stage_pin`` for the measured
+    rationale and the fault-tolerance trade)."""
+
+    if stage_pin_mode not in ("disk", "local_checkpoint"):
+        raise ValueError(
+            f"stage_pin_mode must be disk|local_checkpoint, got "
+            f"{stage_pin_mode!r}"
+        )
 
     def _pin(explicit: bool, derived: bool) -> bool:
         if explicit or pin_stages is True:
@@ -1237,6 +1269,7 @@ def curate(
             extracted, url_col, key_cols,
             pin_input=_pin(url_pin, derived),
             url_opts=url_opts,
+            pin_mode=stage_pin_mode,
         )
         ld_pins.extend(url_pins)
         extra_gates.append("url_keep")
@@ -1245,6 +1278,7 @@ def curate(
         extracted, ld_pins = line_dedup_rewrite(
             extracted, text_col, key_cols,
             pin_lines=_pin(line_dedup_pin, derived),
+            pin_mode=stage_pin_mode,
         )
         derived = True
     if c4:
@@ -1266,6 +1300,7 @@ def curate(
             k=substring_dedup_k,
             keep=substring_dedup_keep,
             pin_tokens=_pin(substring_dedup_pin, derived),
+            pin_mode=stage_pin_mode,
         )
         ld_pins.extend(sd_pins)
         derived = True
@@ -1273,6 +1308,7 @@ def curate(
         extracted, gr_pins = gopher_repetition_gate(
             extracted, text_col, key_cols,
             pin_input=_pin(gopher_repetition_pin, derived),
+            pin_mode=stage_pin_mode,
         )
         ld_pins.extend(gr_pins)
         extra_gates.append("repetition_ok")

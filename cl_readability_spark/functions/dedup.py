@@ -1340,10 +1340,16 @@ def _dup_clusters_rounds(
         )
         # pinned: the pointer-jump self-join below references prop on
         # BOTH sides — without this the edge-propagation join would
-        # evaluate twice per round (no cross-branch subplan reuse)
+        # evaluate twice per round (no cross-branch subplan reuse).
+        # The pre-round label rides along as _old so the fixpoint test
+        # below is a filter over the pinned round result instead of a
+        # join of new labels against old (one fewer shuffle-join job
+        # per round — measured on the curation twins where the round
+        # overhead, not the data, is the cost).
         prop = pinner.pin(
             labels.join(nbr_min, "id", "left").select(
                 "id",
+                F.col("rep").alias("_old"),
                 F.least(
                     F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
                 ).alias("rep"),
@@ -1358,21 +1364,18 @@ def _dup_clusters_rounds(
             "rep",
             "left",
         )
-        new_labels = pinner.pin(
+        new_round = pinner.pin(
             jump.select(
                 "id",
                 F.least(
                     F.col("rep"), F.coalesce(F.col("rep2"), F.col("rep"))
                 ).alias("rep"),
+                F.col("_old"),
             ),
             "labels",
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("rep", "old"), "id")
-            .filter(F.col("rep") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_round.filter(F.col("rep") != F.col("_old")).count()
+        labels = new_round.select("id", "rep")
         pinner.end_round()
         if changed == 0:
             converged = True

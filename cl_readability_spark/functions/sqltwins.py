@@ -1354,9 +1354,14 @@ def _curation_planted_curated(spark, sf_dir):
     # auto would run a count action at build time and the rehash plan
     # pins candidate frames the harnesses never release; the corpus is
     # 5k toy docs, squarely on the arrays side of the crossover.
+    # materialize="local_checkpoint" (r9): truncates the flagged frame's
+    # lineage before the near-dup branches WITHOUT the DISK_ONLY pin the
+    # old "none" mode avoided (localCheckpoint storage is reclaimed by
+    # the ContextCleaner — nothing for the harnesses to release), and
+    # cuts the double re-evaluation "none" paid per branch.
     return curate(
         corpus, text_col="text", key_cols=("doc_id",), policy="clusters",
-        materialize="none", minhash_carry="arrays",
+        materialize="local_checkpoint", minhash_carry="arrays",
     )
 
 
@@ -1483,9 +1488,16 @@ def q_curation_line_planted(spark, sf_dir):
     # harness-lifecycle pin is bounded by the _rotate_pin rotation.
     # carry="arrays" as in curation_planted (toy corpus, no build action)
     _rotate_pin(spark, "curation_line_planted")
+    # pin_stages=True + local_checkpoint mode (r9): every branching
+    # stage's input materializes WITH lineage truncation, bounding the
+    # composed chain's plan size (see curation._stage_pin) — the twin
+    # corpus is an expression tree that would otherwise replicate into
+    # every downstream branch's analysis.
     curated = curate(
         corpus, text_col="text", key_cols=("doc_id",), policy="clusters",
-        materialize="disk", minhash_carry="arrays", line_dedup=True,
+        materialize="local_checkpoint", minhash_carry="arrays",
+        line_dedup=True, pin_stages=True,
+        stage_pin_mode="local_checkpoint",
     )
     _rotate_pin(spark, "curation_line_planted", curated)
     return curated.select(
@@ -1659,14 +1671,17 @@ def q_curation_full_planted(spark, sf_dir):
     # materialize="disk"/pin rotation + carry="arrays" as the other
     # curation twins (toy corpus, no build action)
     _rotate_pin(spark, "curation_full_planted")
+    # pin_stages=True + local_checkpoint mode (r9): plan-size bound for
+    # the 5-stage composition — see the curation_line twin note.
     curated = curate(
         corpus, text_col="text", key_cols=("doc_id",), policy="clusters",
-        materialize="disk", minhash_carry="arrays",
+        materialize="local_checkpoint", minhash_carry="arrays",
         jaccard_threshold=0.7, min_chars=30,
         line_dedup=True,
         c4=True, c4_opts={"min_sentences": 2, "badwords": ("badwordx",)},
         substring_dedup_k=8, substring_dedup_keep="none",
-        gopher_repetition=True, minhash_k=1,
+        gopher_repetition=True, minhash_k=1, pin_stages=True,
+        stage_pin_mode="local_checkpoint",
     )
     _rotate_pin(spark, "curation_full_planted", curated)
     return curated.select(
@@ -3883,10 +3898,14 @@ def q_curation_url_planted(spark, sf_dir):
         )
         .otherwise(F.lit(None).cast("string"))
     )
+    # pin_stages=True + local_checkpoint mode (r9): plan-size bound +
+    # no-release materialization — see the curation_line twin note.
     curated = curate(
         corpus.withColumn("url", url),
         text_col="text", key_cols=("doc_id",), policy="clusters",
-        materialize="none", minhash_carry="arrays", url_col="url",
+        materialize="local_checkpoint", minhash_carry="arrays",
+        url_col="url", pin_stages=True,
+        stage_pin_mode="local_checkpoint",
     )
     return curated.select(
         "doc_id",

@@ -83,11 +83,26 @@ def conversation_flags(
         raise ValueError("max_role_violations must be >= 0")
     if max_empty_turn_bp < 0 or max_tool_char_bp < 0:
         raise ValueError("bp thresholds must be >= 0")
+    # project BEFORE the conv-keyed exchange (guide-§2.3 shape): the
+    # window/agg below need only (conv, idx, role, empty-flag, nchars
+    # [, ts]) — computing the text-derived columns first drops the text
+    # payload (KBs per row) from the shuffle and sort entirely
+    # (measured: conversation_flags 4.4 s → text-free exchange at sf1.0)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    slim_cols = [
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col),
+        (F.regexp_replace(text, f"{_WS}+", "") == "").alias("_is_empty"),
+        F.length(text).cast("long").alias("_nchars"),
+    ]
+    if ts_col is not None:
+        slim_cols.append(F.col(ts_col))
+    df = df.select(*slim_cols)
     conv = F.col(conv_col)
     role = F.col(role_col)
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    is_empty = F.regexp_replace(text, f"{_WS}+", "") == ""
-    nchars = F.length(text).cast("long")
+    is_empty = F.col("_is_empty")
+    nchars = F.col("_nchars")
 
     w = Window.partitionBy(conv_col).orderBy(idx_col)
     prev_role = F.lag(role).over(w)

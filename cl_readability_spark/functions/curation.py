@@ -633,7 +633,16 @@ def _stage_pin(df: DataFrame, mode: str) -> tuple[DataFrame, list[DataFrame]]:
       release handle — localCheckpoint storage is reclaimed by the
       ContextCleaner once the frame is collected."""
     if mode == "local_checkpoint":
-        return df.localCheckpoint(eager=True), []
+        from pyspark import StorageLevel
+
+        # DISK_ONLY storage: the default localCheckpoint level holds
+        # deserialized rows on-heap, and a bench/session running many
+        # operators accumulates those blocks until the ContextCleaner
+        # catches up — measured as a late-session slowdown.  Disk blocks
+        # keep the lineage truncation without the heap pressure.
+        return df.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        ), []
     from pyspark import StorageLevel
 
     pinned = df.persist(StorageLevel.DISK_ONLY)
@@ -796,9 +805,11 @@ def curate_near_dups(
       deserialized on-heap copy of a large corpus is GBs of objects
       (measured: a 2.7 GB-text corpus OOMs an 8 GB local heap under
       MEMORY_AND_DISK unrolling, and reads back from disk in seconds).
-    - "local_checkpoint": eager localCheckpoint — additionally truncates
-      lineage (the plan-shape proof uses this: the upstream stages vanish
-      from the final DAG), but stores deserialized.
+    - "local_checkpoint": eager localCheckpoint at DISK_ONLY storage —
+      additionally truncates lineage (the plan-shape proof uses this:
+      the upstream stages vanish from the final DAG) with no on-heap
+      block accumulation (r9: the default deserialized level measurably
+      slowed later queries of long bench sessions).
     - "persist": MEMORY_AND_DISK cache (small corpora / interactive).
     - "none": lazy; only correct when ``flagged`` is already a
       materialized table (e.g. the written flags table — then the double
@@ -831,7 +842,11 @@ def curate_near_dups(
     surv_count = None
     survivor_cond = F.col("quality_ok") & F.col("exact_keep")
     if materialize == "local_checkpoint":
-        df = df.localCheckpoint(eager=True)
+        from pyspark import StorageLevel
+
+        # DISK_ONLY storage (r9): truncation without on-heap deserialized
+        # blocks — see _stage_pin
+        df = df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     elif materialize in ("disk", "persist"):
         from pyspark import StorageLevel
 

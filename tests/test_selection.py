@@ -194,7 +194,12 @@ def test_dsir_plan_shape(spark):
     assert file_scans == 4, plan[:2000]
     assert mem_scans == 2, plan[:2000]
     assert plan.count("BroadcastNestedLoopJoin") == 0
-    assert plan.count("SortMergeJoin") == 1  # the row-key output join
+    # the row-key output join is the ONLY shuffled join (under the r9
+    # session default preferSortMergeJoin=false the planner may realize
+    # it as ShuffledHashJoin instead of SortMergeJoin)
+    assert (
+        plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    )
     assert plan.count("Exchange SinglePartition") == 1  # B-row totals window
     # the bigram lambda must not index the words EXPRESSION per position:
     # element_at(tokenize(), i) re-runs the full tokenization per gram in

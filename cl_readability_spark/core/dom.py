@@ -461,6 +461,15 @@ _RAW_END = {
 
 USE_FAST_PARSER = True  # tests flip this for differential runs
 
+# group indices of _MASTER, resolved once — m.group(int) skips the
+# per-token name lookup in the tokenizer loop
+_G_TEXT = _MASTER.groupindex["text"]
+_G_CTAG = _MASTER.groupindex["ctag"]
+_G_TAG = _MASTER.groupindex["tag"]
+_G_ATTRS = _MASTER.groupindex["attrs"]
+_G_SELFCLOSE = _MASTER.groupindex["selfclose"]
+_G_DECL = _MASTER.groupindex["decl"]
+
 
 def _fast_feed(html: str, builder: "_TreeBuilder") -> None:
     # The tree operations are INLINED here (no handle_* dispatch): each is
@@ -478,7 +487,7 @@ def _fast_feed(html: str, builder: "_TreeBuilder") -> None:
         if m is None:
             raise _FastParseBail
         group = m.group
-        text = group("text")
+        text = group(_G_TEXT)
         if text is not None:
             # handle_data, inlined (fresh Text append — no reparenting)
             if "&" in text:
@@ -493,7 +502,7 @@ def _fast_feed(html: str, builder: "_TreeBuilder") -> None:
                 kids.append(t)
             pos = m.end()
             continue
-        ctag = group("ctag")
+        ctag = group(_G_CTAG)
         if ctag is not None:
             # handle_endtag, inlined
             tag = ctag.lower()
@@ -504,11 +513,11 @@ def _fast_feed(html: str, builder: "_TreeBuilder") -> None:
                         break
             pos = m.end()
             continue
-        tag = group("tag")
+        tag = group(_G_TAG)
         if tag is not None:
             tag = tag.lower()
-            attrs_s = group("attrs")
-            selfclose = group("selfclose")
+            attrs_s = group(_G_ATTRS)
+            selfclose = group(_G_SELFCLOSE)
             if selfclose and attrs_s and attrs_s[-1] not in " \t\r\n\"'":
                 # `<img src=x/>`: stdlib folds the '/' into the unquoted value
                 raise _FastParseBail
@@ -594,7 +603,7 @@ def _fast_feed(html: str, builder: "_TreeBuilder") -> None:
                         break
                 pos = gt + 1
             continue
-        decl = group("decl")
+        decl = group(_G_DECL)
         if decl is not None and decl.startswith("["):
             raise _FastParseBail  # CDATA marked section — stdlib semantics
         # comment / doctype / PI: dropped, same as the builder callbacks

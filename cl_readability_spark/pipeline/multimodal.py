@@ -125,9 +125,13 @@ def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", "kind", "payload").mapInPandas(
-        mapper, IMAGE_FEATURES_SCHEMA
-    )
+    from cl_readability_spark.functions.parallelism import ensure_parallelism
+
+    # CPU-bound python decode — parallelism floor (no-op mid-chain /
+    # at production split counts; see functions/parallelism.py)
+    return ensure_parallelism(
+        df.select("doc_id", "kind", "payload")
+    ).mapInPandas(mapper, IMAGE_FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

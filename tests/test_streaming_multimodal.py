@@ -1058,8 +1058,17 @@ def test_streaming_sft_examples_matches_batch(spark, tmp_path):
     )
     assert expected  # fixture has signal
 
+    # idle_timeout must comfortably exceed the micro-batch cadence: with
+    # maxFilesPerTrigger=1 a conversation's turns arrive across several
+    # batches, and if the gap between two file batches ever exceeds the
+    # idle timeout the conversation closes EARLY with partial turns (the
+    # operator's documented processing-time-timeout contract), so the
+    # output legitimately diverges from batch.  1 s was fine on an idle
+    # machine but a degraded/loaded VM stretches batch gaps past it
+    # (observed: 30 s+ state-store lag) — 30 s of slack keeps the test
+    # about the operator, not the scheduler.
     q = streaming_sft_examples(
-        spark, inp, out, cp, max_context_tokens=6, idle_timeout_ms=1000,
+        spark, inp, out, cp, max_context_tokens=6, idle_timeout_ms=30_000,
         max_files_per_trigger=1,
     )
 

@@ -45,7 +45,21 @@ def synthetic_transcripts(
     )
     pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
     pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
-    return spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    # Arrow createDataFrame slices the pandas frame into one partition
+    # per record batch, i.e. maxRecordsPerBatch (the whale-safe 512) rows
+    # each — at sf1.0 that is ~750 partitions of 512 rows, so every
+    # downstream map stage pays ~750 task overheads and map-side partial
+    # aggregation barely collapses (measured: the trigram explode
+    # shuffled 3.6 GB from 746 tasks).  Coalesce (no shuffle, slice
+    # order preserved, value-identical) to ~2k-row partitions, floored
+    # at the session parallelism.  NOT all the way down to the core
+    # count: a 12k-row partition's gram-explode partial-agg map blew an
+    # 8 GB heap (measured OOM) and 4k-row partitions spilled 9 GB — the
+    # slice merge must keep per-task aggregation state bounded.  A
+    # small corpus keeps its fewer slices (coalesce upward is a no-op).
+    target = max(spark.sparkContext.defaultParallelism, (len(pdf) + 2047) // 2048)
+    return df.coalesce(target)
 
 
 # Boilerplate frame shared by the per-doc turns and the digest turns.
